@@ -1,0 +1,65 @@
+"""Framework-wide configuration.
+
+The reference engine hardcodes every hyperparameter (reference:
+include/calibrator.h:4 reservoir size, src/layer.cc:44 quantile=1,
+i8ie/module.py:20 input quant (0.025, 127)).  We keep those exact values as
+zero-config defaults but surface them in one small dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Post-training static quantization configuration.
+
+    Defaults reproduce the reference engine's hardcoded behavior:
+    per-tensor asymmetric u8 activations, per-tensor symmetric s8 weights
+    with a single joint weight+bias scale, truncating (round-toward-zero)
+    float->int conversions, and requantization to each layer's calibrated
+    output (scale, zero_point) at every layer boundary.
+    """
+
+    # Input quantization applied by Module.__call__ after convert()
+    # (reference: i8ie/module.py:20).
+    input_scale: float = 0.025
+    input_zero_point: int = 127
+
+    # Calibration (reference: include/calibrator.h:4, src/layer.cc:44).
+    calib_quantile: float = 1.0
+    calib_reservoir_size: int = 1000
+    # True  -> exact streaming min/max over every observed activation
+    #          (deterministic; a strict improvement over the reference's
+    #          1000-sample random reservoir, which it approximates at
+    #          quantile=1.0).
+    # False -> reference-style random reservoir (needed for quantile < 1).
+    calib_exact_minmax: bool = True
+
+    # Weight quantization: per-tensor symmetric s8 with one scale shared by
+    # weight and bias, scale = (max-min)/127 over their joint range
+    # (reference: src/layer.cc:6-26).  per_channel is a TPU-side extension
+    # (per-output-channel weight scales) used by deeper models (ResNet).
+    weight_per_channel: bool = False
+
+    # INT8 conv lowering:
+    #   'auto'       -> XLA native s8 conv (implicit im2col on the MXU)
+    #   'xla_conv'   -> force the native integer convolution
+    #   'gemm'       -> batched im2col + the shared Pallas/XLA quantized GEMM
+    conv_backend: str = "auto"
+
+    # Kernel backend selection for the quantized GEMM:
+    #   'auto'   -> Pallas on TPU, XLA dot_general fallback elsewhere
+    #   'pallas' -> force the Pallas MXU kernel
+    #   'xla'    -> force the jnp/dot_general reference path
+    kernel_backend: str = "auto"
+
+    # Computation dtype for the FP32 (pre-convert) path. float32 matches the
+    # reference oracle; bfloat16 doubles MXU throughput at slight accuracy
+    # cost.
+    fp_dtype: str = "float32"
+
+
+DEFAULT_CONFIG = QuantConfig()

@@ -1,0 +1,276 @@
+"""Layers: Linear and Conv2d with the load -> prepare -> convert lifecycle.
+
+TPU-native re-design of the reference's ``BaseLayer``/``Linear``/``Conv2d``
+(reference: include/layer.h, src/layer.cc, src/fully_connected.cc,
+src/conv2d.cc).  Semantics preserved for accuracy parity:
+
+* FP32 path computes ``x @ W^T + b`` / conv + bias and, while preparing,
+  samples outputs into the calibrator (fully_connected.cc:5-21,
+  conv2d.cc:63-98).
+* ``convert()`` derives the layer's *output* (scale, zero_point) from the
+  calibrator (src/layer.cc:36-54), quantizes weight+bias per-tensor symmetric
+  s8 with one joint scale (src/layer.cc:6-26), and frees the FP32 weights.
+* INT8 path: u8 activations x s8 weights -> s32 with per-output-channel
+  zero-point/bias offset, then the fused ``down_scale`` requantization to the
+  calibrated output (scale, zp) (fully_connected.cc:22-52, conv2d.cc:100-142).
+
+TPU-specific departures: weights are stored pre-transposed for the MXU
+([K, N] for Linear, HWIO for conv) at convert/load time; activations flow
+NHWC through convs; the whole batch is one MXU op instead of an OpenMP loop;
+and an optional ``fuse_relu`` folds the subsequent ReLU into the kernel
+epilogue.
+
+Params live in a dict of jnp arrays so a Module can pass them through ``jit``
+(and shard them over a mesh); scales/zero-points are static Python scalars
+that specialize the kernels at trace time.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+
+from .calibrator import Calibrator
+from .config import DEFAULT_CONFIG, QuantConfig
+from .ops import conv as conv_ops
+from .ops import quant as quant_ops
+from .ops.gemm_int8 import compute_offset, qgemm
+from .tensor import Tensor, _maybe_torch
+
+
+class Layer:
+    """Base layer: weight storage, calibration state, PTQ lifecycle."""
+
+    def __init__(self, config: QuantConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.params: dict = {}
+        self._bound: dict | None = None   # traced params during Module jit
+        self.calibrator: Calibrator | None = None
+        self.is_preparing = False
+        self.is_quantized = False
+        # Layer *output* quantization, set by convert() from calibration
+        # (reference defaults: scale=1, zp=0, include/layer.h:46-47).
+        self.scale = 1.0
+        self.zero_point = 0
+        self.weight_scale = 1.0
+        self.fuse_relu = False
+        # Set by parallel.sharding when this layer's output channels are
+        # sharded over the model axis; forward then all-gathers its output.
+        self._tp_sharded = False
+
+    def _maybe_gather(self, out, channel_axis: int):
+        if self._tp_sharded:
+            from .parallel.sharding import gather_channels
+            return gather_channels(out, channel_axis)
+        return out
+
+    # -- param access (traced params win during jit) ------------------------
+    def _p(self, name):
+        src = self._bound if self._bound is not None else self.params
+        return src[name]
+
+    # -- lifecycle (reference: src/layer.cc:28-54) ---------------------------
+    def prepare(self):
+        if self.is_quantized:
+            warnings.warn("already quantized")
+            return
+        self.calibrator = Calibrator(
+            exact_minmax=self.config.calib_exact_minmax,
+            reservoir_size=self.config.calib_reservoir_size,
+        )
+        self.is_preparing = True
+
+    def convert(self):
+        if self.is_quantized:
+            warnings.warn("already quantized")
+            return
+        if not self.is_preparing:
+            warnings.warn("Not prepared, using default config (scale=1, zp=0)")
+        else:
+            self.scale, self.zero_point = self.calibrator.get_range(
+                self.config.calib_quantile)
+            self.calibrator = None
+        self._quantize_weights()
+        self.is_preparing = False
+        self.is_quantized = True
+
+    def _quantize_weights(self):
+        raise NotImplementedError
+
+    def _load_array(self, arr, expected_shape, what: str):
+        a = np.asarray(_maybe_torch(arr), dtype=np.float32)
+        if tuple(a.shape) != tuple(expected_shape):
+            raise ValueError(
+                f"{type(self).__name__}.{what}: shape {a.shape} != expected "
+                f"{tuple(expected_shape)}")
+        return jnp.asarray(a)
+
+
+class Linear(Layer):
+    """Fully-connected layer; torch-style weight [out, in].
+
+    Reference: src/fully_connected.cc, include/fully_connected.h.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int,
+                 config: QuantConfig = DEFAULT_CONFIG, fuse_relu: bool = False):
+        super().__init__(config)
+        self.in_channels = int(in_channels)
+        self.out_channels = int(out_channels)
+        self.fuse_relu = fuse_relu
+        self.params = {
+            "weight": jnp.zeros((out_channels, in_channels), jnp.float32),
+            "bias": jnp.zeros((out_channels,), jnp.float32),
+        }
+
+    def load_weight(self, w):
+        self.params["weight"] = self._load_array(
+            w, (self.out_channels, self.in_channels), "load_weight")
+
+    def load_bias(self, b):
+        self.params["bias"] = self._load_array(
+            b, (self.out_channels,), "load_bias")
+
+    def _quantize_weights(self):
+        q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
+            self.params["weight"], self.params["bias"])
+        self.weight_scale = s_w
+        self.params = {
+            "qw_kn": q_w.T,                                  # [K, N] for MXU
+            "q_bias": q_b,                                    # [N] s8
+            "rowsum": q_w.astype(jnp.int32).sum(axis=1),      # [N]
+        }
+
+    def __call__(self, x: Tensor) -> Tensor:
+        if len(x.shape) != 2:
+            raise ValueError(
+                f"Linear expects a 2D input, got shape {x.shape}; reshape first")
+        if x.quantized:
+            return self._forward_int8(x)
+        return self._forward_fp32(x)
+
+    def _forward_fp32(self, x: Tensor) -> Tensor:
+        if self.is_quantized:
+            raise RuntimeError(
+                "layer already converted to INT8 — quantize the input "
+                "(FP32 weights were freed, as in the reference)")
+        out = (
+            jnp.dot(x.data, self._p("weight").T,
+                    preferred_element_type=jnp.float32)
+            + self._p("bias").reshape(1, -1)
+        )
+        if self.is_preparing:
+            self.calibrator.sample(out)
+        return Tensor(self._maybe_gather(out, 1))
+
+    def _forward_int8(self, x: Tensor) -> Tensor:
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        oc = compute_offset(self._p("q_bias"), self._p("rowsum"),
+                            scale_a=x.scale, zp_a=x.zero_point,
+                            recentered=True)
+        out = qgemm(
+            x.data, self._p("qw_kn"), oc,
+            backend=self.config.kernel_backend,
+            scale_a=x.scale, zp_a=x.zero_point, scale_w=self.weight_scale,
+            scale_c=self.scale, zp_c=self.zero_point, relu=self.fuse_relu)
+        return Tensor(self._maybe_gather(out, 1), self.scale, self.zero_point)
+
+
+class Conv2d(Layer):
+    """2D convolution; torch-style weight [out_c, in_c, kh, kw].
+
+    Reference: src/conv2d.cc, include/conv2d.h.  Internally NHWC with the
+    weight held HWIO; the batch im2col/GEMM or XLA's native integer conv
+    replaces the reference's per-sample OpenMP im2col loop.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int, kernel_size: int,
+                 stride: int = 1, padding: int = 0,
+                 config: QuantConfig = DEFAULT_CONFIG, fuse_relu: bool = False):
+        super().__init__(config)
+        if stride == 0:
+            raise ValueError("stride must be >= 1 (reference: conv2d.h:12-14)")
+        self.in_channels = int(in_channels)
+        self.out_channels = int(out_channels)
+        self.kernel_size = int(kernel_size)
+        self.stride = int(stride)
+        self.padding = int(padding)
+        self.fuse_relu = fuse_relu
+        k = self.kernel_size
+        self.params = {
+            "w_hwio": jnp.zeros((k, k, in_channels, out_channels), jnp.float32),
+            "bias": jnp.zeros((out_channels,), jnp.float32),
+        }
+
+    def load_weight(self, w):
+        k = self.kernel_size
+        oihw = self._load_array(
+            w, (self.out_channels, self.in_channels, k, k), "load_weight")
+        self.params["w_hwio"] = jnp.transpose(oihw, (2, 3, 1, 0))
+
+    def load_bias(self, b):
+        self.params["bias"] = self._load_array(
+            b, (self.out_channels,), "load_bias")
+
+    def _quantize_weights(self):
+        q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
+            self.params["w_hwio"], self.params["bias"])
+        self.weight_scale = s_w
+        self.params = {
+            "qw_hwio": q_w,                                          # s8 HWIO
+            "q_bias": q_b,                                            # [N] s8
+            "rowsum": q_w.astype(jnp.int32).sum(axis=(0, 1, 2)),      # [N]
+        }
+
+    def __call__(self, x: Tensor) -> Tensor:
+        if len(x.shape) != 4:
+            raise ValueError(f"Conv2d expects a 4D input, got {x.shape}")
+        if x.quantized:
+            return self._forward_int8(x)
+        return self._forward_fp32(x)
+
+    def _forward_fp32(self, x: Tensor) -> Tensor:
+        if self.is_quantized:
+            raise RuntimeError(
+                "layer already converted to INT8 — quantize the input")
+        out = conv_ops.conv2d_fp32(
+            x.as_nhwc_data(), self._p("w_hwio"), self._p("bias"),
+            self.stride, self.padding)
+        if self.is_preparing:
+            self.calibrator.sample(out)
+        return Tensor(self._maybe_gather(out, 3), _nhwc=True)
+
+    def _forward_int8(self, x: Tensor) -> Tensor:
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        oc = compute_offset(self._p("q_bias"), self._p("rowsum"),
+                            scale_a=x.scale, zp_a=x.zero_point,
+                            recentered=True)
+        kw = dict(scale_a=x.scale, zp_a=x.zero_point,
+                  scale_w=self.weight_scale, scale_c=self.scale,
+                  zp_c=self.zero_point, relu=self.fuse_relu)
+        backend = self._conv_backend()
+        qw_hwio = self._p("qw_hwio")
+        if backend == "xla_conv":
+            out = conv_ops.conv2d_int8_xla(
+                x.as_nhwc_data(), qw_hwio, oc,
+                stride=self.stride, padding=self.padding, **kw)
+        else:
+            k = self.kernel_size
+            qw_kn = qw_hwio.reshape(k * k * self.in_channels,
+                                    self.out_channels)
+            out = conv_ops.conv2d_int8_gemm(
+                x.as_nhwc_data(), qw_kn, oc,
+                kh=k, kw=k, stride=self.stride, padding=self.padding,
+                backend=self.config.kernel_backend, **kw)
+        return Tensor(self._maybe_gather(out, 3), self.scale,
+                      self.zero_point, _nhwc=True)
+
+    def _conv_backend(self) -> str:
+        impl = self.config.conv_backend
+        if impl == "auto":
+            return "xla_conv"
+        return impl

@@ -1,0 +1,149 @@
+"""Module: the model container and PTQ lifecycle driver.
+
+Re-design of the reference's Python ``Module`` (reference: i8ie/module.py).
+Users subclass, declare layers in ``__init__``, and write ``forward`` — the
+familiar torch-flavored surface:
+
+    class MyNet(Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = Linear(784, 10)
+        def forward(self, x):
+            return self.fc1(x)
+
+Lifecycle (identical to the reference): ``load(state_dict)`` ->
+``prepare()`` -> run FP32 batches to calibrate -> ``convert()`` -> quantized
+inference.  After convert, ``__call__`` quantizes the input at the configured
+(scale, zero_point) — default (0.025, 127), the reference's hardcoded values
+(i8ie/module.py:20) — and dequantizes the output.
+
+TPU-native execution model: outside calibration, ``__call__`` traces the
+user's whole ``forward`` into ONE jitted XLA program with the layer params
+passed as a pytree argument.  That single program holds every quantized GEMM/
+conv plus all requant epilogues; XLA fuses the elementwise glue and cancels
+layout transposes between layers.  Params-as-arguments (rather than baked
+constants) is what lets ``shard()`` later place channel-sharded weights on a
+device mesh without retracing the user code.
+
+During ``prepare()`` the forward runs eagerly so the stateful calibrators can
+observe activations (the reference samples inside the C++ forward,
+fully_connected.cc:18-20).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .config import DEFAULT_CONFIG, QuantConfig
+from .layers import Layer
+from .ops import functional as F
+from .tensor import Tensor, _maybe_torch
+
+
+class Module:
+    def __init__(self, config: QuantConfig = DEFAULT_CONFIG):
+        self.is_quant = False
+        self.config = config
+        self._jit_fn = None
+        self._mesh = None
+        self._shardings = None
+
+    # -- layer discovery -----------------------------------------------------
+    def named_layers(self, prefix: str = ""):
+        """Yield (dotted_name, layer) for all Layer attrs, recursively.
+
+        The reference scans only the flat ``__dict__`` (i8ie/module.py:26-35);
+        recursing into sub-Modules is a compatible superset.
+        """
+        for name, val in vars(self).items():
+            if isinstance(val, Layer):
+                yield prefix + name, val
+            elif isinstance(val, Module):
+                yield from val.named_layers(prefix + name + ".")
+
+    # -- reference lifecycle API ----------------------------------------------
+    def load(self, state_dict):
+        """Ingest a torch-style flat state_dict ('name.weight'/'name.bias').
+
+        Reference: i8ie/module.py:10-16 (single-dot keys only); dotted paths
+        into sub-Modules are also supported here.
+        """
+        for key, value in state_dict.items():
+            path, attr = key.rsplit(".", 1)
+            obj = self
+            for part in path.split("."):
+                obj = getattr(obj, part)
+            if attr == "weight":
+                obj.load_weight(_maybe_torch(value))
+            elif attr == "bias":
+                obj.load_bias(_maybe_torch(value))
+            else:
+                raise KeyError(f"unrecognized state_dict key: {key}")
+        self._jit_fn = None
+
+    def prepare(self):
+        for _, layer in self.named_layers():
+            layer.prepare()
+        self._jit_fn = None
+
+    def convert(self):
+        for _, layer in self.named_layers():
+            layer.convert()
+        self.is_quant = True
+        self._jit_fn = None
+
+    # -- execution -------------------------------------------------------------
+    def forward(self, x: Tensor) -> Tensor:  # overridden by the user
+        raise NotImplementedError
+
+    def _run(self, t: Tensor) -> Tensor:
+        if self.is_quant:
+            t = F.quantize(t, self.config.input_scale,
+                           self.config.input_zero_point)
+        out = self.forward(t)
+        if self.is_quant:
+            out = F.dequantize(out)
+        return out
+
+    def _preparing(self) -> bool:
+        return any(l.is_preparing for _, l in self.named_layers())
+
+    def _gather_params(self):
+        return {name: layer.params for name, layer in self.named_layers()}
+
+    def _bind(self, params):
+        for name, layer in self.named_layers():
+            layer._bound = params[name] if params is not None else None
+
+    def __call__(self, x):
+        t = x if isinstance(x, Tensor) else Tensor(jnp.asarray(
+            _maybe_torch(x), dtype=jnp.float32))
+        if self._preparing():
+            # Eager: calibrators mutate state per batch.
+            return self._run(t)
+        if self._jit_fn is None:
+            def _fwd(params, data):
+                self._bind(params)
+                try:
+                    out = self._run(Tensor(data))
+                    return out.logical_data
+                finally:
+                    self._bind(None)
+
+            in_shardings = (self._shardings, None) if self._shardings else None
+            if in_shardings:
+                self._jit_fn = jax.jit(_fwd, in_shardings=in_shardings)
+            else:
+                self._jit_fn = jax.jit(_fwd)
+        out = self._jit_fn(self._gather_params(), t.data)
+        return Tensor(out)
+
+    # -- scale-out --------------------------------------------------------------
+    def shard(self, mesh, data_axis: str = "data", model_axis: str = "model"):
+        """Shard layer params over a device mesh (weights by output channel,
+        per the TP design in parallel/sharding.py) and compile the forward
+        with those shardings.  See parallel/ for details."""
+        from .parallel.sharding import shard_module
+        shard_module(self, mesh, data_axis=data_axis, model_axis=model_axis)
+        return self

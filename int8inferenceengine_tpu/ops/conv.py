@@ -1,0 +1,123 @@
+"""Convolution paths: FP32 XLA conv, INT8 XLA conv, INT8 im2col + Pallas GEMM.
+
+The reference implements conv as per-sample im2col + MKL GEMM under OpenMP
+(reference: src/conv2d.cc:34-49 im2col, :63-98 FP32, :100-142 INT8).  On TPU
+the convolution itself belongs on the MXU; we provide:
+
+* ``conv2d_fp32``      — ``lax.conv_general_dilated`` in NHWC (XLA picks MXU
+  tilings; this replaces cblas_sgemm + the hand-written im2col).
+* ``conv2d_int8_xla``  — native s8xs8->s32 XLA convolution with recentered
+  activations and explicit zero-point padding, then the fused requant
+  epilogue.  Replaces cblas_gemm_s8u8s32 + down_scale + transpose.
+* ``conv2d_int8_gemm`` — batched im2col (static strided slices, traced once)
+  feeding the shared Pallas quantized GEMM kernel, so conv and linear use the
+  same MXU epilogue.
+
+All run over the full batch in one XLA op — the reference's
+``#pragma omp parallel for`` over samples (conv2d.cc:78,125) becomes MXU
+batching plus (in the sharded path) batch-axis sharding on the device mesh.
+
+Zero-point padding parity: the reference pads the im2col patch matrix with
+the activation zero_point (conv2d.cc:17-31), so padded taps contribute
+nothing after zero-point correction.  In the recentered s8 domain the same
+pad value is ``zp_a - 128``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from .gemm_int8 import qgemm
+from .quant import down_scale
+
+
+def out_hw(h: int, kh: int, stride: int, padding: int) -> int:
+    """Output spatial size, matching conv2d.cc's integer formula."""
+    return (h - kh + 2 * padding) // stride + 1
+
+
+def conv2d_fp32(x_nhwc, w_hwio, bias, stride: int, padding: int,
+                preferred_dtype=jnp.float32):
+    """FP32 (or bf16) convolution + bias in NHWC."""
+    out = lax.conv_general_dilated(
+        x_nhwc, w_hwio,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_dtype,
+    )
+    return out + bias.reshape(1, 1, 1, -1)
+
+
+def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
+                    scale_a, zp_a, scale_w, scale_c, zp_c, relu=False):
+    """Quantized conv via XLA's native integer convolution.
+
+    ``oc`` must include the +128*rowsum recentering term
+    (gemm_int8.compute_offset(..., recentered=True)).
+    """
+    x = (x_u8_nhwc.astype(jnp.int32) - 128).astype(jnp.int8)
+    if padding:
+        x = jnp.pad(
+            x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            constant_values=int(zp_a) - 128)
+    acc = lax.conv_general_dilated(
+        x, qw_hwio,
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    acc = acc + oc.reshape(1, 1, 1, -1)
+    out = down_scale(acc, scale_a, scale_w, scale_c, zp_c)
+    if relu:
+        out = jnp.maximum(out, jnp.uint8(zp_c))
+    return out
+
+
+def im2col_nhwc(x_nhwc, kh: int, kw: int, stride: int, padding: int,
+                pad_value=0):
+    """Patch extraction via kh*kw static strided slices (XLA-friendly).
+
+    Returns [n, oh, ow, kh*kw*c] with patch element order ((l*kw + m)*c + ch)
+    — the NHWC analogue of the reference's (c, kh, kw) ordering
+    (conv2d.cc:5-15); the weight is reordered to match at convert time.
+    """
+    if padding:
+        x_nhwc = jnp.pad(
+            x_nhwc, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            constant_values=pad_value)
+    n, h, w, c = x_nhwc.shape
+    oh = (h - kh) // stride + 1
+    ow = (w - kw) // stride + 1
+    cols = []
+    for l in range(kh):
+        for m in range(kw):
+            cols.append(lax.slice(
+                x_nhwc,
+                (0, l, m, 0),
+                (n, l + stride * (oh - 1) + 1, m + stride * (ow - 1) + 1, c),
+                (1, stride, stride, 1),
+            ))
+    patches = jnp.stack(cols, axis=3)            # [n, oh, ow, kh*kw, c]
+    return patches.reshape(n, oh, ow, kh * kw * c)
+
+
+def conv2d_int8_gemm(x_u8_nhwc, qw_kn, oc, *, kh: int, kw: int, stride: int,
+                     padding: int, scale_a, zp_a, scale_w, scale_c, zp_c,
+                     relu=False, backend: str = "auto"):
+    """Quantized conv as im2col + the shared Pallas int8 GEMM.
+
+    ``qw_kn`` is the weight reordered [(kh*kw*c), kc] (OIHW -> (2,3,1,0) at
+    convert time).
+    """
+    n = x_u8_nhwc.shape[0]
+    patches = im2col_nhwc(x_u8_nhwc, kh, kw, stride, padding,
+                          pad_value=int(zp_a))
+    _, oh, ow, k = patches.shape
+    a = patches.reshape(n * oh * ow, k)
+    out = qgemm(a, qw_kn, oc, backend=backend,
+                scale_a=scale_a, zp_a=zp_a, scale_w=scale_w,
+                scale_c=scale_c, zp_c=zp_c, relu=relu)
+    return out.reshape(n, oh, ow, -1)

@@ -1,0 +1,68 @@
+"""Functional tensor ops: relu, max_pool2d, argmax, module-level quant ops.
+
+TPU-native equivalents of the reference's OpenMP elementwise loops
+(reference: src/functional.cc).  These operate on the framework Tensor and
+preserve quantization metadata exactly like the reference:
+
+* ``relu`` on a quantized tensor clamps at the *zero_point* — quantized zero —
+  and propagates (scale, zp) (functional.cc:15-26).
+* ``max_pool2d`` is a window max with scale/zp pass-through; the u8 identity
+  element is 0 (functional.cc:28-64).
+
+Inside a jitted forward these fuse into neighbouring ops; the standalone
+quantized GEMM kernel can also fuse relu directly into its epilogue.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..tensor import Tensor
+from . import quant
+
+
+def relu(x: Tensor) -> Tensor:
+    if x.quantized:
+        out = jnp.maximum(x.data, jnp.uint8(x.zero_point))
+    else:
+        out = jnp.maximum(x.data, jnp.zeros((), x.data.dtype))
+    return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
+
+
+def max_pool2d(x: Tensor, kernel_size: int, stride: int) -> Tensor:
+    """NCHW-semantics window max (VALID, square window), any layout."""
+    if x._nhwc:
+        window = (1, kernel_size, kernel_size, 1)
+        strides = (1, stride, stride, 1)
+    else:
+        window = (1, 1, kernel_size, kernel_size)
+        strides = (1, 1, stride, stride)
+    if x.quantized:
+        init = jnp.uint8(0)            # reference: min<u8_t>() == 0
+    elif jnp.issubdtype(x.data.dtype, jnp.floating):
+        init = jnp.array(-jnp.inf, x.data.dtype)
+    else:
+        init = jnp.array(jnp.iinfo(x.data.dtype).min, x.data.dtype)
+    out = lax.reduce_window(x.data, init, lax.max, window, strides, "VALID")
+    return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
+
+
+def argmax(x: Tensor, *args, **kwargs) -> Tensor:
+    """Matches i8ie.argmax — numpy semantics, float32 result tensor
+    (reference: i8ie/__init__.py:17-18)."""
+    res = x.numpy().argmax(*args, **kwargs)
+    return Tensor(jnp.asarray(np.float32(res)))
+
+
+def quantize(x: Tensor, scale: float, zero_point: int) -> Tensor:
+    """Module-level asymmetric u8 quantization (i8ie/__init__.py:29-30)."""
+    q = quant.quantize_u8(x.data, scale, zero_point)
+    return Tensor(q, scale, zero_point, _nhwc=x._nhwc)
+
+
+def dequantize(x: Tensor) -> Tensor:
+    """u8 -> f32 using the tensor's own (scale, zp) (i8ie/__init__.py:31-32)."""
+    out = quant.dequantize_u8(x.data, x.scale, x.zero_point)
+    return Tensor(out, _nhwc=x._nhwc)

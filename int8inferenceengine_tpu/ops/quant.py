@@ -1,0 +1,105 @@
+"""Quantize / dequantize / requantize primitives.
+
+Numerics are kept bit-compatible with the reference engine's scalar loops
+(reference: src/quantize_utils.cc):
+
+* asymmetric u8 activation quantization  ``q = trunc(clip(x/s + zp, 0, 255))``
+  (quantize_utils.cc:3-10),
+* symmetric s8 weight quantization       ``q = trunc(clip(x/s, -127, 127))``
+  (quantize_utils.cc:12-19),
+* int32-accumulator dequantization       ``x = q * s_a * s_w``
+  (quantize_utils.cc:21-25),
+* the fused requantization epilogue ``down_scale``: int32 accum -> dequant by
+  ``s_a*s_w`` -> requant to the consumer's (s_c, zp_c) -> clip -> trunc -> u8
+  (quantize_utils.cc:27-36).
+
+All float->int conversions use XLA's ConvertElementType, which rounds toward
+zero — exactly the C++ implicit float->integer conversion the reference relies
+on.  One deliberate divergence: the reference's tensor-level ``quantize``
+(quantize_utils.cc:44-52) skips clamping, which is UB for out-of-range floats
+in C++; we always clamp.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quantize_u8(x: jnp.ndarray, scale: float, zero_point) -> jnp.ndarray:
+    """Asymmetric affine quantization float -> uint8 (activations)."""
+    t = x / scale + zero_point
+    t = jnp.clip(t, 0.0, 255.0)
+    return t.astype(jnp.uint8)
+
+
+def quantize_s8(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Symmetric quantization float -> int8 (weights / biases)."""
+    t = x / scale
+    t = jnp.clip(t, -127.0, 127.0)
+    return t.astype(jnp.int8)
+
+
+def dequantize_u8(q: jnp.ndarray, scale: float, zero_point) -> jnp.ndarray:
+    """uint8 -> float: ``x = (q - zp) * s`` (quantize_utils.cc:38-42)."""
+    return (q.astype(jnp.float32) - jnp.float32(zero_point)) * jnp.float32(scale)
+
+
+def dequantize_s32(acc: jnp.ndarray, scale_a: float, scale_w: float) -> jnp.ndarray:
+    """int32 accumulator -> float: ``x = q * s_a * s_w``."""
+    return acc.astype(jnp.float32) * jnp.float32(scale_a) * jnp.float32(scale_w)
+
+
+def down_scale(
+    acc: jnp.ndarray,
+    scale_a: float,
+    scale_w: float,
+    scale_c: float,
+    zp_c,
+) -> jnp.ndarray:
+    """Fused requantization epilogue: s32 accum -> u8 at the consumer scale.
+
+    ``u8 = trunc(clip(acc * s_a * s_w / s_c + zp_c, 0, 255))``
+    (quantize_utils.cc:27-36).
+    """
+    deq = acc.astype(jnp.float32) * jnp.float32(scale_a) * jnp.float32(scale_w)
+    q = deq / jnp.float32(scale_c) + jnp.float32(zp_c)
+    q = jnp.clip(q, 0.0, 255.0)
+    return q.astype(jnp.uint8)
+
+
+def quantize_weight_joint_scale(weight, bias):
+    """Per-tensor symmetric s8 weight+bias quantization with a joint scale.
+
+    ``scale = (max - min) / 127`` over the union of weight AND bias values
+    (reference: src/layer.cc:6-26).  Bias is quantized to s8 with the same
+    scale — possible only because the joint min/max bounds both tensors.
+
+    Returns host floats/arrays suitable for freezing into layer params.
+    """
+    w_min = jnp.minimum(weight.min(), bias.min())
+    w_max = jnp.maximum(weight.max(), bias.max())
+    scale = (w_max - w_min) / 127.0
+    # Degenerate all-zero layer: keep scale positive.
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q_w = quantize_s8(weight, scale)
+    q_b = quantize_s8(bias, scale)
+    return q_w, q_b, float(scale)
+
+
+def quantize_weight_per_channel(weight, bias, channel_axis: int = 0):
+    """Per-output-channel symmetric s8 scales (TPU-side extension).
+
+    Not present in the reference; used by deeper models (ResNet) where a
+    single per-tensor scale costs too much accuracy.  Bias is kept in int32
+    at scale ``s_w[c]`` granularity (quantized with the per-channel scale).
+    """
+    reduce_axes = tuple(i for i in range(weight.ndim) if i != channel_axis)
+    w_min = jnp.minimum(weight.min(axis=reduce_axes), bias)
+    w_max = jnp.maximum(weight.max(axis=reduce_axes), bias)
+    scale = (w_max - w_min) / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    shape = [1] * weight.ndim
+    shape[channel_axis] = -1
+    q_w = quantize_s8(weight, scale.reshape(shape))
+    q_b = quantize_s8(bias, scale)
+    return q_w, q_b, scale

@@ -1,0 +1,110 @@
+"""Param sharding + shard_map execution of the quantized forward.
+
+Design (SURVEY.md §2.4 / BASELINE north star): a ``(data, model)`` mesh;
+batch sharded over ``data``; conv/fc weights sharded by OUTPUT CHANNEL over
+``model``; each layer computes its local channel slice on the MXU and
+all-gathers activations over ICI so the next layer sees full channels.
+XLA overlaps the all-gather of layer i's output with unrelated work where it
+can; a manually overlapped Pallas GEMM+collective variant is the planned
+next step.
+
+Layers whose output channels don't divide the model axis (e.g. a 10-class
+head) stay replicated — correctness first, the big GEMMs still shard.
+
+The forward itself runs under ``jax.shard_map`` (Pallas kernels can't be
+auto-partitioned by GSPMD), with the same user ``forward`` code: layers pick
+up the active axes from parallel.context and insert their own all-gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..layers import Conv2d, Layer, Linear
+
+
+def layer_param_specs(layer: Layer, model_axis: str, model_size: int) -> dict:
+    """PartitionSpec per param array; None-spec (replicated) when the layer
+    can't shard evenly over the model axis."""
+    shardable = (layer.out_channels % model_size == 0) and model_size > 1
+    layer._tp_sharded = shardable
+    if not shardable:
+        return {k: P() for k in layer.params}
+    specs = {}
+    for k, v in layer.params.items():
+        if k in ("q_bias", "bias", "rowsum"):
+            specs[k] = P(model_axis)
+        elif k == "qw_kn":                 # [K, N]
+            specs[k] = P(None, model_axis)
+        elif k == "weight":                # [N, K] torch layout
+            specs[k] = P(model_axis, None)
+        elif k in ("qw_hwio", "w_hwio"):   # [kh, kw, I, O]
+            specs[k] = P(None, None, None, model_axis)
+        else:
+            specs[k] = P()
+    return specs
+
+
+def module_param_specs(module, model_axis: str, model_size: int) -> dict:
+    return {
+        name: layer_param_specs(layer, model_axis, model_size)
+        for name, layer in module.named_layers()
+    }
+
+
+def shard_module(module, mesh, data_axis: str = "data",
+                 model_axis: str = "model") -> None:
+    """Place layer params on the mesh and switch the Module to shard_map
+    execution.  Call after convert() (or before, for FP32 serving)."""
+    from .context import ParallelAxes, axes as axes_ctx
+
+    data_size = mesh.shape[data_axis]
+    model_size = mesh.shape[model_axis]
+    specs = module_param_specs(module, model_axis, model_size)
+
+    # Move params onto the mesh now (one host->HBM transfer per weight).
+    for name, layer in module.named_layers():
+        layer.params = {
+            k: jax.device_put(v, NamedSharding(mesh, specs[name][k]))
+            for k, v in layer.params.items()
+        }
+
+    pa = ParallelAxes(data_axis=data_axis, model_axis=model_axis,
+                      data_size=data_size, model_size=model_size)
+
+    def _fwd(params, data):
+        def local_fn(local_params, local_data):
+            from ..tensor import Tensor
+            module._bind(local_params)
+            try:
+                with axes_ctx(pa):
+                    out = module._run(Tensor(local_data))
+                    return out.logical_data
+            finally:
+                module._bind(None)
+
+        return jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(specs, P(data_axis)),
+            out_specs=P(data_axis),
+            check_vma=False,
+        )(params, data)
+
+    module._mesh = mesh
+    module._parallel_axes = pa
+    module._jit_fn = jax.jit(_fwd)
+    module._shardings = None  # shard_map handles placement
+
+
+def gather_channels(x, axis: int):
+    """All-gather a channel-sharded activation over the model axis (ICI).
+
+    No-op when no TP context is active.
+    """
+    from .context import current_axes
+    pa = current_axes()
+    if pa is None or pa.model_size <= 1:
+        return x
+    return jax.lax.all_gather(x, pa.model_axis, axis=axis, tiled=True)
