@@ -1,0 +1,70 @@
+"""Model zoo: PTQ lifecycle + torch-oracle differential test per model.
+
+Mirrors the reference's notebook workflow (load twin state_dict -> FP32
+parity -> calibrate -> convert -> INT8 argmax agreement) for every zoo
+architecture.  AlexNet runs at a reduced spatial size-compatible batch to
+keep CPU CI fast; its full 224x224 run is bench.py's job.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import int8inferenceengine_tpu as q
+from int8inferenceengine_tpu import models
+
+
+def _rand(shape, lo=-1.0, hi=1.0):
+    return np.random.uniform(lo, hi, size=shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("name,batch", [
+    ("fc_mnist", 64),
+    ("simple_conv", 16),
+    ("lenet", 32),
+])
+def test_zoo_ptq_lifecycle(name, batch):
+    torch.set_num_threads(1)
+    tm = models.torch_twin(name)
+    mm = models.build(name)
+    mm.load(tm.state_dict())
+
+    shape = (batch,) + mm.INPUT_SHAPE
+    x = _rand(shape)
+
+    # FP32 parity vs torch.
+    ref = tm(torch.tensor(x)).detach().numpy()
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+    # Calibrate on a separate batch, convert, then check INT8 agreement.
+    mm.prepare()
+    mm(q.tensor(_rand(shape)))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    assert qout.shape == ref.shape
+    agree = (qout.argmax(1) == ref.argmax(1)).mean()
+    assert agree >= 0.75, f"{name}: argmax agreement {agree}"
+
+
+def test_alexnet_shapes_small_spatial():
+    """AlexNet graph is sound: run FP32+INT8 at 224 with batch 2 (CPU)."""
+    torch.set_num_threads(1)
+    tm = models.torch_twin("alexnet")
+    mm = models.build("alexnet")
+    mm.load(tm.state_dict())
+    x = _rand((2, 3, 224, 224))
+    ref = tm(torch.tensor(x)).detach().numpy()
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+    mm.prepare()
+    mm(q.tensor(x))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    assert qout.shape == (2, 10)
+    assert np.isfinite(qout).all()
+
+
+def test_build_unknown_name():
+    with pytest.raises(ValueError, match="unknown model"):
+        models.build("nope")
