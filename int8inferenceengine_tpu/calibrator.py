@@ -74,6 +74,16 @@ class Calibrator:
             hit = idx < n
             self._reservoir[idx[hit]] = values[hit]
 
+    def stats(self) -> dict:
+        """Observed-range summary for observability/logging."""
+        if self._count == 0:
+            return {"count": 0, "min": None, "max": None}
+        return {
+            "count": int(self._count),
+            "min": float(np.float32(self._min)) if self._min is not None else None,
+            "max": float(np.float32(self._max)) if self._max is not None else None,
+        }
+
     def get_range(self, quantile: float = 1.0):
         """Derive per-tensor asymmetric-u8 (scale, zero_point)."""
         if self._count == 0:

@@ -27,6 +27,7 @@ that specialize the kernels at trace time.
 
 from __future__ import annotations
 
+import contextvars
 import warnings
 
 import jax.numpy as jnp
@@ -38,6 +39,14 @@ from .ops import conv as conv_ops
 from .ops import quant as quant_ops
 from .ops.gemm_int8 import compute_offset, qgemm
 from .tensor import Tensor, _maybe_torch
+
+
+# Active sink for jitted calibration (Module._calibrate_jit): when set,
+# preparing layers emit traced (min, max) reductions into the sink instead of
+# sampling eagerly, so one XLA program calibrates the whole forward
+# (SURVEY.md §7 hard part 4: stateful observation vs functional JAX).
+_CALIB_SINK: contextvars.ContextVar[list | None] = contextvars.ContextVar(
+    "i8ie_calib_sink", default=None)
 
 
 class Layer:
@@ -56,6 +65,9 @@ class Layer:
         self.zero_point = 0
         self.weight_scale = 1.0
         self.fuse_relu = False
+        # Observed activation range, stashed at convert() for observability
+        # (the reference's only logging is 3 stderr warnings, layer.cc:31-42).
+        self.calib_stats: dict | None = None
         # Set by parallel.sharding when this layer's output channels are
         # sharded over the model axis; forward then all-gathers its output.
         self._tp_sharded = False
@@ -65,6 +77,15 @@ class Layer:
             from .parallel.sharding import gather_channels
             return gather_channels(out, channel_axis)
         return out
+
+    def _observe(self, out) -> None:
+        """Record layer output ranges while preparing (eager or traced)."""
+        sink = _CALIB_SINK.get()
+        if sink is not None:
+            sink.append((self, jnp.min(out), jnp.max(out),
+                         int(np.prod(out.shape))))
+        else:
+            self.calibrator.sample(out)
 
     # -- param access (traced params win during jit) ------------------------
     def _p(self, name):
@@ -91,6 +112,7 @@ class Layer:
         else:
             self.scale, self.zero_point = self.calibrator.get_range(
                 self.config.calib_quantile)
+            self.calib_stats = self.calibrator.stats()
             self.calibrator = None
         self._quantize_weights()
         self.is_preparing = False
@@ -162,7 +184,7 @@ class Linear(Layer):
             + self._p("bias").reshape(1, -1)
         )
         if self.is_preparing:
-            self.calibrator.sample(out)
+            self._observe(out)
         return Tensor(self._maybe_gather(out, 1))
 
     def _forward_int8(self, x: Tensor) -> Tensor:
@@ -240,7 +262,7 @@ class Conv2d(Layer):
             x.as_nhwc_data(), self._p("w_hwio"), self._p("bias"),
             self.stride, self.padding)
         if self.is_preparing:
-            self.calibrator.sample(out)
+            self._observe(out)
         return Tensor(self._maybe_gather(out, 3), _nhwc=True)
 
     def _forward_int8(self, x: Tensor) -> Tensor:

@@ -46,6 +46,8 @@ class Module:
         self.is_quant = False
         self.config = config
         self._jit_fn = None
+        self._calib_fn = None
+        self._calib_meta = {}
         self._mesh = None
         self._shardings = None
 
@@ -86,6 +88,8 @@ class Module:
         for _, layer in self.named_layers():
             layer.prepare()
         self._jit_fn = None
+        self._calib_fn = None
+        self._calib_meta = {}
 
     def convert(self):
         for _, layer in self.named_layers():
@@ -120,7 +124,10 @@ class Module:
         t = x if isinstance(x, Tensor) else Tensor(jnp.asarray(
             _maybe_torch(x), dtype=jnp.float32))
         if self._preparing():
-            # Eager: calibrators mutate state per batch.
+            if self.config.calib_exact_minmax:
+                return self._calibrate_jit(t)
+            # Reservoir/quantile mode needs raw activation values on the
+            # host, so the calibration forward runs eagerly.
             return self._run(t)
         if self._jit_fn is None:
             def _fwd(params, data):
@@ -137,6 +144,43 @@ class Module:
             else:
                 self._jit_fn = jax.jit(_fwd)
         out = self._jit_fn(self._gather_params(), t.data)
+        return Tensor(out)
+
+    def _calibrate_jit(self, t: Tensor) -> Tensor:
+        """Calibration forward as ONE jitted XLA program.
+
+        The reference observes activations statefully inside each layer's
+        forward (fully_connected.cc:18-20) — impossible under jit.  Instead
+        the traced forward emits every preparing layer's (min, max) as extra
+        program outputs (via layers._CALIB_SINK); the host then merges them
+        into the calibrators.  One compile per input shape, instead of one
+        dispatch per op.  Requires exact-minmax mode (the default).
+        """
+        from .layers import _CALIB_SINK
+
+        shape = tuple(t.data.shape)
+        if self._calib_fn is None:
+            def _fwd(params, data):
+                self._bind(params)
+                sink = []
+                token = _CALIB_SINK.set(sink)
+                try:
+                    out = self._run(Tensor(data))
+                finally:
+                    _CALIB_SINK.reset(token)
+                    self._bind(None)
+                # Trace-time metadata: which layer produced each range, and
+                # how many elements it saw (static per input shape).
+                self._calib_meta[tuple(data.shape)] = [
+                    (layer, count) for layer, _, _, count in sink]
+                los = [lo for _, lo, _, _ in sink]
+                his = [hi for _, _, hi, _ in sink]
+                return out.logical_data, los, his
+
+            self._calib_fn = jax.jit(_fwd)
+        out, los, his = self._calib_fn(self._gather_params(), t.data)
+        for (layer, count), lo, hi in zip(self._calib_meta[shape], los, his):
+            layer.calibrator.observe_minmax(lo, hi, count)
         return Tensor(out)
 
     # -- scale-out --------------------------------------------------------------

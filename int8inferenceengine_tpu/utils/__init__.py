@@ -1,0 +1,11 @@
+"""Utilities: checkpointing, observability."""
+
+from . import checkpoint, observe
+from .checkpoint import load, save, state_dict
+from .observe import log_quantization_report, quantization_report, trace
+
+__all__ = [
+    "checkpoint", "observe",
+    "save", "load", "state_dict",
+    "quantization_report", "log_quantization_report", "trace",
+]

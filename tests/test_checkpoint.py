@@ -1,0 +1,95 @@
+"""Checkpoint round-trip + observability report tests.
+
+New capability vs the reference, which re-runs convert() every process
+because quantized weights are never persisted (SURVEY.md §5).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import int8inferenceengine_tpu as q
+from int8inferenceengine_tpu import models, utils
+
+
+def _rand(shape):
+    return np.random.uniform(-1, 1, size=shape).astype(np.float32)
+
+
+def _calibrated(name="lenet", batch=16):
+    tm = models.torch_twin(name)
+    mm = models.build(name)
+    mm.load(tm.state_dict())
+    shape = (batch,) + mm.INPUT_SHAPE
+    mm.prepare()
+    mm(q.tensor(_rand(shape)))
+    mm.convert()
+    return mm, shape
+
+
+def test_quantized_roundtrip(tmp_path):
+    mm, shape = _calibrated()
+    x = _rand(shape)
+    base = mm(q.tensor(x)).numpy()
+
+    path = str(tmp_path / "lenet_int8.npz")
+    utils.save(mm, path)
+
+    fresh = models.build("lenet")
+    utils.load(fresh, path)
+    assert fresh.is_quant
+    out = fresh(q.tensor(x)).numpy()
+    np.testing.assert_array_equal(out, base)
+
+
+def test_fp32_roundtrip(tmp_path):
+    tm = models.torch_twin("fc_mnist")
+    mm = models.build("fc_mnist")
+    mm.load(tm.state_dict())
+    x = _rand((8, 1, 28, 28))
+    base = mm(q.tensor(x)).numpy()
+
+    path = str(tmp_path / "fc_fp32.npz")
+    utils.save(mm, path)
+    fresh = models.build("fc_mnist")
+    utils.load(fresh, path)
+    assert not fresh.is_quant
+    np.testing.assert_array_equal(fresh(q.tensor(x)).numpy(), base)
+
+
+def test_architecture_mismatch(tmp_path):
+    mm, _ = _calibrated("fc_mnist", batch=4)
+    path = str(tmp_path / "fc.npz")
+    utils.save(mm, path)
+    with pytest.raises(ValueError, match="architecture mismatch"):
+        utils.load(models.build("lenet"), path)
+
+
+def test_state_dict_flat_view():
+    mm, _ = _calibrated("fc_mnist", batch=4)
+    sd = utils.state_dict(mm)
+    assert "fc1.qw_kn" in sd and sd["fc1.qw_kn"].dtype == np.int8
+
+
+def test_quantization_report():
+    mm, _ = _calibrated()
+    rep = utils.quantization_report(mm)
+    assert set(rep) == {"conv1", "conv2", "fc1", "fc2"}
+    for rec in rep.values():
+        assert rec["is_quantized"]
+        assert rec["scale"] > 0
+        assert 0 <= rec["zero_point"] <= 255
+        assert rec["calib"]["count"] > 0
+        assert rec["calib"]["min"] <= 0 or rec["calib"]["min"] is not None
+    # JSON-serializable end to end
+    json.dumps(rep)
+
+
+def test_log_report_json_lines():
+    import io
+    mm, _ = _calibrated("fc_mnist", batch=4)
+    buf = io.StringIO()
+    utils.log_quantization_report(mm, stream=buf)
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert len(lines) == 1 and lines[0]["layer"] == "fc1"

@@ -1,0 +1,71 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest.py).
+
+The reference has nothing distributed (SURVEY.md §2.4); these cover the
+framework's new DP x TP capability: sharded execution must be bit-identical
+to single-device execution, for FP32 and INT8, across mesh shapes.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import int8inferenceengine_tpu as q
+from int8inferenceengine_tpu import models
+from int8inferenceengine_tpu.parallel.mesh import make_mesh
+
+
+def _rand(shape, lo=-1.0, hi=1.0):
+    return np.random.uniform(lo, hi, size=shape).astype(np.float32)
+
+
+def _calibrated(name, batch):
+    tm = models.torch_twin(name)
+    mm = models.build(name)
+    mm.load(tm.state_dict())
+    shape = (batch,) + mm.INPUT_SHAPE
+    mm.prepare()
+    mm(q.tensor(_rand(shape)))
+    mm.convert()
+    return mm, shape
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_int8_sharded_equals_unsharded(mesh_shape):
+    mm, shape = _calibrated("lenet", batch=16)
+    x = _rand(shape)
+    base = mm(q.tensor(x)).numpy()
+    mm.shard(make_mesh(mesh_shape))
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_array_equal(out, base)
+
+
+def test_fp32_sharded_equals_unsharded():
+    tm = models.torch_twin("lenet")
+    mm = models.build("lenet")
+    mm.load(tm.state_dict())
+    x = _rand((16, 1, 28, 28))
+    base = mm(q.tensor(x)).numpy()
+    mm.shard(make_mesh((2, 4)))
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(out, base, atol=1e-5)
+
+
+def test_linear_only_model_tp():
+    mm, shape = _calibrated("fc_mnist", batch=32)
+    x = _rand(shape)
+    base = mm(q.tensor(x)).numpy()
+    mm.shard(make_mesh((1, 8)))  # fc 784->10: 10 % 8 != 0 -> replicated
+    np.testing.assert_array_equal(mm(q.tensor(x)).numpy(), base)
+
+
+def test_mesh_shape_validation():
+    with pytest.raises(ValueError, match="mesh shape"):
+        make_mesh((3, 2))
+
+
+def test_batch_not_divisible_raises_cleanly():
+    mm, shape = _calibrated("lenet", batch=16)
+    mm.shard(make_mesh((8, 1)))
+    bad = _rand((6,) + mm.INPUT_SHAPE)  # 6 % 8 != 0
+    with pytest.raises(Exception):
+        mm(q.tensor(bad))
