@@ -1,0 +1,121 @@
+"""Prefetching data loader: host preprocessing overlapped with device compute.
+
+The reference's "data pipeline" is a Python for-loop slicing pre-loaded
+torch tensors and copying each batch into the C++ engine synchronously
+(reference: AlexNet_cifar10_resize224.ipynb cells 1,3,5; copy at
+include/tensor.h:40-47).  Here a background thread preprocesses the next
+batches (natively — see native/hostops.cc) and enqueues them to the device
+while the TPU executes the current one, so host work and host->HBM transfer
+hide behind compute.
+
+Two modes:
+* float mode (default): yields f32 NCHW Tensors — feed any model.
+* quantized ingest (``quantize_to=(scale, zp)``): preprocess + input
+  quantization happen on the host in one native pass, the device receives u8
+  (4x fewer bytes over the interconnect), and yields are quantized Tensors
+  ready for a converted model's ``forward`` (skip Module input quant by
+  calling ``model.forward_quantized`` / using the engine's raw path).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import native
+from .tensor import Tensor
+
+_STOP = object()
+
+
+class DataLoader:
+    """Iterate device-resident batches of a host array.
+
+    Parameters
+    ----------
+    images : np.ndarray — either f32 NCHW (ready) or u8 NHWC (raw images,
+        requires ``mean``/``std`` for preprocessing).
+    batch_size : rows per yielded batch (last partial batch is dropped when
+        ``drop_remainder``, else padded is NOT applied — it is yielded short).
+    mean, std : per-channel normalization for u8 NHWC input.
+    resize_to : optional (H, W) bilinear resize for u8 NHWC input (the
+        AlexNet notebook's 32 -> 224 step).
+    quantize_to : optional (scale, zero_point) — host-side input quantization.
+    prefetch : max batches in flight ahead of the consumer.
+    """
+
+    def __init__(self, images, batch_size: int, *, labels=None, mean=None,
+                 std=None, resize_to=None, quantize_to=None, prefetch: int = 2,
+                 drop_remainder: bool = False):
+        self.images = images
+        self.labels = labels
+        self.batch_size = int(batch_size)
+        self.mean = None if mean is None else np.asarray(mean, np.float32)
+        self.std = None if std is None else np.asarray(std, np.float32)
+        self.resize_to = resize_to
+        self.quantize_to = quantize_to
+        self.prefetch = int(prefetch)
+        self.drop_remainder = drop_remainder
+        if images.dtype == np.uint8 and (self.mean is None or self.std is None):
+            raise ValueError("u8 NHWC input requires mean/std")
+
+    def __len__(self):
+        n = self.images.shape[0]
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def _prep(self, chunk: np.ndarray) -> Tensor:
+        if chunk.dtype == np.uint8:
+            if self.resize_to is not None:
+                chunk = native.resize_bilinear(chunk, *self.resize_to)
+            if self.quantize_to is not None:
+                s, zp = self.quantize_to
+                q = native.preprocess_quantize(chunk, self.mean, self.std,
+                                               float(s), int(zp))
+                return Tensor(jnp.asarray(q), float(s), int(zp))
+            return Tensor(jnp.asarray(
+                native.normalize_nchw(chunk, self.mean, self.std)))
+        arr = np.asarray(chunk, np.float32)
+        if self.quantize_to is not None:
+            s, zp = self.quantize_to
+            return Tensor(jnp.asarray(native.quantize_u8(arr, float(s), int(zp))),
+                          float(s), int(zp))
+        return Tensor(jnp.asarray(arr))
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        err: list[BaseException] = []
+
+        def produce():
+            try:
+                n = self.images.shape[0]
+                for i in range(0, n, self.batch_size):
+                    chunk = self.images[i:i + self.batch_size]
+                    if self.drop_remainder and chunk.shape[0] < self.batch_size:
+                        break
+                    t = self._prep(chunk)
+                    # Kick off the host->device transfer now; the consumer
+                    # blocks on data only when it actually uses it.
+                    t = Tensor(jax.device_put(t.data), t.scale, t.zero_point,
+                               _nhwc=t._nhwc)
+                    if self.labels is not None:
+                        q.put((t, self.labels[i:i + chunk.shape[0]]))
+                    else:
+                        q.put(t)
+            except BaseException as e:  # surface in consumer
+                err.append(e)
+            finally:
+                q.put(_STOP)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _STOP:
+                if err:
+                    raise err[0]
+                return
+            yield item

@@ -1,0 +1,92 @@
+"""DataLoader: prefetch correctness, preprocessing parity, quantized ingest."""
+
+import numpy as np
+import pytest
+
+import int8inferenceengine_tpu as q
+from int8inferenceengine_tpu import models, native
+from int8inferenceengine_tpu.data import DataLoader
+
+
+def test_float_batches_cover_all_rows():
+    x = np.random.uniform(-1, 1, (25, 1, 4, 4)).astype(np.float32)
+    dl = DataLoader(x, batch_size=8)
+    batches = list(dl)
+    assert [b.shape[0] for b in batches] == [8, 8, 8, 1]
+    assert len(dl) == 4
+    got = np.concatenate([b.numpy() for b in batches])
+    np.testing.assert_array_equal(got, x)
+
+
+def test_drop_remainder():
+    x = np.random.uniform(-1, 1, (25, 1, 4, 4)).astype(np.float32)
+    dl = DataLoader(x, batch_size=8, drop_remainder=True)
+    assert [b.shape[0] for b in dl] == [8, 8, 8]
+    assert len(dl) == 3
+
+
+def test_u8_pipeline_matches_manual():
+    img = np.random.randint(0, 256, (10, 8, 8, 3), dtype=np.uint8)
+    mean, std = [0.5, 0.4, 0.3], [0.2, 0.2, 0.2]
+    dl = DataLoader(img, batch_size=4, mean=mean, std=std)
+    got = np.concatenate([b.numpy() for b in dl])
+    want = native.normalize_nchw(img, mean, std)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_u8_resize_and_quantize_ingest():
+    img = np.random.randint(0, 256, (6, 8, 8, 3), dtype=np.uint8)
+    mean, std = [0.5] * 3, [0.25] * 3
+    dl = DataLoader(img, batch_size=3, mean=mean, std=std,
+                    resize_to=(16, 16), quantize_to=(0.025, 127))
+    batches = list(dl)
+    assert all(b.quantized for b in batches)
+    assert batches[0].shape == (3, 3, 16, 16)
+    resized = native.resize_bilinear(img, 16, 16)
+    want = native.preprocess_quantize(resized, mean, std, 0.025, 127)
+    got = np.concatenate([np.asarray(b.data) for b in batches])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_u8_requires_mean_std():
+    img = np.zeros((2, 4, 4, 1), np.uint8)
+    with pytest.raises(ValueError, match="mean/std"):
+        DataLoader(img, batch_size=2)
+
+
+def test_labels_pairing():
+    x = np.random.uniform(-1, 1, (10, 1, 4, 4)).astype(np.float32)
+    y = np.arange(10)
+    pairs = list(DataLoader(x, batch_size=4, labels=y))
+    assert [p[1].tolist() for p in pairs] == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9]]
+
+
+def test_producer_error_propagates():
+    class Bad:
+        shape = (8, 1, 4, 4)
+        dtype = np.float32
+
+        def __getitem__(self, s):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(Bad(), batch_size=4))
+
+
+def test_end_to_end_model_loop():
+    """The reference notebook loop: loader -> model -> argmax accuracy."""
+    tm = models.torch_twin("lenet")
+    mm = models.build("lenet")
+    mm.load(tm.state_dict())
+    mm.prepare()
+    mm(q.tensor(np.random.uniform(-1, 1, (16, 1, 28, 28)).astype(np.float32)))
+    mm.convert()
+
+    x = np.random.uniform(-1, 1, (20, 1, 28, 28)).astype(np.float32)
+    import torch
+    labels = tm(torch.tensor(x)).detach().numpy().argmax(1)
+    correct = 0
+    for batch, lab in DataLoader(x, batch_size=8, labels=labels):
+        out = mm(batch)
+        correct += (q.argmax(out, 1) == q.tensor(np.float32(lab))).sum()
+    assert correct >= 0.75 * len(x)

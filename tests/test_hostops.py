@@ -1,0 +1,95 @@
+"""Native hostops: C++ vs numpy-fallback equivalence + quant semantics."""
+
+import numpy as np
+import pytest
+
+from int8inferenceengine_tpu import native
+
+
+def test_native_builds():
+    assert native.available(), "native hostops should compile on this host"
+
+
+def test_quantize_matches_device_semantics():
+    x = np.random.uniform(-10, 10, (3, 5, 7)).astype(np.float32)
+    got = native.quantize_u8(x, 0.025, 127)
+    want = np.clip(x / 0.025 + 127, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quantize_extremes_clamp():
+    x = np.array([1e9, -1e9, 0.0], np.float32)
+    got = native.quantize_u8(x, 0.025, 127)
+    np.testing.assert_array_equal(got, [255, 0, 127])
+
+
+def test_dequantize_roundtrip():
+    q = np.random.randint(0, 256, (64,), dtype=np.uint8)
+    x = native.dequantize_u8(q, 0.1, 100)
+    np.testing.assert_allclose(x, (q.astype(np.float32) - 100) * 0.1)
+
+
+def test_normalize_nchw():
+    img = np.random.randint(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    got = native.normalize_nchw(img, mean, std)
+    want = ((img.astype(np.float32) / 255.0 - mean) / std).transpose(0, 3, 1, 2)
+    assert got.shape == (2, 3, 8, 8)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_resize_bilinear_vs_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    img = np.random.randint(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    got = native.resize_bilinear(img, 32, 32)
+    t = torch.tensor(img.transpose(0, 3, 1, 2), dtype=torch.float32)
+    want = F.interpolate(t, size=(32, 32), mode="bilinear",
+                         align_corners=False)
+    want = want.numpy().transpose(0, 2, 3, 1)
+    # u8 rounding: allow off-by-one
+    assert np.abs(got.astype(np.int32)
+                  - (want + 0.5).astype(np.int32)).max() <= 1
+
+
+def test_preprocess_quantize_fused_equals_two_step():
+    img = np.random.randint(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    mean = np.array([0.5, 0.5, 0.5], np.float32)
+    std = np.array([0.25, 0.25, 0.25], np.float32)
+    fused = native.preprocess_quantize(img, mean, std, 0.025, 127)
+    two_step = native.quantize_u8(
+        native.normalize_nchw(img, mean, std), 0.025, 127)
+    np.testing.assert_array_equal(fused, two_step)
+
+
+def test_feeds_quantized_model_input():
+    """u8 pipeline end-to-end: preprocess_quantize -> converted model."""
+    import jax.numpy as jnp
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+    from int8inferenceengine_tpu.tensor import Tensor
+
+    tm = models.torch_twin("lenet")
+    mm = models.build("lenet")
+    mm.load(tm.state_dict())
+    mm.prepare()
+    calib = np.random.uniform(-1, 1, (8, 1, 28, 28)).astype(np.float32)
+    mm(q.tensor(calib))
+    mm.convert()
+
+    img = np.random.randint(0, 256, (4, 28, 28, 1), dtype=np.uint8)
+    mean = np.array([0.5], np.float32)
+    std = np.array([0.5], np.float32)
+    cfg = mm.config
+    qin = native.preprocess_quantize(img, mean, std, cfg.input_scale,
+                                     cfg.input_zero_point)
+    # f32 reference path through the same model
+    f32 = native.normalize_nchw(img, mean, std)
+    want = mm(q.tensor(f32)).numpy()
+
+    out = mm.forward(Tensor(jnp.asarray(qin), cfg.input_scale,
+                            cfg.input_zero_point))
+    from int8inferenceengine_tpu.ops import functional as F
+    got = F.dequantize(out).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
