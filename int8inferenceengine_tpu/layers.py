@@ -92,6 +92,12 @@ class Layer:
         src = self._bound if self._bound is not None else self.params
         return src[name]
 
+    def _scale_w(self):
+        """Weight scale: per-channel lives in params (so it traces/shards),
+        per-tensor is a static Python float."""
+        src = self._bound if self._bound is not None else self.params
+        return src.get("w_scale", self.weight_scale)
+
     # -- lifecycle (reference: src/layer.cc:28-54) ---------------------------
     def prepare(self):
         if self.is_quantized:
@@ -156,14 +162,21 @@ class Linear(Layer):
             b, (self.out_channels,), "load_bias")
 
     def _quantize_weights(self):
-        q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
-            self.params["weight"], self.params["bias"])
+        per_channel = self.config.weight_per_channel
+        if per_channel:
+            q_w, q_b, s_w = quant_ops.quantize_weight_per_channel(
+                self.params["weight"], self.params["bias"], channel_axis=0)
+        else:
+            q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
+                self.params["weight"], self.params["bias"])
         self.weight_scale = s_w
         self.params = {
             "qw_kn": q_w.T,                                  # [K, N] for MXU
             "q_bias": q_b,                                    # [N] s8
             "rowsum": q_w.astype(jnp.int32).sum(axis=1),      # [N]
         }
+        if per_channel:
+            self.params["w_scale"] = jnp.asarray(s_w, jnp.float32)
 
     def __call__(self, x: Tensor) -> Tensor:
         if len(x.shape) != 2:
@@ -196,7 +209,7 @@ class Linear(Layer):
         out = qgemm(
             x.data, self._p("qw_kn"), oc,
             backend=self.config.kernel_backend,
-            scale_a=x.scale, zp_a=x.zero_point, scale_w=self.weight_scale,
+            scale_a=x.scale, zp_a=x.zero_point, scale_w=self._scale_w(),
             scale_c=self.scale, zp_c=self.zero_point, relu=self.fuse_relu)
         return Tensor(self._maybe_gather(out, 1), self.scale, self.zero_point)
 
@@ -238,14 +251,21 @@ class Conv2d(Layer):
             b, (self.out_channels,), "load_bias")
 
     def _quantize_weights(self):
-        q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
-            self.params["w_hwio"], self.params["bias"])
+        per_channel = self.config.weight_per_channel
+        if per_channel:
+            q_w, q_b, s_w = quant_ops.quantize_weight_per_channel(
+                self.params["w_hwio"], self.params["bias"], channel_axis=3)
+        else:
+            q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
+                self.params["w_hwio"], self.params["bias"])
         self.weight_scale = s_w
         self.params = {
             "qw_hwio": q_w,                                          # s8 HWIO
             "q_bias": q_b,                                            # [N] s8
             "rowsum": q_w.astype(jnp.int32).sum(axis=(0, 1, 2)),      # [N]
         }
+        if per_channel:
+            self.params["w_scale"] = jnp.asarray(s_w, jnp.float32)
 
     def __call__(self, x: Tensor) -> Tensor:
         if len(x.shape) != 4:
@@ -272,7 +292,7 @@ class Conv2d(Layer):
                             scale_a=x.scale, zp_a=x.zero_point,
                             recentered=True)
         kw = dict(scale_a=x.scale, zp_a=x.zero_point,
-                  scale_w=self.weight_scale, scale_c=self.scale,
+                  scale_w=self._scale_w(), scale_c=self.scale,
                   zp_c=self.zero_point, relu=self.fuse_relu)
         backend = self._conv_backend()
         qw_hwio = self._p("qw_hwio")
@@ -296,3 +316,52 @@ class Conv2d(Layer):
         if impl == "auto":
             return "xla_conv"
         return impl
+
+
+class QuantAdd(Layer):
+    """Calibrated elementwise add — the residual-connection primitive.
+
+    Not in the reference (its CNNs have no skip connections); required by
+    ResNet.  Follows the same PTQ lifecycle as compute layers: while
+    preparing, the FP32 sum's range is observed; after convert(), the two
+    quantized addends (each at its own (scale, zp)) are dequantized on the
+    VPU, summed, and requantized to this layer's calibrated output range —
+    the add's analogue of the conv/linear ``down_scale`` boundary.  XLA
+    fuses the whole thing into one elementwise kernel.
+    """
+
+    def __init__(self, config: QuantConfig = DEFAULT_CONFIG,
+                 fuse_relu: bool = False):
+        super().__init__(config)
+        self.fuse_relu = fuse_relu
+
+    def _quantize_weights(self):  # no weights to quantize
+        pass
+
+    @staticmethod
+    def _aligned(a: Tensor, b: Tensor):
+        """b's data in a's physical layout."""
+        if a._nhwc == b._nhwc:
+            return b.data
+        if a._nhwc:  # b is NCHW
+            return jnp.transpose(b.data, (0, 2, 3, 1))
+        return jnp.transpose(b.data, (0, 3, 1, 2))
+
+    def __call__(self, a: Tensor, b: Tensor) -> Tensor:
+        if a.quantized != b.quantized:
+            raise ValueError(
+                "QuantAdd: both inputs must be quantized or both float")
+        b_data = self._aligned(a, b)
+        if not a.quantized:
+            out = a.data + b_data
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out, _nhwc=a._nhwc)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point)
+        fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point)
+        q = quant_ops.quantize_u8(fa + fb, self.scale, self.zero_point)
+        if self.fuse_relu:
+            q = jnp.maximum(q, jnp.uint8(self.zero_point))
+        return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc)

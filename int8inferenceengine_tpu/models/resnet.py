@@ -1,0 +1,220 @@
+"""ResNet-18: the framework's stretch model family (SURVEY.md §7 step 6).
+
+Beyond the reference's model zoo (plain conv/pool/fc stacks): residual
+connections need a calibrated quantized add (layers.QuantAdd), BatchNorm
+must be folded into the preceding conv's weights at load time (PTQ-standard;
+the reference has no BN anywhere), and per-channel weight scales
+(``QuantConfig.weight_per_channel=True``, recommended here) recover the
+accuracy a single per-tensor scale loses on deep nets.
+
+``ResNet18.load`` accepts a torchvision-compatible ``state_dict`` (the key
+layout of ``torchvision.models.resnet18``): BN statistics are folded and the
+result is dispatched to this module's Conv2d/Linear layers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, QuantConfig
+from ..layers import Conv2d, Linear, QuantAdd
+from ..module import Module
+from ..ops import functional as F
+from ..tensor import _maybe_torch
+
+__all__ = ["ResNet18", "fold_bn", "fold_resnet_state_dict", "torch_resnet18"]
+
+
+def fold_bn(w_oihw, b, gamma, beta, mean, var, eps: float = 1e-5):
+    """Fold an inference-mode BatchNorm into the preceding conv.
+
+    y = gamma * (conv(x) + b - mean) / sqrt(var + eps) + beta
+      = conv(x; w * s) + ((b - mean) * s + beta),  s = gamma / sqrt(var+eps)
+    """
+    s = gamma / np.sqrt(var + eps)
+    w2 = w_oihw * s[:, None, None, None]
+    b2 = (b - mean) * s + beta
+    return np.float32(w2), np.float32(b2)
+
+
+def _bn_to_conv_key(bn_prefix: str) -> str:
+    """Map a BN module path to its preceding conv's path (torchvision
+    resnet layout): bn1 -> conv1, bn2 -> conv2, downsample.1 -> downsample.0."""
+    head, _, leaf = bn_prefix.rpartition(".")
+    if leaf.startswith("bn"):
+        conv_leaf = "conv" + leaf[2:]
+        return f"{head}.{conv_leaf}" if head else conv_leaf
+    if leaf == "1" and head.endswith("downsample"):
+        return f"{head}.0"
+    raise KeyError(f"cannot locate conv for BN module {bn_prefix!r}")
+
+
+def fold_resnet_state_dict(sd: dict) -> dict:
+    """torchvision-style state_dict -> flat {'name.weight'/'name.bias'} with
+    every BatchNorm folded into its conv."""
+    sd = {k: np.asarray(_maybe_torch(v)) for k, v in sd.items()}
+    bn_prefixes = sorted(
+        k[: -len(".running_mean")] for k in sd if k.endswith(".running_mean"))
+    out, consumed = {}, set()
+    for bn in bn_prefixes:
+        conv = _bn_to_conv_key(bn)
+        w = sd[f"{conv}.weight"]
+        b = sd.get(f"{conv}.bias", np.zeros(w.shape[0], np.float32))
+        w2, b2 = fold_bn(w, b, sd[f"{bn}.weight"], sd[f"{bn}.bias"],
+                         sd[f"{bn}.running_mean"], sd[f"{bn}.running_var"])
+        out[f"{conv}.weight"] = w2
+        out[f"{conv}.bias"] = b2
+        consumed.update({
+            f"{conv}.weight", f"{conv}.bias", f"{bn}.weight", f"{bn}.bias",
+            f"{bn}.running_mean", f"{bn}.running_var",
+            f"{bn}.num_batches_tracked",
+        })
+    for k, v in sd.items():
+        if k not in consumed and not k.endswith("num_batches_tracked"):
+            out[k] = v
+    return out
+
+
+class BasicBlock(Module):
+    def __init__(self, in_c: int, out_c: int, stride: int = 1,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.conv1 = Conv2d(in_c, out_c, 3, stride=stride, padding=1,
+                            config=config)
+        self.conv2 = Conv2d(out_c, out_c, 3, stride=1, padding=1,
+                            config=config)
+        if stride != 1 or in_c != out_c:
+            self.downsample = _Downsample(in_c, out_c, stride, config)
+        self.add = QuantAdd(config=config)
+
+    def forward(self, x):
+        identity = self.downsample(x) if hasattr(self, "downsample") else x
+        out = F.relu(self.conv1(x))
+        out = self.conv2(out)
+        return F.relu(self.add(out, identity))
+
+    def __call__(self, x):  # plain sub-module call, no quant wrapping
+        return self.forward(x)
+
+
+class _Downsample(Module):
+    """1x1 stride conv on the skip path (torchvision key: downsample.0)."""
+
+    def __init__(self, in_c, out_c, stride, config):
+        super().__init__(config)
+        setattr(self, "0", Conv2d(in_c, out_c, 1, stride=stride, padding=0,
+                                  config=config))
+
+    def forward(self, x):
+        return getattr(self, "0")(x)
+
+    def __call__(self, x):  # plain sub-module call, no quant wrapping
+        return self.forward(x)
+
+
+class _Stage(Module):
+    def __init__(self, in_c, out_c, stride, config):
+        super().__init__(config)
+        setattr(self, "0", BasicBlock(in_c, out_c, stride, config))
+        setattr(self, "1", BasicBlock(out_c, out_c, 1, config))
+
+    def forward(self, x):
+        return getattr(self, "1")(getattr(self, "0")(x))
+
+    def __call__(self, x):
+        return self.forward(x)
+
+
+class ResNet18(Module):
+    """torchvision-layout ResNet-18 (BasicBlock x [2,2,2,2])."""
+
+    INPUT_SHAPE = (3, 224, 224)
+
+    def __init__(self, num_classes: int = 10,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.conv1 = Conv2d(3, 64, 7, stride=2, padding=3, config=config)
+        self.layer1 = _Stage(64, 64, 1, config)
+        self.layer2 = _Stage(64, 128, 2, config)
+        self.layer3 = _Stage(128, 256, 2, config)
+        self.layer4 = _Stage(256, 512, 2, config)
+        self.fc = Linear(512, num_classes, config=config)
+
+    def load(self, state_dict):
+        keys = getattr(state_dict, "keys", lambda: [])()
+        if any(str(k).endswith(".running_mean") for k in keys):
+            state_dict = fold_resnet_state_dict(dict(state_dict))
+        super().load(state_dict)
+
+    def forward(self, x):
+        x = F.relu(self.conv1(x))
+        x = F.max_pool2d(x, kernel_size=3, stride=2, padding=1)
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        x = self.layer4(x)
+        x = F.adaptive_avg_pool2d_1x1(x)
+        x = x.reshape(-1, 512)
+        return self.fc(x)
+
+
+def torch_resnet18(num_classes: int = 10, seed: int = 42):
+    """torchvision-compatible ResNet-18 oracle in plain torch.nn.
+
+    Running BN statistics are populated by a train-mode forward on random
+    data so the state_dict carries non-trivial mean/var for the folding
+    differential test (no pretrained download in this environment).
+    """
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as tF
+
+    torch.manual_seed(seed)
+
+    class BasicBlockT(nn.Module):
+        def __init__(self, in_c, out_c, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(in_c, out_c, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(out_c)
+            self.conv2 = nn.Conv2d(out_c, out_c, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(out_c)
+            self.downsample = None
+            if stride != 1 or in_c != out_c:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(in_c, out_c, 1, stride, bias=False),
+                    nn.BatchNorm2d(out_c))
+
+        def forward(self, x):
+            idn = self.downsample(x) if self.downsample is not None else x
+            out = tF.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return tF.relu(out + idn)
+
+    class ResNet18T(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.layer1 = nn.Sequential(BasicBlockT(64, 64),
+                                        BasicBlockT(64, 64))
+            self.layer2 = nn.Sequential(BasicBlockT(64, 128, 2),
+                                        BasicBlockT(128, 128))
+            self.layer3 = nn.Sequential(BasicBlockT(128, 256, 2),
+                                        BasicBlockT(256, 256))
+            self.layer4 = nn.Sequential(BasicBlockT(256, 512, 2),
+                                        BasicBlockT(512, 512))
+            self.fc = nn.Linear(512, num_classes)
+
+        def forward(self, x):
+            x = tF.relu(self.bn1(self.conv1(x)))
+            x = tF.max_pool2d(x, 3, 2, padding=1)
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = tF.adaptive_avg_pool2d(x, (1, 1)).reshape(-1, 512)
+            return self.fc(x)
+
+    net = ResNet18T()
+    net.train()
+    with torch.no_grad():
+        net(torch.randn(4, 3, 64, 64))  # populate running stats
+    net.eval()
+    return net

@@ -124,11 +124,17 @@ class LeNet(Module):
         return self.fc2(x)
 
 
+def _resnet18(**kw):
+    from .resnet import ResNet18
+    return ResNet18(**kw)
+
+
 MODEL_SPECS = {
     "fc_mnist": FCMnist,
     "simple_conv": SimpleConv,
     "alexnet": AlexNet,
     "lenet": LeNet,
+    "resnet18": _resnet18,
 }
 
 
@@ -203,6 +209,10 @@ def torch_twin(name: str, seed: int = 42):
                 x = tF.relu(self.fc1(x))
                 x = tF.relu(self.fc2(x))
                 return self.fc3(x)
+
+    elif name == "resnet18":
+        from .resnet import torch_resnet18
+        return torch_resnet18(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

@@ -31,21 +31,54 @@ def relu(x: Tensor) -> Tensor:
     return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
 
 
-def max_pool2d(x: Tensor, kernel_size: int, stride: int) -> Tensor:
-    """NCHW-semantics window max (VALID, square window), any layout."""
+def max_pool2d(x: Tensor, kernel_size: int, stride: int,
+               padding: int = 0) -> Tensor:
+    """NCHW-semantics window max (square window), any layout.
+
+    ``padding`` (a ResNet-era extension; the reference pool is VALID-only,
+    functional.cc:28-64) pads with the reduction identity, so padded taps
+    never win the max.
+    """
     if x._nhwc:
         window = (1, kernel_size, kernel_size, 1)
         strides = (1, stride, stride, 1)
+        pads = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
     else:
         window = (1, 1, kernel_size, kernel_size)
         strides = (1, 1, stride, stride)
+        pads = [(0, 0), (0, 0), (padding, padding), (padding, padding)]
     if x.quantized:
         init = jnp.uint8(0)            # reference: min<u8_t>() == 0
     elif jnp.issubdtype(x.data.dtype, jnp.floating):
         init = jnp.array(-jnp.inf, x.data.dtype)
     else:
         init = jnp.array(jnp.iinfo(x.data.dtype).min, x.data.dtype)
-    out = lax.reduce_window(x.data, init, lax.max, window, strides, "VALID")
+    out = lax.reduce_window(x.data, init, lax.max, window, strides, pads)
+    return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
+
+
+def avg_pool2d(x: Tensor, kernel_size: int, stride: int) -> Tensor:
+    """Window mean. For quantized tensors the mean happens on the raw u8
+    codes (affine-invariant: mean(x) = (mean(q) - zp)*s) and truncates back
+    to u8 at the same (scale, zp)."""
+    if x._nhwc:
+        window = (1, kernel_size, kernel_size, 1)
+        strides = (1, stride, stride, 1)
+    else:
+        window = (1, 1, kernel_size, kernel_size)
+        strides = (1, 1, stride, stride)
+    acc = lax.reduce_window(
+        x.data.astype(jnp.float32), jnp.float32(0), lax.add, window, strides,
+        "VALID") / float(kernel_size * kernel_size)
+    out = acc.astype(x.data.dtype) if x.quantized else acc.astype(x.data.dtype)
+    return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
+
+
+def adaptive_avg_pool2d_1x1(x: Tensor) -> Tensor:
+    """Global average pool to 1x1 (ResNet head)."""
+    axes = (1, 2) if x._nhwc else (2, 3)
+    acc = jnp.mean(x.data.astype(jnp.float32), axis=axes, keepdims=True)
+    out = acc.astype(x.data.dtype)
     return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
 
 

@@ -75,9 +75,15 @@ def compute_offset(q_bias: jnp.ndarray, rowsum_w: jnp.ndarray,
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _qgemm_kernel(a_ref, w_ref, oc_ref, out_ref, acc_ref, *,
-                  mult: float, zp_c: int, relu: bool, n_k: int):
-    """One (TM, TN) output tile; grid dim 2 iterates K tiles."""
+def _qgemm_kernel(a_ref, w_ref, oc_ref, mult_ref, out_ref, acc_ref, *,
+                  zp_c: int, relu: bool, n_k: int):
+    """One (TM, TN) output tile; grid dim 2 iterates K tiles.
+
+    ``mult_ref`` is the per-output-channel requant multiplier
+    ``s_a * s_w[n] / s_c`` as a [1, TN] f32 row — an input rather than a
+    static constant so per-channel weight scales work and one compiled
+    kernel serves every layer of a given shape.
+    """
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -95,7 +101,7 @@ def _qgemm_kernel(a_ref, w_ref, oc_ref, out_ref, acc_ref, *,
     @pl.when(k == n_k - 1)
     def _():
         c = acc_ref[:] + oc_ref[:]
-        q = c.astype(jnp.float32) * jnp.float32(mult) + jnp.float32(zp_c)
+        q = c.astype(jnp.float32) * mult_ref[:] + jnp.float32(zp_c)
         q = jnp.clip(q, 0.0, 255.0)
         qi = q.astype(jnp.int32)           # rounds toward zero, like C++
         if relu:
@@ -103,22 +109,22 @@ def _qgemm_kernel(a_ref, w_ref, oc_ref, out_ref, acc_ref, *,
         out_ref[:] = pltpu.bitcast((qi - 128).astype(jnp.int8), jnp.uint8) ^ jnp.uint8(0x80)
 
 
+def _as_mult_vector(scale_a, scale_w, scale_c, n: int) -> jnp.ndarray:
+    """Requant multiplier ``s_a * s_w / s_c`` as an f32 [N] vector.
+
+    ``scale_w`` may be a python float (per-tensor, reference semantics) or an
+    [N] array (per-channel extension).
+    """
+    mult = jnp.asarray(scale_w, jnp.float32) * (
+        jnp.float32(scale_a) / jnp.float32(scale_c))
+    return jnp.broadcast_to(mult, (n,))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("scale_a", "zp_a", "scale_w", "scale_c", "zp_c", "relu"),
+    static_argnames=("zp_c", "relu"),
 )
-def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
-                 relu=False):
-    """u8[M,K] x s8[K,N] (+oc[N]) -> u8[M,N] requantized to (scale_c, zp_c).
-
-    ``w_s8_kn`` is the weight stored [K, N] (transposed once at convert
-    time); ``oc`` must already contain the +128*rowsum recentering term
-    (``compute_offset(..., recentered=True)``).
-
-    Padding contract: K-padding rows of ``w_s8_kn`` must be zero (so garbage
-    activation padding contributes nothing); M/N are padded here and sliced
-    on return.
-    """
+def _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, *, zp_c, relu):
     m, k = a_u8.shape
     k2, n = w_s8_kn.shape
     assert k == k2, (a_u8.shape, w_s8_kn.shape)
@@ -130,7 +136,9 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
         w_s8_kn = jnp.pad(w_s8_kn, ((0, k_p - k), (0, n_p - n)))
     if n_p != n:
         oc = jnp.pad(oc, (0, n_p - n))
+        mult = jnp.pad(mult, (0, n_p - n))
     oc2d = oc.reshape(1, n_p)
+    mult2d = mult.reshape(1, n_p)
 
     tm = _pick_tile(m_p)
     tn = _pick_tile(n_p)
@@ -139,9 +147,7 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
 
     grid = (m_p // tm, n_p // tn, n_k)
     kernel = functools.partial(
-        _qgemm_kernel,
-        mult=float(scale_a) * float(scale_w) / float(scale_c),
-        zp_c=int(zp_c), relu=relu, n_k=n_k,
+        _qgemm_kernel, zp_c=int(zp_c), relu=relu, n_k=n_k,
     )
     out = pl.pallas_call(
         kernel,
@@ -149,6 +155,7 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
@@ -162,10 +169,28 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
             bytes_accessed=m_p * k_p + k_p * n_p + m_p * n_p,
             transcendentals=0,
         ),
-    )(a_u8, w_s8_kn, oc2d)
+    )(a_u8, w_s8_kn, oc2d, mult2d)
     if (m_p, n_p) != (m, n):
         out = out[:m, :n]
     return out
+
+
+def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
+                 relu=False):
+    """u8[M,K] x s8[K,N] (+oc[N]) -> u8[M,N] requantized to (scale_c, zp_c).
+
+    ``w_s8_kn`` is the weight stored [K, N] (transposed once at convert
+    time); ``oc`` must already contain the +128*rowsum recentering term
+    (``compute_offset(..., recentered=True)``).  ``scale_w`` may be a float
+    (per-tensor) or an [N] array (per-channel).
+
+    Padding contract: K-padding rows of ``w_s8_kn`` must be zero (so garbage
+    activation padding contributes nothing); M/N are padded here and sliced
+    on return.
+    """
+    mult = _as_mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
+    return _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, zp_c=int(zp_c),
+                              relu=relu)
 
 
 # ---------------------------------------------------------------------------
@@ -186,8 +211,8 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
         preferred_element_type=jnp.int32,
     )
     c = acc + oc.reshape(1, -1)
-    mult = float(scale_a) * float(scale_w) / float(scale_c)
-    q = c.astype(jnp.float32) * jnp.float32(mult) + jnp.float32(zp_c)
+    mult = _as_mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
+    q = c.astype(jnp.float32) * mult.reshape(1, -1) + jnp.float32(zp_c)
     q = jnp.clip(q, 0.0, 255.0)
     qi = q.astype(jnp.int32)
     if relu:

@@ -59,9 +59,11 @@ def down_scale(
     """Fused requantization epilogue: s32 accum -> u8 at the consumer scale.
 
     ``u8 = trunc(clip(acc * s_a * s_w / s_c + zp_c, 0, 255))``
-    (quantize_utils.cc:27-36).
+    (quantize_utils.cc:27-36).  ``scale_w`` may be a float (per-tensor) or an
+    [N] array (per-channel) broadcasting over the trailing channel axis.
     """
-    deq = acc.astype(jnp.float32) * jnp.float32(scale_a) * jnp.float32(scale_w)
+    s_w = jnp.asarray(scale_w, jnp.float32)
+    deq = acc.astype(jnp.float32) * jnp.float32(scale_a) * s_w
     q = deq / jnp.float32(scale_c) + jnp.float32(zp_c)
     q = jnp.clip(q, 0.0, 255.0)
     return q.astype(jnp.uint8)

@@ -28,13 +28,15 @@ from ..layers import Conv2d, Layer, Linear
 def layer_param_specs(layer: Layer, model_axis: str, model_size: int) -> dict:
     """PartitionSpec per param array; None-spec (replicated) when the layer
     can't shard evenly over the model axis."""
-    shardable = (layer.out_channels % model_size == 0) and model_size > 1
+    out_channels = getattr(layer, "out_channels", 0)  # weightless layers
+    shardable = (out_channels > 0 and out_channels % model_size == 0
+                 and model_size > 1)
     layer._tp_sharded = shardable
     if not shardable:
         return {k: P() for k in layer.params}
     specs = {}
     for k, v in layer.params.items():
-        if k in ("q_bias", "bias", "rowsum"):
+        if k in ("q_bias", "bias", "rowsum", "w_scale"):
             specs[k] = P(model_axis)
         elif k == "qw_kn":                 # [K, N]
             specs[k] = P(None, model_axis)
