@@ -1,13 +1,23 @@
 """Headline benchmark: AlexNet/CIFAR10-224 INT8 inference throughput.
 
-Reproduces the reference's headline workload (README.md:26-41: 10,000
-224x224 images through AlexNet, batched) on one TPU chip and reports
-images/s. Baseline: the reference engine's best INT8 number, 10,000 images
-in 36.6 s on an i9-9900K = 273.2 img/s (BASELINE.md).
+Reproduces the reference's headline workload (README.md:26-41: 224x224
+images through AlexNet, batched) on one TPU chip and reports images/s.
+Baseline: the reference engine's best INT8 number, 10,000 images in 36.6 s
+on an i9-9900K = 273.2 img/s (BASELINE.md).
+
+Methodology (important on this host): the TPU is reached through a lazy
+remote platform — ``block_until_ready`` does NOT force execution, and
+repeated dispatches with identical arguments can be elided entirely, so
+naive timing loops report fantasy numbers.  We therefore (a) chain K
+forwards inside ONE jitted ``lax.scan`` (each step's input depends on the
+previous step's output — nothing can be skipped or reordered), (b) return
+only a scalar reduction and force execution by fetching those 4 bytes, and
+(c) measure at two scan lengths and use the difference, cancelling the
+fixed dispatch/RPC overhead.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
-Extra detail (FP32 throughput, per-batch latency) goes to stderr.
+Extra detail (FP32 throughput, INT8 speedup) goes to stderr.
 """
 
 import json
@@ -17,60 +27,92 @@ import time
 import numpy as np
 
 BASELINE_IMG_S = 10_000 / 36.6  # reference engine INT8, batch 100 (README.md:40)
+BATCH = 256
+K_SHORT, K_LONG = 2, 10
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def measure(model, x0, tag):
+    """Per-batch device time via chained-scan delta timing."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from int8inferenceengine_tpu.tensor import Tensor
+
+    def fwd(params, data):
+        model._bind(params)
+        try:
+            return model._run(Tensor(data)).logical_data
+        finally:
+            model._bind(None)
+
+    params = model._gather_params()
+
+    def make_loop(k):
+        @jax.jit
+        def loop(params, x):
+            def body(carry, _):
+                out = fwd(params, carry)
+                nxt = carry + 1e-12 * jnp.sum(out.astype(jnp.float32))
+                return nxt, ()
+            final, _ = lax.scan(body, x, None, length=k)
+            return jnp.sum(final)
+        return loop
+
+    times = {}
+    for k in (K_SHORT, K_LONG):
+        loop = make_loop(k)
+        float(loop(params, x0))                      # compile + first run
+        best = float("inf")
+        for trial in range(2):
+            x = x0 * (1.0 + 1e-6 * (trial + 1))      # defeat arg-result caches
+            t0 = time.perf_counter()
+            float(loop(params, x))                   # scalar fetch forces exec
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+        log(f"  {tag} K={k}: {best*1e3:.1f} ms total")
+
+    per_batch = (times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT)
+    img_s = BATCH / per_batch
+    log(f"{tag}: {per_batch*1e3:.2f} ms/batch @ {BATCH} -> {img_s:.0f} img/s")
+    return img_s
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the big jitted-scan programs compile once per
+    # machine, then every later bench run (and the driver's) is warm.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     sys.path.insert(0, "/root/repo")
-    import int8inferenceengine_tpu as q
     from int8inferenceengine_tpu import models
-    from __graft_entry__ import _calibrated
+    from __graft_entry__ import _calibrated, _load_random_weights
 
     log("backend:", jax.default_backend(), jax.devices())
 
-    batch = 256
-    n_images = 10_000
-    n_batches = (n_images + batch - 1) // batch
+    x0 = jax.device_put(jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (BATCH, 3, 224, 224)).astype(np.float32)))
 
-    model = _calibrated(models.build("alexnet"), models.AlexNet.INPUT_SHAPE)
+    m_int8 = _calibrated(models.build("alexnet"), models.AlexNet.INPUT_SHAPE)
+    int8_img_s = measure(m_int8, x0, "INT8")
 
-    rng = np.random.default_rng(0)
-    x_host = rng.uniform(-1, 1, (batch, 3, 224, 224)).astype(np.float32)
-    x = jax.device_put(jnp.asarray(x_host))
+    m_fp32 = models.build("alexnet")
+    _load_random_weights(m_fp32)
+    fp32_img_s = measure(m_fp32, x0, "FP32")
 
-    def step(data):
-        return model(q.Tensor(data)).data
-
-    # Warm up / compile.
-    out = step(x)
-    out.block_until_ready()
-    log("compiled; output shape", out.shape)
-
-    # Timed: n_batches dispatches of the same device-resident batch
-    # (the reference times pure inference over pre-loaded batches,
-    # AlexNet notebook cell 5).
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        out = step(x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    imgs = n_batches * batch
-    img_s = imgs / dt
-    log(f"INT8: {imgs} images in {dt:.3f}s -> {img_s:.1f} img/s "
-        f"({dt / n_batches * 1e3:.2f} ms/batch @ batch={batch})")
+    log(f"INT8 speedup over FP32 (same chip): {int8_img_s / fp32_img_s:.2f}x")
 
     print(json.dumps({
         "metric": "alexnet_cifar10_224_int8_throughput_1chip",
-        "value": round(img_s, 1),
+        "value": round(int8_img_s, 1),
         "unit": "images/s",
-        "vs_baseline": round(img_s / BASELINE_IMG_S, 2),
+        "vs_baseline": round(int8_img_s / BASELINE_IMG_S, 2),
     }))
 
 

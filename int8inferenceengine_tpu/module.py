@@ -46,6 +46,7 @@ class Module:
         self.is_quant = False
         self.config = config
         self._jit_fn = None
+        self._jit_q_cache = {}   # jitted forwards for pre-quantized inputs
         self._calib_fn = None
         self._calib_meta = {}
         self._mesh = None
@@ -83,11 +84,13 @@ class Module:
             else:
                 raise KeyError(f"unrecognized state_dict key: {key}")
         self._jit_fn = None
+        self._jit_q_cache = {}
 
     def prepare(self):
         for _, layer in self.named_layers():
             layer.prepare()
         self._jit_fn = None
+        self._jit_q_cache = {}
         self._calib_fn = None
         self._calib_meta = {}
 
@@ -96,6 +99,7 @@ class Module:
             layer.convert()
         self.is_quant = True
         self._jit_fn = None
+        self._jit_q_cache = {}
 
     # -- execution -------------------------------------------------------------
     def forward(self, x: Tensor) -> Tensor:  # overridden by the user
@@ -103,8 +107,13 @@ class Module:
 
     def _run(self, t: Tensor) -> Tensor:
         if self.is_quant:
-            t = F.quantize(t, self.config.input_scale,
-                           self.config.input_zero_point)
+            if not t.quantized:
+                # Reference behavior: quantize at the configured input
+                # (scale, zp) (i8ie/module.py:20).  Already-quantized input
+                # (e.g. DataLoader host-side u8 ingest) passes through at its
+                # own scale.
+                t = F.quantize(t, self.config.input_scale,
+                               self.config.input_zero_point)
         out = self.forward(t)
         if self.is_quant:
             out = F.dequantize(out)
@@ -123,6 +132,8 @@ class Module:
     def __call__(self, x):
         t = x if isinstance(x, Tensor) else Tensor(jnp.asarray(
             _maybe_torch(x), dtype=jnp.float32))
+        if t.quantized and not self._preparing():
+            return self._call_quantized(t)
         if self._preparing():
             if self.config.calib_exact_minmax:
                 return self._calibrate_jit(t)
@@ -145,6 +156,31 @@ class Module:
                 self._jit_fn = jax.jit(_fwd)
         out = self._jit_fn(self._gather_params(), t.data)
         return Tensor(out)
+
+    def _call_quantized(self, t: Tensor) -> Tensor:
+        """Forward for a pre-quantized u8 input (DataLoader host-side
+        ingest): skips the Module's input quantization and runs at the
+        tensor's own (scale, zp), which specializes the trace."""
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "quantized-input fast path is not wired through shard_map "
+                "yet; feed float input to a sharded module")
+        key = (round(t.scale, 12), t.zero_point)
+        fn = self._jit_q_cache.get(key)
+        if fn is None:
+            scale, zp = t.scale, t.zero_point
+
+            def _fwd_q(params, data):
+                self._bind(params)
+                try:
+                    out = self._run(Tensor(data, scale, zp))
+                    return out.logical_data
+                finally:
+                    self._bind(None)
+
+            fn = jax.jit(_fwd_q)
+            self._jit_q_cache[key] = fn
+        return Tensor(fn(self._gather_params(), t.data))
 
     def _calibrate_jit(self, t: Tensor) -> Tensor:
         """Calibration forward as ONE jitted XLA program.

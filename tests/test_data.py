@@ -90,3 +90,24 @@ def test_end_to_end_model_loop():
         out = mm(batch)
         correct += (q.argmax(out, 1) == q.tensor(np.float32(lab))).sum()
     assert correct >= 0.75 * len(x)
+
+
+def test_quantized_ingest_feeds_module_call():
+    """Pre-quantized u8 loader batches go straight through Module.__call__."""
+    tm = models.torch_twin("lenet")
+    mm = models.build("lenet")
+    mm.load(tm.state_dict())
+    mm.prepare()
+    mm(q.tensor(np.random.uniform(-1, 1, (16, 1, 28, 28)).astype(np.float32)))
+    mm.convert()
+
+    x = np.random.uniform(-1, 1, (8, 1, 28, 28)).astype(np.float32)
+    cfg = mm.config
+    base = mm(q.tensor(x)).numpy()   # float path (quantizes at cfg scale)
+
+    dl = DataLoader(x, batch_size=8,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    assert batch.quantized
+    out = mm(batch).numpy()
+    np.testing.assert_array_equal(out, base)
