@@ -50,6 +50,43 @@ def conv2d_fp32(x_nhwc, w_hwio, bias, stride: int, padding: int,
     return out + bias.reshape(1, 1, 1, -1)
 
 
+def _space_to_depth(x, w_hwio, stride: int, pad_value: int):
+    """Rewrite a stride-s VALID conv as a stride-1 conv on s*s*C channels.
+
+    A strided conv with a small input-channel count (AlexNet conv1: C=3)
+    starves the MXU's 128-deep contraction.  Folding each s x s block of
+    pixels into the channel dim gives the compiler a k'=ceil(k/s) stride-1
+    conv over s*s*C channels — identical arithmetic (weights are zero-padded
+    into the same block layout), far better MXU tiling.
+
+    out[p] = sum_d x[s*p+d] w[d] with d = s*b+r becomes
+    out[p] = sum_b sum_r X[p+b, (r, c)] w'[b, (r, c)] where X is the
+    space-to-depth input; x positions beyond the original read range only
+    ever meet zero weight taps, so edge slicing/padding cannot change the
+    result.
+    """
+    n, h, w, c = x.shape
+    kh, kw, _, o = w_hwio.shape
+    s = stride
+    kp_h, kp_w = -(-kh // s), -(-kw // s)
+    oh = (h - kh) // s + 1
+    ow = (w - kw) // s + 1
+    hp, wp = s * (oh + kp_h - 1), s * (ow + kp_w - 1)
+    # slice-or-pad each spatial dim to exactly (hp, wp)
+    x = x[:, :hp, :wp, :]
+    if hp > x.shape[1] or wp > x.shape[2]:
+        x = jnp.pad(x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2]),
+                        (0, 0)), constant_values=pad_value)
+    xb = x.reshape(n, hp // s, s, wp // s, s, c)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // s, wp // s,
+                                                s * s * c)
+    wpad = jnp.pad(w_hwio, ((0, kp_h * s - kh), (0, kp_w * s - kw),
+                            (0, 0), (0, 0)))
+    wb = wpad.reshape(kp_h, s, kp_w, s, c, o)
+    wb = wb.transpose(0, 2, 1, 3, 4, 5).reshape(kp_h, kp_w, s * s * c, o)
+    return xb, wb
+
+
 def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
                     scale_a, zp_a, scale_w, scale_c, zp_c, relu=False):
     """Quantized conv via XLA's native integer convolution.
@@ -58,12 +95,17 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
     (gemm_int8.compute_offset(..., recentered=True)).
     """
     x = (x_u8_nhwc.astype(jnp.int32) - 128).astype(jnp.int8)
+    pad_value = int(zp_a) - 128
     if padding:
         x = jnp.pad(
             x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
-            constant_values=int(zp_a) - 128)
+            constant_values=pad_value)
+    w = qw_hwio
+    if stride > 1 and x.shape[-1] < 32:
+        x, w = _space_to_depth(x, w, stride, pad_value)
+        stride = 1
     acc = lax.conv_general_dilated(
-        x, qw_hwio,
+        x, w,
         window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -82,7 +82,10 @@ def _qgemm_kernel(a_ref, w_ref, oc_ref, mult_ref, out_ref, acc_ref, *,
     ``mult_ref`` is the per-output-channel requant multiplier
     ``s_a * s_w[n] / s_c`` as a [1, TN] f32 row — an input rather than a
     static constant so per-channel weight scales work and one compiled
-    kernel serves every layer of a given shape.
+    kernel serves every layer of a given shape.  The fused single multiply
+    keeps qgemm_pallas and qgemm_xla bit-identical (one rounding), at the
+    cost of an occasional off-by-one code vs down_scale's two-step float
+    order on exact truncation boundaries.
     """
     k = pl.program_id(2)
 
@@ -109,14 +112,14 @@ def _qgemm_kernel(a_ref, w_ref, oc_ref, mult_ref, out_ref, acc_ref, *,
         out_ref[:] = pltpu.bitcast((qi - 128).astype(jnp.int8), jnp.uint8) ^ jnp.uint8(0x80)
 
 
-def _as_mult_vector(scale_a, scale_w, scale_c, n: int) -> jnp.ndarray:
+def _mult_vector(scale_a, scale_w, scale_c, n: int) -> jnp.ndarray:
     """Requant multiplier ``s_a * s_w / s_c`` as an f32 [N] vector.
 
     ``scale_w`` may be a python float (per-tensor, reference semantics) or an
     [N] array (per-channel extension).
     """
-    mult = jnp.asarray(scale_w, jnp.float32) * (
-        jnp.float32(scale_a) / jnp.float32(scale_c))
+    mult = (jnp.float32(scale_a) * jnp.asarray(scale_w, jnp.float32)
+            / jnp.float32(scale_c))
     return jnp.broadcast_to(mult, (n,))
 
 
@@ -188,7 +191,7 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
     activation padding contributes nothing); M/N are padded here and sliced
     on return.
     """
-    mult = _as_mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
+    mult = _mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
     return _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, zp_c=int(zp_c),
                               relu=relu)
 
@@ -211,7 +214,7 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
         preferred_element_type=jnp.int32,
     )
     c = acc + oc.reshape(1, -1)
-    mult = _as_mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
+    mult = _mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
     q = c.astype(jnp.float32) * mult.reshape(1, -1) + jnp.float32(zp_c)
     q = jnp.clip(q, 0.0, 255.0)
     qi = q.astype(jnp.int32)
