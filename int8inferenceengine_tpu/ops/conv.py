@@ -88,11 +88,15 @@ def _space_to_depth(x, w_hwio, stride: int, pad_value: int):
 
 
 def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
-                    scale_a, zp_a, scale_w, scale_c, zp_c, relu=False):
-    """Quantized conv via XLA's native integer convolution.
+                    scale_a, zp_a, scale_w, scale_c, zp_c, relu=False,
+                    backend: str = "xla"):
+    """Quantized conv: recenter -> zp-pad -> (space-to-depth) -> conv.
 
     ``oc`` must include the +128*rowsum recentering term
-    (gemm_int8.compute_offset(..., recentered=True)).
+    (gemm_int8.compute_offset(..., recentered=True)).  ``backend='pallas'``
+    routes stride-1 convolutions (including strided ones rewritten by
+    space-to-depth) to the Pallas direct conv kernel (conv_pallas.py); the
+    default is XLA's native integer convolution.
     """
     x = (x_u8_nhwc.astype(jnp.int32) - 128).astype(jnp.int8)
     pad_value = int(zp_a) - 128
@@ -104,6 +108,11 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
     if stride > 1 and x.shape[-1] < 32:
         x, w = _space_to_depth(x, w, stride, pad_value)
         stride = 1
+    if backend == "pallas" and stride == 1:
+        from .conv_pallas import conv2d_int8_pallas
+        from .gemm_int8 import _mult_vector
+        mult = _mult_vector(scale_a, scale_w, scale_c, w.shape[-1])
+        return conv2d_int8_pallas(x, w, oc, mult, zp_c=int(zp_c), relu=relu)
     acc = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),

@@ -104,3 +104,22 @@ def test_shutdown_rejects_new_work():
     import pytest
     with pytest.raises(RuntimeError, match="shut down"):
         engine.submit(_rand((1, 1, 28, 28)))
+
+
+def test_engine_over_sharded_model():
+    """Continuous batching in front of a mesh-sharded quantized model."""
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+    mm = _calibrated()
+    x = _rand((8, 1, 28, 28))
+    base = None
+    engine = InferenceEngine(mm, max_batch=16)
+    try:
+        base = engine.infer(x)
+    finally:
+        engine.shutdown()
+    mm.shard(make_mesh((2, 4)))
+    engine = InferenceEngine(mm, max_batch=16)
+    try:
+        np.testing.assert_array_equal(engine.infer(x), base)
+    finally:
+        engine.shutdown()
