@@ -108,6 +108,13 @@ def main():
 
     log(f"INT8 speedup over FP32 (same chip): {int8_img_s / fp32_img_s:.2f}x")
 
+    from int8inferenceengine_tpu.utils import roofline
+    rl = roofline.report(m_int8, models.AlexNet.INPUT_SHAPE, BATCH,
+                         measured_s=BATCH / int8_img_s)
+    log(f"roofline: {rl['total_flops']/1e9:.1f} GOP/batch, achieved "
+        f"{rl['achieved_ops']/1e12:.1f} TOP/s = {rl['percent_of_peak']:.1f}% "
+        f"of int8 peak ({rl['percent_of_sol']:.0f}% of speed-of-light)")
+
     print(json.dumps({
         "metric": "alexnet_cifar10_224_int8_throughput_1chip",
         "value": round(int8_img_s, 1),

@@ -48,6 +48,17 @@ from .tensor import Tensor, _maybe_torch
 _CALIB_SINK: contextvars.ContextVar[list | None] = contextvars.ContextVar(
     "i8ie_calib_sink", default=None)
 
+# Cost sink (utils.roofline): when set, layers append (layer, flops, bytes)
+# records as the forward is traced — the basis for %-of-peak reporting.
+_COST_SINK: contextvars.ContextVar[list | None] = contextvars.ContextVar(
+    "i8ie_cost_sink", default=None)
+
+
+def _record_cost(layer, flops: int, nbytes: int) -> None:
+    sink = _COST_SINK.get()
+    if sink is not None:
+        sink.append((layer, int(flops), int(nbytes)))
+
 
 class Layer:
     """Base layer: weight storage, calibration state, PTQ lifecycle."""
@@ -198,6 +209,10 @@ class Linear(Layer):
         )
         if self.is_preparing:
             self._observe(out)
+        _record_cost(self, 2 * out.shape[0] * self.in_channels
+                     * self.out_channels,
+                     4 * (x.data.size + out.size
+                          + self.in_channels * self.out_channels))
         return Tensor(self._maybe_gather(out, 1))
 
     def _forward_int8(self, x: Tensor) -> Tensor:
@@ -211,6 +226,10 @@ class Linear(Layer):
             backend=self.config.kernel_backend,
             scale_a=x.scale, zp_a=x.zero_point, scale_w=self._scale_w(),
             scale_c=self.scale, zp_c=self.zero_point, relu=self.fuse_relu)
+        _record_cost(self, 2 * out.shape[0] * self.in_channels
+                     * self.out_channels,
+                     x.data.size + out.size
+                     + self.in_channels * self.out_channels)
         return Tensor(self._maybe_gather(out, 1), self.scale, self.zero_point)
 
 
@@ -283,6 +302,10 @@ class Conv2d(Layer):
             self.stride, self.padding)
         if self.is_preparing:
             self._observe(out)
+        _record_cost(self, 2 * out.size * self.in_channels
+                     * self.kernel_size ** 2,
+                     4 * (x.data.size + out.size
+                          + self._p("w_hwio").size))
         return Tensor(self._maybe_gather(out, 3), _nhwc=True)
 
     def _forward_int8(self, x: Tensor) -> Tensor:
@@ -308,6 +331,11 @@ class Conv2d(Layer):
                 x.as_nhwc_data(), qw_kn, oc,
                 kh=k, kw=k, stride=self.stride, padding=self.padding,
                 backend=self.config.kernel_backend, **kw)
+        _record_cost(self, 2 * out.size * self.in_channels
+                     * self.kernel_size ** 2,
+                     x.data.size + out.size
+                     + self.in_channels * self.out_channels
+                     * self.kernel_size ** 2)
         return Tensor(self._maybe_gather(out, 3), self.scale,
                       self.zero_point, _nhwc=True)
 

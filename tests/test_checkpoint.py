@@ -93,3 +93,21 @@ def test_log_report_json_lines():
     utils.log_quantization_report(mm, stream=buf)
     lines = [json.loads(l) for l in buf.getvalue().splitlines()]
     assert len(lines) == 1 and lines[0]["layer"] == "fc1"
+
+
+def test_roofline_collect():
+    from int8inferenceengine_tpu.utils import roofline
+    mm, _ = _calibrated("lenet", batch=4)
+    rep = roofline.collect(mm, (1, 28, 28), batch=8)
+    # LeNet conv1: 2*8*24*24*20*(1*5*5) ; conv2: 2*8*8*8*50*(20*5*5)
+    want_c1 = 2 * 8 * 24 * 24 * 20 * 25
+    want_c2 = 2 * 8 * 8 * 8 * 50 * 20 * 25
+    assert rep["per_layer"]["conv1"]["flops"] == want_c1
+    assert rep["per_layer"]["conv2"]["flops"] == want_c2
+    assert rep["per_layer"]["fc1"]["flops"] == 2 * 8 * 800 * 500
+    assert rep["total_flops"] > 0 and rep["total_bytes"] > 0
+
+    full = roofline.report(mm, (1, 28, 28), batch=8, measured_s=1e-3)
+    assert full["precision"] == "int8"
+    assert 0 < full["percent_of_peak"] < 100
+    assert full["sol_compute_s"] > 0
