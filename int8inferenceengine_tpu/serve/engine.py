@@ -66,16 +66,21 @@ class InferenceEngine:
     """
 
     def __init__(self, model, max_batch: int = 256,
-                 batch_timeout_s: float = 0.002):
+                 batch_timeout_s: float = 0.002, max_inflight: int = 2):
         self.model = model
         self.max_batch = int(max_batch)
         self.batch_timeout_s = float(batch_timeout_s)
         self.stats = EngineStats()
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._pending: _Request | None = None  # overflow carry between steps
+        # Dispatched-but-unmaterialized steps; bounded so the scheduler can
+        # batch ahead of the device without running away.
+        self._done: queue.Queue = queue.Queue(maxsize=max_inflight)
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._collector = threading.Thread(target=self._collect, daemon=True)
         self._thread.start()
+        self._collector.start()
 
     # -- client API ----------------------------------------------------------
     def submit(self, x) -> Future:
@@ -101,6 +106,10 @@ class InferenceEngine:
         self._queue.put(None)
         if wait:
             self._thread.join()
+            self._done.put(None)
+            self._collector.join()
+        else:
+            self._done.put(None)
 
     # -- scheduler -----------------------------------------------------------
     def _take_batch(self) -> list[_Request] | None:
@@ -131,6 +140,9 @@ class InferenceEngine:
             rows += req.n
 
     def _loop(self) -> None:
+        """Scheduler: coalesce -> pad -> dispatch.  Materialization happens
+        in the collector thread, so the next batch is being assembled and
+        dispatched while the device executes the current one."""
         while True:
             reqs = self._take_batch()
             if reqs is None:
@@ -138,25 +150,39 @@ class InferenceEngine:
             if not reqs:
                 continue
             try:
-                self._step(reqs)
+                self._dispatch(reqs)
             except Exception as e:  # propagate to all waiters
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
 
-    def _step(self, reqs: list[_Request]) -> None:
+    def _dispatch(self, reqs: list[_Request]) -> None:
         rows = sum(r.n for r in reqs)
         batch = np.concatenate([r.data for r in reqs], axis=0)
         pad = self.max_batch - rows
         if pad:
             batch = np.concatenate(
                 [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
-        out = self.model(Tensor(jnp.asarray(batch)))
-        result = out.numpy()
+        out = self.model(Tensor(jnp.asarray(batch)))  # async dispatch
         self.stats.steps += 1
         self.stats.images += rows
         self.stats.padded_rows += pad
-        off = 0
-        for r in reqs:
-            r.future.set_result(result[off:off + r.n])
-            off += r.n
+        self._done.put((reqs, out))   # bounded: applies backpressure
+
+    def _collect(self) -> None:
+        while True:
+            item = self._done.get()
+            if item is None:
+                return
+            reqs, out = item
+            try:
+                result = out.numpy()   # blocks on the device
+            except Exception as e:
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                continue
+            off = 0
+            for r in reqs:
+                r.future.set_result(result[off:off + r.n])
+                off += r.n

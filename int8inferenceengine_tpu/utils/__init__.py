@@ -1,6 +1,6 @@
 """Utilities: checkpointing, observability."""
 
-from . import checkpoint, observe
+from . import checkpoint, observe, roofline, validate
 from .checkpoint import load, save, state_dict
 from .observe import log_quantization_report, quantization_report, trace
 
@@ -8,4 +8,5 @@ __all__ = [
     "checkpoint", "observe",
     "save", "load", "state_dict",
     "quantization_report", "log_quantization_report", "trace",
+    "roofline", "validate",
 ]

@@ -111,3 +111,21 @@ def test_roofline_collect():
     assert full["precision"] == "int8"
     assert 0 < full["percent_of_peak"] < 100
     assert full["sol_compute_s"] > 0
+
+
+def test_validate_clean_and_dirty():
+    from int8inferenceengine_tpu.utils import validate
+    mm, shape = _calibrated("lenet", batch=4)
+    assert validate.validate(mm, _rand(shape)) == []
+
+    # corrupt a scale -> finding
+    mm.fc1.scale = -1.0
+    finds = validate.validate(mm)
+    assert any("bad output scale" in f for f in finds)
+    mm.fc1.scale = 0.1
+
+    # un-converted model mid-prepare -> finding
+    fresh = models.build("fc_mnist")
+    fresh.prepare()
+    finds = validate.validate(fresh)
+    assert any("still preparing" in f for f in finds)
