@@ -61,5 +61,11 @@ class QuantConfig:
     # cost.
     fp_dtype: str = "float32"
 
+    # Requantization-epilogue compute dtype for the INT8 conv path.
+    # 'float32' reproduces the reference's down_scale float order exactly;
+    # 'bfloat16' halves the epilogue's VPU cost on large conv outputs at the
+    # price of occasional +-1 output codes (see ops/quant.down_scale).
+    epilogue_dtype: str = "float32"
+
 
 DEFAULT_CONFIG = QuantConfig()

@@ -322,7 +322,8 @@ class Conv2d(Layer):
         if backend == "xla_conv":
             out = conv_ops.conv2d_int8_xla(
                 x.as_nhwc_data(), qw_hwio, oc,
-                stride=self.stride, padding=self.padding, **kw)
+                stride=self.stride, padding=self.padding,
+                epilogue_dtype=self.config.epilogue_dtype, **kw)
         else:
             k = self.kernel_size
             qw_kn = qw_hwio.reshape(k * k * self.in_channels,

@@ -89,7 +89,7 @@ def _space_to_depth(x, w_hwio, stride: int, pad_value: int):
 
 def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
                     scale_a, zp_a, scale_w, scale_c, zp_c, relu=False,
-                    backend: str = "xla"):
+                    backend: str = "xla", epilogue_dtype=None):
     """Quantized conv: recenter -> zp-pad -> (space-to-depth) -> conv.
 
     ``oc`` must include the +128*rowsum recentering term
@@ -121,7 +121,9 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
         preferred_element_type=jnp.int32,
     )
     acc = acc + oc.reshape(1, 1, 1, -1)
-    out = down_scale(acc, scale_a, scale_w, scale_c, zp_c)
+    dtype = jnp.bfloat16 if epilogue_dtype == "bfloat16" else jnp.float32
+    out = down_scale(acc, scale_a, scale_w, scale_c, zp_c,
+                     compute_dtype=dtype)
     if relu:
         out = jnp.maximum(out, jnp.uint8(zp_c))
     return out

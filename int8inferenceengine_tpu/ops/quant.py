@@ -55,13 +55,25 @@ def down_scale(
     scale_w: float,
     scale_c: float,
     zp_c,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fused requantization epilogue: s32 accum -> u8 at the consumer scale.
 
     ``u8 = trunc(clip(acc * s_a * s_w / s_c + zp_c, 0, 255))``
     (quantize_utils.cc:27-36).  ``scale_w`` may be a float (per-tensor) or an
     [N] array (per-channel) broadcasting over the trailing channel axis.
+
+    ``compute_dtype=bfloat16`` halves the VPU cost of this (often
+    output-size-bound) epilogue at the price of occasional +-1 output codes
+    (bf16 spacing reaches 1-2 ULP near 255); gate via
+    ``QuantConfig.epilogue_dtype``.
     """
+    if compute_dtype == jnp.bfloat16:
+        mult = (jnp.float32(scale_a) * jnp.asarray(scale_w, jnp.float32)
+                / jnp.float32(scale_c)).astype(jnp.bfloat16)
+        q = acc.astype(jnp.bfloat16) * mult + jnp.bfloat16(zp_c)
+        q = jnp.clip(q, 0, 255)
+        return q.astype(jnp.uint8)
     s_w = jnp.asarray(scale_w, jnp.float32)
     deq = acc.astype(jnp.float32) * jnp.float32(scale_a) * s_w
     q = deq / jnp.float32(scale_c) + jnp.float32(zp_c)

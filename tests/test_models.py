@@ -68,3 +68,27 @@ def test_alexnet_shapes_small_spatial():
 def test_build_unknown_name():
     with pytest.raises(ValueError, match="unknown model"):
         models.build("nope")
+
+
+def test_bf16_epilogue_accuracy():
+    """bf16 requant epilogue: +-1 codes only; argmax agreement holds."""
+    from int8inferenceengine_tpu import QuantConfig
+    torch.set_num_threads(1)
+    tm = models.torch_twin("lenet")
+    x = _rand((32, 1, 28, 28))
+    calib = _rand((32, 1, 28, 28))
+    ref = tm(torch.tensor(x)).detach().numpy()
+
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        mm = models.build("lenet", config=QuantConfig(epilogue_dtype=dt))
+        mm.load(tm.state_dict())
+        mm.prepare()
+        mm(q.tensor(calib))
+        mm.convert()
+        outs[dt] = mm(q.tensor(x)).numpy()
+        agree = (outs[dt].argmax(1) == ref.argmax(1)).mean()
+        assert agree >= 0.75, (dt, agree)
+    # bf16 epilogue stays close to the f32 one
+    denom = np.abs(outs["float32"]).mean() + 1e-9
+    assert np.abs(outs["bfloat16"] - outs["float32"]).mean() / denom < 0.1
