@@ -242,27 +242,34 @@ class Conv2d(Layer):
     """
 
     def __init__(self, in_channels: int, out_channels: int, kernel_size: int,
-                 stride: int = 1, padding: int = 0,
+                 stride: int = 1, padding: int = 0, groups: int = 1,
                  config: QuantConfig = DEFAULT_CONFIG, fuse_relu: bool = False):
         super().__init__(config)
         if stride == 0:
             raise ValueError("stride must be >= 1 (reference: conv2d.h:12-14)")
+        if in_channels % groups or out_channels % groups:
+            raise ValueError(
+                f"groups={groups} must divide in_channels={in_channels} and "
+                f"out_channels={out_channels}")
         self.in_channels = int(in_channels)
         self.out_channels = int(out_channels)
         self.kernel_size = int(kernel_size)
         self.stride = int(stride)
         self.padding = int(padding)
+        self.groups = int(groups)
         self.fuse_relu = fuse_relu
         k = self.kernel_size
         self.params = {
-            "w_hwio": jnp.zeros((k, k, in_channels, out_channels), jnp.float32),
+            "w_hwio": jnp.zeros((k, k, in_channels // groups, out_channels),
+                                jnp.float32),
             "bias": jnp.zeros((out_channels,), jnp.float32),
         }
 
     def load_weight(self, w):
         k = self.kernel_size
         oihw = self._load_array(
-            w, (self.out_channels, self.in_channels, k, k), "load_weight")
+            w, (self.out_channels, self.in_channels // self.groups, k, k),
+            "load_weight")
         self.params["w_hwio"] = jnp.transpose(oihw, (2, 3, 1, 0))
 
     def load_bias(self, b):
@@ -299,10 +306,10 @@ class Conv2d(Layer):
                 "layer already converted to INT8 — quantize the input")
         out = conv_ops.conv2d_fp32(
             x.as_nhwc_data(), self._p("w_hwio"), self._p("bias"),
-            self.stride, self.padding)
+            self.stride, self.padding, groups=self.groups)
         if self.is_preparing:
             self._observe(out)
-        _record_cost(self, 2 * out.size * self.in_channels
+        _record_cost(self, 2 * out.size * (self.in_channels // self.groups)
                      * self.kernel_size ** 2,
                      4 * (x.data.size + out.size
                           + self._p("w_hwio").size))
@@ -318,11 +325,13 @@ class Conv2d(Layer):
                   scale_w=self._scale_w(), scale_c=self.scale,
                   zp_c=self.zero_point, relu=self.fuse_relu)
         backend = self._conv_backend()
+        if self.groups > 1:
+            backend = "xla_conv"   # grouped convs go through XLA's native path
         qw_hwio = self._p("qw_hwio")
         if backend == "xla_conv":
             out = conv_ops.conv2d_int8_xla(
                 x.as_nhwc_data(), qw_hwio, oc,
-                stride=self.stride, padding=self.padding,
+                stride=self.stride, padding=self.padding, groups=self.groups,
                 epilogue_dtype=self.config.epilogue_dtype, **kw)
         else:
             k = self.kernel_size
@@ -332,10 +341,10 @@ class Conv2d(Layer):
                 x.as_nhwc_data(), qw_kn, oc,
                 kh=k, kw=k, stride=self.stride, padding=self.padding,
                 backend=self.config.kernel_backend, **kw)
-        _record_cost(self, 2 * out.size * self.in_channels
+        _record_cost(self, 2 * out.size * (self.in_channels // self.groups)
                      * self.kernel_size ** 2,
                      x.data.size + out.size
-                     + self.in_channels * self.out_channels
+                     + (self.in_channels // self.groups) * self.out_channels
                      * self.kernel_size ** 2)
         return Tensor(self._maybe_gather(out, 3), self.scale,
                       self.zero_point, _nhwc=True)

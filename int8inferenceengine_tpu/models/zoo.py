@@ -22,7 +22,7 @@ from ..module import Module
 from ..ops import functional as F
 
 __all__ = [
-    "FCMnist", "SimpleConv", "AlexNet", "LeNet",
+    "FCMnist", "SimpleConv", "AlexNet", "LeNet", "VGG11",
     "build", "torch_twin", "MODEL_SPECS",
 ]
 
@@ -102,6 +102,45 @@ class AlexNet(Module):
         return self.fc3(x)
 
 
+class VGG11(Module):
+    """VGG-11 (configuration A) for 224x224 input — a deeper plain-conv
+    family exercising long chains of 3x3 convs and requant boundaries.
+    Not in the reference zoo; weights load from the hand-written torch twin
+    (``torch_twin('vgg11')``), conv1..conv8 / fc1..fc3 naming.
+    """
+
+    INPUT_SHAPE = (3, 224, 224)
+
+    def __init__(self, num_classes: int = 10,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.conv1 = Conv2d(3, 64, 3, padding=1, config=config)
+        self.conv2 = Conv2d(64, 128, 3, padding=1, config=config)
+        self.conv3 = Conv2d(128, 256, 3, padding=1, config=config)
+        self.conv4 = Conv2d(256, 256, 3, padding=1, config=config)
+        self.conv5 = Conv2d(256, 512, 3, padding=1, config=config)
+        self.conv6 = Conv2d(512, 512, 3, padding=1, config=config)
+        self.conv7 = Conv2d(512, 512, 3, padding=1, config=config)
+        self.conv8 = Conv2d(512, 512, 3, padding=1, config=config)
+        self.fc1 = Linear(512 * 7 * 7, 4096, config=config)
+        self.fc2 = Linear(4096, 4096, config=config)
+        self.fc3 = Linear(4096, num_classes, config=config)
+
+    def forward(self, x):
+        x = F.max_pool2d(F.relu(self.conv1(x)), 2, 2)
+        x = F.max_pool2d(F.relu(self.conv2(x)), 2, 2)
+        x = F.relu(self.conv3(x))
+        x = F.max_pool2d(F.relu(self.conv4(x)), 2, 2)
+        x = F.relu(self.conv5(x))
+        x = F.max_pool2d(F.relu(self.conv6(x)), 2, 2)
+        x = F.relu(self.conv7(x))
+        x = F.max_pool2d(F.relu(self.conv8(x)), 2, 2)
+        x = x.reshape(-1, 512 * 7 * 7)
+        x = F.relu(self.fc1(x))
+        x = F.relu(self.fc2(x))
+        return self.fc3(x)
+
+
 class LeNet(Module):
     """LeNet-style MNIST net (unittest/test_quantized_layer.py:26-42)."""
 
@@ -129,12 +168,19 @@ def _resnet18(**kw):
     return ResNet18(**kw)
 
 
+def _mobilenet_v1(**kw):
+    from .mobilenet import MobileNetV1
+    return MobileNetV1(**kw)
+
+
 MODEL_SPECS = {
     "fc_mnist": FCMnist,
     "simple_conv": SimpleConv,
     "alexnet": AlexNet,
     "lenet": LeNet,
+    "vgg11": VGG11,
     "resnet18": _resnet18,
+    "mobilenet_v1": _mobilenet_v1,
 }
 
 
@@ -210,9 +256,44 @@ def torch_twin(name: str, seed: int = 42):
                 x = tF.relu(self.fc2(x))
                 return self.fc3(x)
 
+    elif name == "vgg11":
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(3, 64, 3, padding=1)
+                self.conv2 = nn.Conv2d(64, 128, 3, padding=1)
+                self.conv3 = nn.Conv2d(128, 256, 3, padding=1)
+                self.conv4 = nn.Conv2d(256, 256, 3, padding=1)
+                self.conv5 = nn.Conv2d(256, 512, 3, padding=1)
+                self.conv6 = nn.Conv2d(512, 512, 3, padding=1)
+                self.conv7 = nn.Conv2d(512, 512, 3, padding=1)
+                self.conv8 = nn.Conv2d(512, 512, 3, padding=1)
+                self.fc1 = nn.Linear(512 * 7 * 7, 4096)
+                self.fc2 = nn.Linear(4096, 4096)
+                self.fc3 = nn.Linear(4096, 10)
+
+            def forward(self, x):
+                x = tF.max_pool2d(tF.relu(self.conv1(x)), 2, 2)
+                x = tF.max_pool2d(tF.relu(self.conv2(x)), 2, 2)
+                x = tF.relu(self.conv3(x))
+                x = tF.max_pool2d(tF.relu(self.conv4(x)), 2, 2)
+                x = tF.relu(self.conv5(x))
+                x = tF.max_pool2d(tF.relu(self.conv6(x)), 2, 2)
+                x = tF.relu(self.conv7(x))
+                x = tF.max_pool2d(tF.relu(self.conv8(x)), 2, 2)
+                x = x.reshape(-1, 512 * 7 * 7)
+                x = tF.relu(self.fc1(x))
+                x = tF.relu(self.fc2(x))
+                return self.fc3(x)
+
     elif name == "resnet18":
         from .resnet import torch_resnet18
         return torch_resnet18(seed=seed)
+
+    elif name == "mobilenet_v1":
+        from .mobilenet import torch_mobilenet_v1
+        torch.manual_seed(seed)
+        return torch_mobilenet_v1(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

@@ -38,13 +38,14 @@ def out_hw(h: int, kh: int, stride: int, padding: int) -> int:
 
 
 def conv2d_fp32(x_nhwc, w_hwio, bias, stride: int, padding: int,
-                preferred_dtype=jnp.float32):
-    """FP32 (or bf16) convolution + bias in NHWC."""
+                preferred_dtype=jnp.float32, groups: int = 1):
+    """FP32 (or bf16) convolution + bias in NHWC (grouped when groups>1)."""
     out = lax.conv_general_dilated(
         x_nhwc, w_hwio,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=preferred_dtype,
     )
     return out + bias.reshape(1, 1, 1, -1)
@@ -89,7 +90,8 @@ def _space_to_depth(x, w_hwio, stride: int, pad_value: int):
 
 def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
                     scale_a, zp_a, scale_w, scale_c, zp_c, relu=False,
-                    backend: str = "xla", epilogue_dtype=None):
+                    backend: str = "xla", epilogue_dtype=None,
+                    groups: int = 1):
     """Quantized conv: recenter -> zp-pad -> (space-to-depth) -> conv.
 
     ``oc`` must include the +128*rowsum recentering term
@@ -105,10 +107,10 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
             x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
             constant_values=pad_value)
     w = qw_hwio
-    if stride > 1 and x.shape[-1] < 32:
+    if stride > 1 and x.shape[-1] < 32 and groups == 1:
         x, w = _space_to_depth(x, w, stride, pad_value)
         stride = 1
-    if backend == "pallas" and stride == 1:
+    if backend == "pallas" and stride == 1 and groups == 1:
         from .conv_pallas import conv2d_int8_pallas
         from .gemm_int8 import _mult_vector
         mult = _mult_vector(scale_a, scale_w, scale_c, w.shape[-1])
@@ -118,6 +120,7 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
         window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
     acc = acc + oc.reshape(1, 1, 1, -1)

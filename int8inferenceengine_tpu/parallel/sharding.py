@@ -29,8 +29,13 @@ def layer_param_specs(layer: Layer, model_axis: str, model_size: int) -> dict:
     """PartitionSpec per param array; None-spec (replicated) when the layer
     can't shard evenly over the model axis."""
     out_channels = getattr(layer, "out_channels", 0)  # weightless layers
+    # Grouped convs tie output channels to input-channel groups; with fully
+    # gathered activations their channel shards would need per-shard input
+    # slices, so they stay replicated (depthwise convs are k^2*C cheap — the
+    # 1x1 pointwise convs around them carry the FLOPs and still shard).
+    grouped = getattr(layer, "groups", 1) > 1
     shardable = (out_channels > 0 and out_channels % model_size == 0
-                 and model_size > 1)
+                 and model_size > 1 and not grouped)
     layer._tp_sharded = shardable
     if not shardable:
         return {k: P() for k in layer.params}

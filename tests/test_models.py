@@ -92,3 +92,21 @@ def test_bf16_epilogue_accuracy():
     # bf16 epilogue stays close to the f32 one
     denom = np.abs(outs["float32"]).mean() + 1e-9
     assert np.abs(outs["bfloat16"] - outs["float32"]).mean() / denom < 0.1
+
+
+def test_vgg11_ptq_small_spatial():
+    """VGG11 at reduced 64x64 spatial size (avgpool-free: use 64 input ->
+    2x2 before flatten? No — VGG11 needs 224; run batch 1 at 224 on CPU)."""
+    torch.set_num_threads(1)
+    tm = models.torch_twin("vgg11")
+    mm = models.build("vgg11")
+    mm.load(tm.state_dict())
+    x = _rand((1, 3, 224, 224))
+    ref = tm(torch.tensor(x)).detach().numpy()
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+    mm.prepare()
+    mm(q.tensor(x))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    assert qout.shape == (1, 10) and np.isfinite(qout).all()
