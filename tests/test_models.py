@@ -110,3 +110,48 @@ def test_vgg11_ptq_small_spatial():
     mm.convert()
     qout = mm(q.tensor(x)).numpy()
     assert qout.shape == (1, 10) and np.isfinite(qout).all()
+
+
+def test_reservoir_quantile_calibration_mode():
+    """calib_exact_minmax=False runs the eager reservoir path end-to-end
+    (the reference's sampling scheme, needed for quantile < 1)."""
+    from int8inferenceengine_tpu import QuantConfig
+    torch.set_num_threads(1)
+    cfg = QuantConfig(calib_exact_minmax=False, calib_quantile=0.99)
+    tm = models.torch_twin("lenet")
+    mm = models.build("lenet", config=cfg)
+    mm.load(tm.state_dict())
+    x = _rand((32, 1, 28, 28))
+    ref = tm(torch.tensor(x)).detach().numpy()
+    mm.prepare()
+    mm(q.tensor(_rand((32, 1, 28, 28))))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    agree = (qout.argmax(1) == ref.argmax(1)).mean()
+    assert agree >= 0.6, agree
+    for _, layer in mm.named_layers():
+        assert layer.is_quantized and layer.calib_stats["count"] > 0
+
+
+def test_rectangular_input_conv_pool():
+    """Non-square spatial dims flow through conv/pool/quantized paths."""
+    from int8inferenceengine_tpu.layers import Conv2d
+    from int8inferenceengine_tpu.ops import functional as F
+    torch.set_num_threads(1)
+    torch.manual_seed(3)
+    tconv = torch.nn.Conv2d(3, 8, 3, stride=2, padding=1)
+    conv = Conv2d(3, 8, 3, stride=2, padding=1)
+    conv.load_weight(tconv.weight.detach().numpy())
+    conv.load_bias(tconv.bias.detach().numpy())
+    x = _rand((2, 3, 20, 36))
+    want = torch.nn.functional.max_pool2d(
+        tconv(torch.tensor(x)), 2, 2).detach().numpy()
+    got = F.max_pool2d(conv(q.tensor(x)), 2, 2).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    conv.prepare()
+    conv(q.tensor(x))
+    conv.convert()
+    qx = q.quantize(q.tensor(x), 0.01, 127)
+    qout = conv(qx)
+    assert qout.shape == (2, 8, 10, 18)
