@@ -47,6 +47,41 @@ def log_quantization_report(model, stream=None) -> None:
     stream.flush()
 
 
+def device_op_times(log_dir: str) -> dict:
+    """Aggregate device-side op durations from a ``trace(log_dir=...)`` run.
+
+    Parses the newest trace.json.gz under ``log_dir`` and returns
+    {op_name: {"ms": total_ms, "count": n}} for TPU/device events, sorted by
+    time.  This is how the AlexNet fusion breakdown in CLAUDE.md was
+    obtained; pair with the compiled HLO (``jax.jit(f).lower(...).compile()
+    .as_text()``) to map fusion names back to source ops.
+    """
+    import glob
+    import gzip
+
+    paths = sorted(glob.glob(
+        f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    out: dict = {}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        pname = pids.get(e.get("pid"), "")
+        if "TPU" not in pname and "device" not in pname.lower():
+            continue
+        rec = out.setdefault(e["name"], {"ms": 0.0, "count": 0})
+        rec["ms"] += e["dur"] / 1e3
+        rec["count"] += 1
+    return dict(sorted(out.items(), key=lambda kv: -kv[1]["ms"]))
+
+
 @contextlib.contextmanager
 def trace(name: str = "i8ie", log_dir: str | None = None):
     """Profile a region: ``jax.profiler`` trace when ``log_dir`` is given,
