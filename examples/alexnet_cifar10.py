@@ -27,18 +27,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=100)
+    ap.add_argument("--model", default="alexnet",
+                    help="any zoo model: fc_mnist simple_conv lenet alexnet "
+                         "vgg11 resnet18 mobilenet_v1")
     args = ap.parse_args()
 
     import torch
     torch.set_num_threads(1)
 
     print("== build twin models, load torch weights ==")
-    tnet = models.torch_twin("alexnet")
-    net = models.build("alexnet")
+    tnet = models.torch_twin(args.model)
+    net = models.build(args.model)
     net.load(tnet.state_dict())
 
     rng = np.random.default_rng(0)
-    images = rng.uniform(-1, 1, (args.images, 3, 224, 224)).astype(np.float32)
+    shape = (args.images,) + net.INPUT_SHAPE
+    images = rng.uniform(-1, 1, shape).astype(np.float32)
 
     print("== torch FP32 oracle ==")
     t0 = time.perf_counter()
