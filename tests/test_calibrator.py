@@ -65,3 +65,32 @@ def test_reservoir_quantile_mode():
     # trimmed range must be inside the full range
     assert 0 < s < 20.0 / 127
     assert 0 < zp < 255
+
+
+def test_jitted_calibration_multiple_batch_shapes():
+    """The jitted calibration path retraces per input shape and must merge
+    ranges across differently-shaped batches (Module._calib_meta keyed by
+    shape)."""
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+
+    mm = models.build("fc_mnist")
+    rng = np.random.default_rng(0)
+    mm.fc1.load_weight(np.float32(rng.normal(0, 0.1, (10, 784))))
+    mm.fc1.load_bias(np.float32(rng.normal(0, 0.1, 10)))
+    mm.prepare()
+    b1 = np.float32(rng.uniform(-1, 1, (8, 784)))
+    b2 = np.float32(rng.uniform(-3, 3, (16, 784)))   # different shape+range
+    mm(q.tensor(b1))
+    mm(q.tensor(b2))
+    cal = mm.fc1.calibrator
+    assert cal._count == 8 * 10 + 16 * 10
+    out1 = b1 @ np.float32(rng.normal(0, 0.1, (10, 784))).T  # not the real W
+    # The observed range must cover BOTH batches' true outputs.
+    w = np.asarray(mm.fc1.params["weight"])
+    b = np.asarray(mm.fc1.params["bias"])
+    true_all = np.concatenate([b1 @ w.T + b, b2 @ w.T + b])
+    assert float(np.float32(cal._min)) <= true_all.min() + 1e-5
+    assert float(np.float32(cal._max)) >= true_all.max() - 1e-5
+    mm.convert()
+    assert mm.fc1.scale > 0

@@ -93,3 +93,38 @@ def test_feeds_quantized_model_input():
     from int8inferenceengine_tpu.ops import functional as F
     got = F.dequantize(out).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_numpy_fallbacks_match_native(monkeypatch):
+    """With the native library unavailable, every entry point must produce
+    identical results via the numpy fallbacks."""
+    assert native.available()
+    img = np.random.randint(0, 256, (2, 9, 9, 3), dtype=np.uint8)
+    x = np.random.uniform(-5, 5, (4, 7)).astype(np.float32)
+    qv = np.random.randint(0, 256, (33,), dtype=np.uint8)
+    mean = np.array([0.4, 0.5, 0.6], np.float32)
+    std = np.array([0.2, 0.3, 0.25], np.float32)
+
+    native_res = {
+        "q": native.quantize_u8(x, 0.025, 127),
+        "dq": native.dequantize_u8(qv, 0.1, 90),
+        "norm": native.normalize_nchw(img, mean, std),
+        "resize": native.resize_bilinear(img, 18, 18),
+        "fused": native.preprocess_quantize(img, mean, std, 0.025, 127),
+    }
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)   # force fallbacks
+    fb = {
+        "q": native.quantize_u8(x, 0.025, 127),
+        "dq": native.dequantize_u8(qv, 0.1, 90),
+        "norm": native.normalize_nchw(img, mean, std),
+        "resize": native.resize_bilinear(img, 18, 18),
+        "fused": native.preprocess_quantize(img, mean, std, 0.025, 127),
+    }
+    np.testing.assert_array_equal(fb["q"], native_res["q"])
+    np.testing.assert_allclose(fb["dq"], native_res["dq"], rtol=1e-6)
+    np.testing.assert_allclose(fb["norm"], native_res["norm"], atol=1e-5)
+    assert np.abs(fb["resize"].astype(int)
+                  - native_res["resize"].astype(int)).max() <= 1
+    assert np.abs(fb["fused"].astype(int)
+                  - native_res["fused"].astype(int)).max() <= 1
