@@ -12,10 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import json
-import logging
 import sys
-
-logger = logging.getLogger("int8inferenceengine_tpu")
 
 
 def quantization_report(model) -> dict:
