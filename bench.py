@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 BASELINE_IMG_S = 10_000 / 36.6  # reference engine INT8, batch 100 (README.md:40)
-BATCH = 256
+BATCH = 100  # the reference's headline batch size; also this chip's sweet spot
 K_SHORT, K_LONG = 2, 10
 
 
