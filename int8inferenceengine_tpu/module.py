@@ -132,7 +132,11 @@ class Module:
     def __call__(self, x):
         t = x if isinstance(x, Tensor) else Tensor(jnp.asarray(
             _maybe_torch(x), dtype=jnp.float32))
-        if t.quantized and not self._preparing():
+        if t.quantized:
+            if self._preparing():
+                raise ValueError(
+                    "calibration observes FP32 activation ranges — feed "
+                    "float input while preparing, not a quantized tensor")
             return self._call_quantized(t)
         if self._preparing():
             if self.config.calib_exact_minmax:

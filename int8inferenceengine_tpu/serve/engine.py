@@ -73,6 +73,7 @@ class InferenceEngine:
         self.stats = EngineStats()
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._pending: _Request | None = None  # overflow carry between steps
+        self._stopping = False  # shutdown sentinel seen; flush then exit
         # Dispatched-but-unmaterialized steps; bounded so the scheduler can
         # batch ahead of the device without running away.
         self._done: queue.Queue = queue.Queue(maxsize=max_inflight)
@@ -114,6 +115,8 @@ class InferenceEngine:
     # -- scheduler -----------------------------------------------------------
     def _take_batch(self) -> list[_Request] | None:
         """Collect up to max_batch rows; None on shutdown."""
+        if self._stopping and self._pending is None and self._queue.empty():
+            return None
         reqs: list[_Request] = []
         rows = 0
         if self._pending is not None:
@@ -123,15 +126,18 @@ class InferenceEngine:
         deadline = None
         while True:
             timeout = None
-            if reqs:
+            if reqs or self._stopping:
                 if deadline is None:
                     deadline = time.monotonic() + self.batch_timeout_s
                 timeout = max(0.0, deadline - time.monotonic())
             try:
                 req = self._queue.get(timeout=timeout)
             except queue.Empty:
-                return reqs
+                return reqs if reqs else (None if self._stopping else [])
             if req is None:
+                # Shutdown sentinel: remember it (there may be coalesced
+                # requests to flush first) and drain what's left.
+                self._stopping = True
                 return reqs if reqs else None
             if rows + req.n > self.max_batch:
                 self._pending = req

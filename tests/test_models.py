@@ -155,3 +155,11 @@ def test_rectangular_input_conv_pool():
     qx = q.quantize(q.tensor(x), 0.01, 127)
     qout = conv(qx)
     assert qout.shape == (2, 8, 10, 18)
+
+
+def test_quantized_input_during_prepare_rejected():
+    mm = models.build("fc_mnist")
+    mm.prepare()
+    import pytest
+    with pytest.raises(ValueError, match="float input while preparing"):
+        mm(q.quantize(q.tensor(_rand((2, 1, 28, 28))), 0.025, 127))

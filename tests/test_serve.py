@@ -123,3 +123,20 @@ def test_engine_over_sharded_model():
         np.testing.assert_array_equal(engine.infer(x), base)
     finally:
         engine.shutdown()
+
+
+def test_shutdown_flushes_pending_requests():
+    """A shutdown racing with queued requests must still answer them all
+    (regression: the sentinel used to be dropped while coalescing, leaving
+    the scheduler blocked forever and shutdown(wait=True) deadlocked)."""
+    mm = _calibrated()
+    # Long timeout so requests are still being coalesced when shutdown lands.
+    engine = InferenceEngine(mm, max_batch=64, batch_timeout_s=0.5)
+    futs = [engine.submit(_rand((2, 1, 28, 28))) for _ in range(5)]
+    t = threading.Thread(target=engine.shutdown)
+    t.start()
+    for f in futs:
+        out = f.result(timeout=60)
+        assert out.shape == (2, 10)
+    t.join(timeout=60)
+    assert not t.is_alive(), "shutdown deadlocked"
