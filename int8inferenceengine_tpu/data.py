@@ -62,6 +62,8 @@ class DataLoader:
         self.drop_remainder = drop_remainder
         if images.dtype == np.uint8 and (self.mean is None or self.std is None):
             raise ValueError("u8 NHWC input requires mean/std")
+        if resize_to is not None and images.dtype != np.uint8:
+            raise ValueError("resize_to only applies to u8 NHWC image input")
 
     def __len__(self):
         n = self.images.shape[0]
@@ -88,11 +90,23 @@ class DataLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         err: list[BaseException] = []
+        stop = threading.Event()   # set when the consumer abandons iteration
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 n = self.images.shape[0]
                 for i in range(0, n, self.batch_size):
+                    if stop.is_set():
+                        return
                     chunk = self.images[i:i + self.batch_size]
                     if self.drop_remainder and chunk.shape[0] < self.batch_size:
                         break
@@ -102,20 +116,24 @@ class DataLoader:
                     t = Tensor(jax.device_put(t.data), t.scale, t.zero_point,
                                _nhwc=t._nhwc)
                     if self.labels is not None:
-                        q.put((t, self.labels[i:i + chunk.shape[0]]))
-                    else:
-                        q.put(t)
+                        if not _put((t, self.labels[i:i + chunk.shape[0]])):
+                            return
+                    elif not _put(t):
+                        return
             except BaseException as e:  # surface in consumer
                 err.append(e)
             finally:
-                q.put(_STOP)
+                _put(_STOP)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is _STOP:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _STOP:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()   # unblock the producer if iteration stopped early

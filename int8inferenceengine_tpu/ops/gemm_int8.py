@@ -225,6 +225,10 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
 
 def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
     """Dispatch between the Pallas kernel and the XLA path."""
+    if a_u8.dtype != jnp.uint8:
+        raise TypeError(
+            f"qgemm activations must be uint8 codes, got {a_u8.dtype} "
+            "(the kernel recenters u8 -> s8 internally)")
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":

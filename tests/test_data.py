@@ -111,3 +111,25 @@ def test_quantized_ingest_feeds_module_call():
     assert batch.quantized
     out = mm(batch).numpy()
     np.testing.assert_array_equal(out, base)
+
+
+def test_abandoned_iteration_does_not_leak_producer():
+    """Breaking out of iteration early must unblock the producer thread."""
+    import threading
+    before = threading.active_count()
+    x = np.random.uniform(-1, 1, (64, 1, 4, 4)).astype(np.float32)
+    for _ in range(5):
+        it = iter(DataLoader(x, batch_size=4, prefetch=1))
+        next(it)
+        it.close()   # abandon mid-stream
+    import time
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1
+
+
+def test_resize_on_float_rejected():
+    x = np.zeros((4, 1, 8, 8), np.float32)
+    with pytest.raises(ValueError, match="resize_to"):
+        DataLoader(x, batch_size=2, resize_to=(16, 16))
