@@ -89,6 +89,15 @@ class Layer:
             return gather_channels(out, channel_axis)
         return out
 
+    @staticmethod
+    def _overlap_axes():
+        """The active ParallelAxes when overlap mode is on, else None."""
+        from .parallel.context import current_axes
+        pa = current_axes()
+        if pa is not None and pa.overlap and pa.model_size > 1:
+            return pa
+        return None
+
     def _observe(self, out) -> None:
         """Record layer output ranges while preparing (eager or traced)."""
         sink = _CALIB_SINK.get()
@@ -202,6 +211,9 @@ class Linear(Layer):
             raise RuntimeError(
                 "layer already converted to INT8 — quantize the input "
                 "(FP32 weights were freed, as in the reference)")
+        if x._tp_sharded:
+            from .parallel.sharding import gather_channels
+            x = Tensor(gather_channels(x.data, 1), x.scale, x.zero_point)
         out = (
             jnp.dot(x.data, self._p("weight").T,
                     preferred_element_type=jnp.float32)
@@ -218,9 +230,25 @@ class Linear(Layer):
     def _forward_int8(self, x: Tensor) -> Tensor:
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
+        pa = self._overlap_axes()
         oc = compute_offset(self._p("q_bias"), self._p("rowsum"),
                             scale_a=x.scale, zp_a=x.zero_point,
                             recentered=True)
+        if x._tp_sharded:
+            if pa is not None and self._tp_sharded:
+                # Ring TP: consume the predecessor's channel shard directly,
+                # overlapping the gather (ppermute) with partial MXU work.
+                from .parallel.overlap import ring_qgemm
+                out = ring_qgemm(
+                    x.data, self._p("qw_kn"), oc,
+                    axis_name=pa.model_axis, axis_size=pa.model_size,
+                    scale_a=x.scale, zp_a=x.zero_point,
+                    scale_w=self._scale_w(), scale_c=self.scale,
+                    zp_c=self.zero_point, relu=self.fuse_relu)
+                return Tensor(out, self.scale, self.zero_point,
+                              _tp_sharded=True)
+            from .parallel.sharding import gather_channels
+            x = Tensor(gather_channels(x.data, 1), x.scale, x.zero_point)
         out = qgemm(
             x.data, self._p("qw_kn"), oc,
             backend=self.config.kernel_backend,
@@ -230,6 +258,8 @@ class Linear(Layer):
                      * self.out_channels,
                      x.data.size + out.size
                      + self.in_channels * self.out_channels)
+        if self._tp_sharded and pa is not None:
+            return Tensor(out, self.scale, self.zero_point, _tp_sharded=True)
         return Tensor(self._maybe_gather(out, 1), self.scale, self.zero_point)
 
 

@@ -224,10 +224,14 @@ class Module:
         return Tensor(out)
 
     # -- scale-out --------------------------------------------------------------
-    def shard(self, mesh, data_axis: str = "data", model_axis: str = "model"):
+    def shard(self, mesh, data_axis: str = "data", model_axis: str = "model",
+              overlap: bool = False):
         """Shard layer params over a device mesh (weights by output channel,
         per the TP design in parallel/sharding.py) and compile the forward
-        with those shardings.  See parallel/ for details."""
+        with those shardings.  ``overlap=True`` enables ring tensor
+        parallelism for Linear chains (collectives hidden behind partial
+        GEMMs).  See parallel/ for details."""
         from .parallel.sharding import shard_module
-        shard_module(self, mesh, data_axis=data_axis, model_axis=model_axis)
+        shard_module(self, mesh, data_axis=data_axis, model_axis=model_axis,
+                     overlap=overlap)
         return self

@@ -28,7 +28,8 @@ def relu(x: Tensor) -> Tensor:
         out = jnp.maximum(x.data, jnp.uint8(x.zero_point))
     else:
         out = jnp.maximum(x.data, jnp.zeros((), x.data.dtype))
-    return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
+    return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc,
+                  _tp_sharded=x._tp_sharded)
 
 
 def max_pool2d(x: Tensor, kernel_size: int, stride: int,
@@ -98,4 +99,4 @@ def quantize(x: Tensor, scale: float, zero_point: int) -> Tensor:
 def dequantize(x: Tensor) -> Tensor:
     """u8 -> f32 using the tensor's own (scale, zp) (i8ie/__init__.py:31-32)."""
     out = quant.dequantize_u8(x.data, x.scale, x.zero_point)
-    return Tensor(out, _nhwc=x._nhwc)
+    return Tensor(out, _nhwc=x._nhwc, _tp_sharded=x._tp_sharded)

@@ -20,6 +20,10 @@ class ParallelAxes:
     model_axis: str = "model"
     data_size: int = 1
     model_size: int = 1
+    # When True, TP-sharded Linears keep their outputs channel-sharded and
+    # consumers overlap the gather with compute (ring GEMM) instead of
+    # all-gathering at every layer boundary.
+    overlap: bool = False
 
 
 _current: contextvars.ContextVar[ParallelAxes | None] = contextvars.ContextVar(

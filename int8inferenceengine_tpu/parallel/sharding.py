@@ -62,9 +62,15 @@ def module_param_specs(module, model_axis: str, model_size: int) -> dict:
 
 
 def shard_module(module, mesh, data_axis: str = "data",
-                 model_axis: str = "model") -> None:
+                 model_axis: str = "model", overlap: bool = False) -> None:
     """Place layer params on the mesh and switch the Module to shard_map
-    execution.  Call after convert() (or before, for FP32 serving)."""
+    execution.  Call after convert() (or before, for FP32 serving).
+
+    ``overlap=True`` turns on ring tensor parallelism for Linear chains:
+    sharded Linears keep their outputs channel-sharded, and a consuming
+    sharded Linear runs the ring GEMM (parallel/overlap.py) instead of
+    waiting on an all-gather; any other consumer gathers lazily.  Results
+    are bit-identical to gather mode (integer partial sums are exact)."""
     from .context import ParallelAxes, axes as axes_ctx
 
     data_size = mesh.shape[data_axis]
@@ -79,7 +85,8 @@ def shard_module(module, mesh, data_axis: str = "data",
         }
 
     pa = ParallelAxes(data_axis=data_axis, model_axis=model_axis,
-                      data_size=data_size, model_size=model_size)
+                      data_size=data_size, model_size=model_size,
+                      overlap=overlap)
 
     def _fwd(params, data):
         def local_fn(local_params, local_data):
@@ -88,6 +95,8 @@ def shard_module(module, mesh, data_axis: str = "data",
             try:
                 with axes_ctx(pa):
                     out = module._run(Tensor(local_data))
+                    if out._tp_sharded:   # overlap mode: gather once at exit
+                        return gather_channels(out.logical_data, 1)
                     return out.logical_data
             finally:
                 module._bind(None)

@@ -32,14 +32,18 @@ class Tensor:
     kernels specialize on them at trace time.
     """
 
-    __slots__ = ("data", "scale", "zero_point", "_nhwc")
+    __slots__ = ("data", "scale", "zero_point", "_nhwc", "_tp_sharded")
 
     def __init__(self, data, scale: float = 1.0, zero_point: int = 0,
-                 _nhwc: bool = False):
+                 _nhwc: bool = False, _tp_sharded: bool = False):
         self.data = data
         self.scale = float(scale)
         self.zero_point = int(zero_point)
         self._nhwc = _nhwc
+        # True when this holds only the local output-channel shard under
+        # shard_map overlap mode (parallel/overlap.py): elementwise ops
+        # propagate the flag; Linears either ring-consume or gather.
+        self._tp_sharded = _tp_sharded
 
     # -- layout ------------------------------------------------------------
     @property

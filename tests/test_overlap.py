@@ -73,3 +73,47 @@ def test_ring_qgemm_batch_sharded_too():
         check_vma=False,
     ))(jnp.asarray(a), jnp.asarray(w), jnp.asarray(oc))
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("name,batch", [("lenet", 16), ("fc_mnist", 32)])
+def test_module_overlap_equals_gather_mode(name, batch):
+    """shard(overlap=True) must be bit-identical to gather mode and to the
+    unsharded run (integer partial sums are exact)."""
+    import torch
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+
+    torch.set_num_threads(1)
+    tm = models.torch_twin(name)
+    mm = models.build(name)
+    mm.load(tm.state_dict())
+    shape = (batch,) + mm.INPUT_SHAPE
+    rng = np.random.default_rng(1)
+    mm.prepare()
+    mm(q.tensor(np.float32(rng.uniform(-1, 1, shape))))
+    mm.convert()
+    x = np.float32(rng.uniform(-1, 1, shape))
+    base = mm(q.tensor(x)).numpy()
+
+    mm.shard(make_mesh((2, 4)), overlap=True)
+    np.testing.assert_array_equal(mm(q.tensor(x)).numpy(), base)
+
+
+def test_module_overlap_alexnet_fc_chain():
+    """AlexNet's fc1->fc2->fc3 chain under overlap: fc2 ring-consumes fc1's
+    sharded output; fc3 (10 outputs, replicated) gathers lazily."""
+    import torch
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+
+    torch.set_num_threads(1)
+    tm = models.torch_twin("alexnet")
+    mm = models.build("alexnet")
+    mm.load(tm.state_dict())
+    x = np.float32(np.random.default_rng(0).uniform(-1, 1, (2, 3, 224, 224)))
+    mm.prepare()
+    mm(q.tensor(x))
+    mm.convert()
+    base = mm(q.tensor(x)).numpy()
+    mm.shard(make_mesh((1, 8)), overlap=True)
+    np.testing.assert_array_equal(mm(q.tensor(x)).numpy(), base)
