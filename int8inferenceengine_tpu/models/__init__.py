@@ -1,11 +1,11 @@
 """Model zoo (the reference's sample/notebooks as library code, plus ResNet)."""
 
 from .mobilenet import MobileNetV1, torch_mobilenet_v1
-from .resnet import ResNet18, torch_resnet18
+from .resnet import ResNet18, ResNet50, torch_resnet18, torch_resnet50
 from .zoo import MODEL_SPECS, VGG11, AlexNet, FCMnist, LeNet, SimpleConv, build, torch_twin
 
 __all__ = [
     "FCMnist", "SimpleConv", "AlexNet", "LeNet", "VGG11", "ResNet18",
-    "MobileNetV1", "torch_mobilenet_v1",
+    "MobileNetV1", "torch_mobilenet_v1", "ResNet50", "torch_resnet50",
     "build", "torch_twin", "MODEL_SPECS", "torch_resnet18",
 ]

@@ -22,7 +22,8 @@ from ..module import Module
 from ..ops import functional as F
 from ..tensor import _maybe_torch
 
-__all__ = ["ResNet18", "fold_bn", "fold_resnet_state_dict", "torch_resnet18"]
+__all__ = ["ResNet18", "ResNet50", "fold_bn", "fold_resnet_state_dict",
+           "torch_resnet18", "torch_resnet50"]
 
 
 def fold_bn(w_oihw, b, gamma, beta, mean, var, eps: float = 1e-5):
@@ -216,5 +217,144 @@ def torch_resnet18(num_classes: int = 10, seed: int = 42):
     net.train()
     with torch.no_grad():
         net(torch.randn(4, 3, 64, 64))  # populate running stats
+    net.eval()
+    return net
+
+
+class Bottleneck(Module):
+    """1x1 -> 3x3 -> 1x1 (expansion 4) residual block (ResNet-50 family)."""
+
+    EXPANSION = 4
+
+    def __init__(self, in_c: int, width: int, stride: int = 1,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        out_c = width * self.EXPANSION
+        self.conv1 = Conv2d(in_c, width, 1, config=config)
+        self.conv2 = Conv2d(width, width, 3, stride=stride, padding=1,
+                            config=config)
+        self.conv3 = Conv2d(width, out_c, 1, config=config)
+        if stride != 1 or in_c != out_c:
+            self.downsample = _Downsample(in_c, out_c, stride, config)
+        self.add = QuantAdd(config=config)
+
+    def forward(self, x):
+        identity = self.downsample(x) if hasattr(self, "downsample") else x
+        out = F.relu(self.conv1(x))
+        out = F.relu(self.conv2(out))
+        out = self.conv3(out)
+        return F.relu(self.add(out, identity))
+
+    def __call__(self, x):
+        return self.forward(x)
+
+
+class _BottleneckStage(Module):
+    def __init__(self, n_blocks, in_c, width, stride, config):
+        super().__init__(config)
+        self._n = n_blocks
+        setattr(self, "0", Bottleneck(in_c, width, stride, config))
+        for i in range(1, n_blocks):
+            setattr(self, str(i),
+                    Bottleneck(width * Bottleneck.EXPANSION, width, 1, config))
+
+    def forward(self, x):
+        for i in range(self._n):
+            x = getattr(self, str(i))(x)
+        return x
+
+    def __call__(self, x):
+        return self.forward(x)
+
+
+class ResNet50(Module):
+    """torchvision-layout ResNet-50 (Bottleneck x [3,4,6,3])."""
+
+    INPUT_SHAPE = (3, 224, 224)
+
+    def __init__(self, num_classes: int = 10,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.conv1 = Conv2d(3, 64, 7, stride=2, padding=3, config=config)
+        self.layer1 = _BottleneckStage(3, 64, 64, 1, config)
+        self.layer2 = _BottleneckStage(4, 256, 128, 2, config)
+        self.layer3 = _BottleneckStage(6, 512, 256, 2, config)
+        self.layer4 = _BottleneckStage(3, 1024, 512, 2, config)
+        self.fc = Linear(2048, num_classes, config=config)
+
+    def load(self, state_dict):
+        keys = getattr(state_dict, "keys", lambda: [])()
+        if any(str(k).endswith(".running_mean") for k in keys):
+            state_dict = fold_resnet_state_dict(dict(state_dict))
+        super().load(state_dict)
+
+    def forward(self, x):
+        x = F.relu(self.conv1(x))
+        x = F.max_pool2d(x, kernel_size=3, stride=2, padding=1)
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = F.adaptive_avg_pool2d_1x1(x)
+        x = x.reshape(-1, 2048)
+        return self.fc(x)
+
+
+def torch_resnet50(num_classes: int = 10, seed: int = 42):
+    """torchvision-compatible ResNet-50 oracle (BN running stats populated
+    via one train-mode forward, as with torch_resnet18)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as tF
+
+    torch.manual_seed(seed)
+
+    class BottleneckT(nn.Module):
+        def __init__(self, in_c, width, stride=1):
+            super().__init__()
+            out_c = width * 4
+            self.conv1 = nn.Conv2d(in_c, width, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, out_c, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(out_c)
+            self.downsample = None
+            if stride != 1 or in_c != out_c:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(in_c, out_c, 1, stride, bias=False),
+                    nn.BatchNorm2d(out_c))
+
+        def forward(self, x):
+            idn = self.downsample(x) if self.downsample is not None else x
+            out = tF.relu(self.bn1(self.conv1(x)))
+            out = tF.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return tF.relu(out + idn)
+
+    def stage(n, in_c, width, stride):
+        blocks = [BottleneckT(in_c, width, stride)]
+        blocks += [BottleneckT(width * 4, width) for _ in range(n - 1)]
+        return nn.Sequential(*blocks)
+
+    class ResNet50T(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.layer1 = stage(3, 64, 64, 1)
+            self.layer2 = stage(4, 256, 128, 2)
+            self.layer3 = stage(6, 512, 256, 2)
+            self.layer4 = stage(3, 1024, 512, 2)
+            self.fc = nn.Linear(2048, num_classes)
+
+        def forward(self, x):
+            x = tF.relu(self.bn1(self.conv1(x)))
+            x = tF.max_pool2d(x, 3, 2, padding=1)
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = tF.adaptive_avg_pool2d(x, (1, 1)).reshape(-1, 2048)
+            return self.fc(x)
+
+    net = ResNet50T()
+    net.train()
+    with torch.no_grad():
+        net(torch.randn(2, 3, 64, 64))
     net.eval()
     return net

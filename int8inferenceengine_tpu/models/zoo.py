@@ -173,6 +173,11 @@ def _mobilenet_v1(**kw):
     return MobileNetV1(**kw)
 
 
+def _resnet50(**kw):
+    from .resnet import ResNet50
+    return ResNet50(**kw)
+
+
 MODEL_SPECS = {
     "fc_mnist": FCMnist,
     "simple_conv": SimpleConv,
@@ -180,6 +185,7 @@ MODEL_SPECS = {
     "lenet": LeNet,
     "vgg11": VGG11,
     "resnet18": _resnet18,
+    "resnet50": _resnet50,
     "mobilenet_v1": _mobilenet_v1,
 }
 
@@ -289,6 +295,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "resnet18":
         from .resnet import torch_resnet18
         return torch_resnet18(seed=seed)
+
+    elif name == "resnet50":
+        from .resnet import torch_resnet50
+        return torch_resnet50(seed=seed)
 
     elif name == "mobilenet_v1":
         from .mobilenet import torch_mobilenet_v1

@@ -155,3 +155,20 @@ def test_resnet_sharded_equals_unsharded():
     base = mm(q.tensor(x)).numpy()
     mm.shard(make_mesh((2, 4)))
     np.testing.assert_array_equal(mm(q.tensor(x)).numpy(), base)
+
+
+def test_resnet50_ptq_lifecycle():
+    torch.set_num_threads(1)
+    tm = models.torch_twin("resnet50")
+    mm = models.build("resnet50",
+                      config=QuantConfig(weight_per_channel=True))
+    mm.load(tm.state_dict())
+    x = _rand((2, 3, 64, 64))
+    ref = tm(torch.tensor(x)).detach().numpy()
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+    mm.prepare()
+    mm(q.tensor(_rand((2, 3, 64, 64))))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    assert qout.shape == ref.shape and np.isfinite(qout).all()
