@@ -165,24 +165,23 @@ class Module:
         """Forward for a pre-quantized u8 input (DataLoader host-side
         ingest): skips the Module's input quantization and runs at the
         tensor's own (scale, zp), which specializes the trace."""
-        if self._mesh is not None:
-            raise NotImplementedError(
-                "quantized-input fast path is not wired through shard_map "
-                "yet; feed float input to a sharded module")
         key = (round(t.scale, 12), t.zero_point)
         fn = self._jit_q_cache.get(key)
         if fn is None:
             scale, zp = t.scale, t.zero_point
+            if self._mesh is not None:
+                from .parallel.sharding import sharded_forward
+                fn = jax.jit(sharded_forward(self, scale, zp))
+            else:
+                def _fwd_q(params, data):
+                    self._bind(params)
+                    try:
+                        out = self._run(Tensor(data, scale, zp))
+                        return out.logical_data
+                    finally:
+                        self._bind(None)
 
-            def _fwd_q(params, data):
-                self._bind(params)
-                try:
-                    out = self._run(Tensor(data, scale, zp))
-                    return out.logical_data
-                finally:
-                    self._bind(None)
-
-            fn = jax.jit(_fwd_q)
+                fn = jax.jit(_fwd_q)
             self._jit_q_cache[key] = fn
         return Tensor(fn(self._gather_params(), t.data))
 

@@ -88,13 +88,38 @@ def shard_module(module, mesh, data_axis: str = "data",
                       data_size=data_size, model_size=model_size,
                       overlap=overlap)
 
+    module._mesh = mesh
+    module._parallel_axes = pa
+    module._tp_specs = specs
+    module._jit_q_cache = {}  # unsharded quantized-input fns are stale now
+    module._jit_fn = jax.jit(sharded_forward(module))
+    module._shardings = None  # shard_map handles placement
+
+
+def sharded_forward(module, input_scale=None, input_zero_point=None):
+    """Build the shard_map-wrapped forward for a sharded Module.
+
+    With ``input_scale``/``input_zero_point`` set, the traced forward treats
+    its input as pre-quantized u8 at that (scale, zp) — the DataLoader
+    host-ingest fast path (module.py _call_quantized) — instead of float
+    input quantized inside the program.  Wrap the result in jax.jit.
+    """
+    from .context import axes as axes_ctx
+
+    mesh, pa, specs = module._mesh, module._parallel_axes, module._tp_specs
+    data_axis = pa.data_axis
+
     def _fwd(params, data):
         def local_fn(local_params, local_data):
             from ..tensor import Tensor
             module._bind(local_params)
             try:
                 with axes_ctx(pa):
-                    out = module._run(Tensor(local_data))
+                    if input_scale is None:
+                        t = Tensor(local_data)
+                    else:
+                        t = Tensor(local_data, input_scale, input_zero_point)
+                    out = module._run(t)
                     if out._tp_sharded:   # overlap mode: gather once at exit
                         return gather_channels(out.logical_data, 1)
                     return out.logical_data
@@ -108,10 +133,7 @@ def shard_module(module, mesh, data_axis: str = "data",
             check_vma=False,
         )(params, data)
 
-    module._mesh = mesh
-    module._parallel_axes = pa
-    module._jit_fn = jax.jit(_fwd)
-    module._shardings = None  # shard_map handles placement
+    return _fwd
 
 
 def gather_channels(x, axis: int):

@@ -58,6 +58,40 @@ def test_linear_only_model_tp():
     np.testing.assert_array_equal(mm(q.tensor(x)).numpy(), base)
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+def test_quantized_input_fast_path_sharded(mesh_shape):
+    """Pre-quantized u8 ingest through a sharded module must match the
+    sharded float path exactly (same in-program numerics, input quantize
+    moved to the host)."""
+    from int8inferenceengine_tpu.data import DataLoader
+
+    mm, shape = _calibrated("lenet", batch=16)
+    x = _rand(shape)
+    cfg = mm.config
+    mm.shard(make_mesh(mesh_shape))
+    base = mm(q.tensor(x)).numpy()   # sharded float path
+    dl = DataLoader(x, batch_size=16,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    assert batch.quantized
+    np.testing.assert_array_equal(mm(batch).numpy(), base)
+
+
+def test_quantized_input_fast_path_sharded_overlap():
+    """Same through the ring-TP overlap mode on a Linear-chain model."""
+    from int8inferenceengine_tpu.data import DataLoader
+
+    mm, shape = _calibrated("lenet", batch=16)
+    x = _rand(shape)
+    cfg = mm.config
+    mm.shard(make_mesh((2, 4)), overlap=True)
+    base = mm(q.tensor(x)).numpy()
+    dl = DataLoader(x, batch_size=16,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    np.testing.assert_array_equal(mm(batch).numpy(), base)
+
+
 def test_mesh_shape_validation():
     with pytest.raises(ValueError, match="mesh shape"):
         make_mesh((3, 2))
