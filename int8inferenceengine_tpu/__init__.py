@@ -14,7 +14,7 @@ points.
 """
 
 from .config import DEFAULT_CONFIG, QuantConfig
-from .layers import Conv2d, Layer, Linear
+from .layers import Conv2d, Layer, Linear, QuantAdd, QuantConcat
 from .module import Module
 from .ops.functional import argmax, dequantize, max_pool2d, quantize, relu
 from .tensor import Tensor, tensor
@@ -22,6 +22,7 @@ from .tensor import Tensor, tensor
 __all__ = [
     "tensor", "argmax", "relu", "max_pool2d",
     "Linear", "Conv2d", "Tensor", "Layer", "Module",
+    "QuantAdd", "QuantConcat",
     "quantize", "dequantize",
     "QuantConfig", "DEFAULT_CONFIG",
 ]

@@ -50,7 +50,7 @@ class DataLoader:
 
     def __init__(self, images, batch_size: int, *, labels=None, mean=None,
                  std=None, resize_to=None, quantize_to=None, prefetch: int = 2,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False, layout_for=None):
         self.images = images
         self.labels = labels
         self.batch_size = int(batch_size)
@@ -64,6 +64,21 @@ class DataLoader:
             raise ValueError("u8 NHWC input requires mean/std")
         if resize_to is not None and images.dtype != np.uint8:
             raise ValueError("resize_to only applies to u8 NHWC image input")
+        # Host-side first-conv pre-layout (zp-pad + space-to-depth): pass the
+        # target model (or its first Conv2d).  No-op when the model's first
+        # layer doesn't qualify (layers.Conv2d.ingest_descriptor).
+        self.ingest = None
+        if layout_for is not None:
+            if quantize_to is None:
+                raise ValueError("layout_for requires quantize_to")
+            self.ingest = layout_for.ingest_descriptor()
+
+    def _prelayout(self, q_nchw_u8: np.ndarray) -> np.ndarray:
+        """Apply the first conv's zp-pad + space-to-depth on the host
+        (native one-pass op, numpy fallback — native/hostops.cc)."""
+        _, k, s, p, _c = self.ingest
+        return native.s2d_quantized(q_nchw_u8, k, s, p,
+                                    int(self.quantize_to[1]))
 
     def __len__(self):
         n = self.images.shape[0]
@@ -77,14 +92,20 @@ class DataLoader:
                 s, zp = self.quantize_to
                 q = native.preprocess_quantize(chunk, self.mean, self.std,
                                                float(s), int(zp))
+                if self.ingest is not None:
+                    return Tensor(jnp.asarray(self._prelayout(q)),
+                                  float(s), int(zp), _ingest=self.ingest)
                 return Tensor(jnp.asarray(q), float(s), int(zp))
             return Tensor(jnp.asarray(
                 native.normalize_nchw(chunk, self.mean, self.std)))
         arr = np.asarray(chunk, np.float32)
         if self.quantize_to is not None:
             s, zp = self.quantize_to
-            return Tensor(jnp.asarray(native.quantize_u8(arr, float(s), int(zp))),
-                          float(s), int(zp))
+            q = native.quantize_u8(arr, float(s), int(zp))
+            if self.ingest is not None:
+                return Tensor(jnp.asarray(self._prelayout(q)),
+                              float(s), int(zp), _ingest=self.ingest)
+            return Tensor(jnp.asarray(q), float(s), int(zp))
         return Tensor(jnp.asarray(arr))
 
     def __iter__(self):
@@ -114,7 +135,7 @@ class DataLoader:
                     # Kick off the host->device transfer now; the consumer
                     # blocks on data only when it actually uses it.
                     t = Tensor(jax.device_put(t.data), t.scale, t.zero_point,
-                               _nhwc=t._nhwc)
+                               _nhwc=t._nhwc, _ingest=t._ingest)
                     if self.labels is not None:
                         if not _put((t, self.labels[i:i + chunk.shape[0]])):
                             return

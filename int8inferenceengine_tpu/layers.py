@@ -323,7 +323,32 @@ class Conv2d(Layer):
         if per_channel:
             self.params["w_scale"] = jnp.asarray(s_w, jnp.float32)
 
+    def ingest_descriptor(self):
+        """Host-ingest pre-layout tag for this conv, or None.
+
+        When this conv is the model's first layer and would be rewritten by
+        space-to-depth on device (strided, small input-channel count,
+        conv.py conv2d_int8_xla), the DataLoader can apply the zp-pad +
+        space-to-depth on the host instead (data.py ``layout_for``), so the
+        device program starts directly at the stride-1 conv.
+        """
+        if (self.stride > 1 and self.in_channels < 32 and self.groups == 1
+                and self._conv_backend() == "xla_conv"):
+            return ("s2d", self.kernel_size, self.stride, self.padding,
+                    self.in_channels)
+        return None
+
     def __call__(self, x: Tensor) -> Tensor:
+        if x._ingest is not None:
+            if not x.quantized:
+                raise ValueError("pre-laid-out ingest tensors are u8")
+            if x._ingest != self.ingest_descriptor():
+                raise ValueError(
+                    f"ingest pre-layout {x._ingest} does not match this "
+                    f"conv's geometry {self.ingest_descriptor()} — "
+                    "DataLoader layout_for must target the model's first "
+                    "Conv2d")
+            return self._forward_int8(x)
         if len(x.shape) != 4:
             raise ValueError(f"Conv2d expects a 4D input, got {x.shape}")
         if x.quantized:
@@ -358,7 +383,12 @@ class Conv2d(Layer):
         if self.groups > 1:
             backend = "xla_conv"   # grouped convs go through XLA's native path
         qw_hwio = self._p("qw_hwio")
-        if backend == "xla_conv":
+        if x._ingest is not None:
+            out = conv_ops.conv2d_int8_xla(
+                x.data, qw_hwio, oc, input_pre_s2d=True,
+                stride=self.stride, padding=self.padding, groups=self.groups,
+                epilogue_dtype=self.config.epilogue_dtype, **kw)
+        elif backend == "xla_conv":
             out = conv_ops.conv2d_int8_xla(
                 x.as_nhwc_data(), qw_hwio, oc,
                 stride=self.stride, padding=self.padding, groups=self.groups,
@@ -384,6 +414,55 @@ class Conv2d(Layer):
         if impl == "auto":
             return "xla_conv"
         return impl
+
+
+class QuantConcat(Layer):
+    """Calibrated channel concatenation — the Fire/Inception primitive.
+
+    Not in the reference (its CNNs are straight chains); required by
+    SqueezeNet-style expand branches.  Same PTQ lifecycle as QuantAdd: while
+    preparing, the FP32 concat's range is observed; after convert(), each
+    quantized input (at its own (scale, zp)) is requantized to this layer's
+    calibrated output range — one affine map per input on the VPU, fused by
+    XLA into the concatenate — so downstream layers see a single
+    per-tensor-quantized activation, exactly as after any conv boundary
+    (the analogue of down_scale at a layer edge, quantize_utils.cc:27-36).
+    """
+
+    def __init__(self, config: QuantConfig = DEFAULT_CONFIG,
+                 fuse_relu: bool = False):
+        super().__init__(config)
+        self.fuse_relu = fuse_relu
+
+    def _quantize_weights(self):  # no weights to quantize
+        pass
+
+    def __call__(self, *xs: Tensor) -> Tensor:
+        if len(xs) < 2:
+            raise ValueError("QuantConcat needs at least two inputs")
+        first = xs[0]
+        if any(x.quantized != first.quantized for x in xs):
+            raise ValueError(
+                "QuantConcat: all inputs must be quantized or all float")
+        axis = 3 if first._nhwc else 1   # channel dim in either layout
+        datas = [QuantAdd._aligned(first, x) for x in xs]
+        if not first.quantized:
+            out = jnp.concatenate(datas, axis=axis)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out, _nhwc=first._nhwc)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        requant = [
+            quant_ops.quantize_u8(
+                quant_ops.dequantize_u8(d, x.scale, x.zero_point),
+                self.scale, self.zero_point)
+            for d, x in zip(datas, xs)
+        ]
+        out = jnp.concatenate(requant, axis=axis)
+        if self.fuse_relu:
+            out = jnp.maximum(out, jnp.uint8(self.zero_point))
+        return Tensor(out, self.scale, self.zero_point, _nhwc=first._nhwc)
 
 
 class QuantAdd(Layer):

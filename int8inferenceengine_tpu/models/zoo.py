@@ -178,6 +178,11 @@ def _resnet50(**kw):
     return ResNet50(**kw)
 
 
+def _squeezenet(**kw):
+    from .squeezenet import SqueezeNet
+    return SqueezeNet(**kw)
+
+
 MODEL_SPECS = {
     "fc_mnist": FCMnist,
     "simple_conv": SimpleConv,
@@ -187,6 +192,7 @@ MODEL_SPECS = {
     "resnet18": _resnet18,
     "resnet50": _resnet50,
     "mobilenet_v1": _mobilenet_v1,
+    "squeezenet": _squeezenet,
 }
 
 
@@ -299,6 +305,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "resnet50":
         from .resnet import torch_resnet50
         return torch_resnet50(seed=seed)
+
+    elif name == "squeezenet":
+        from .squeezenet import torch_squeezenet
+        return torch_squeezenet(seed=seed)
 
     elif name == "mobilenet_v1":
         from .mobilenet import torch_mobilenet_v1

@@ -101,6 +101,23 @@ class Module:
         self._jit_fn = None
         self._jit_q_cache = {}
 
+    def ingest_descriptor(self):
+        """Host-ingest pre-layout tag for this model's input, or None.
+
+        Inspects the first declared compute layer (declaration order =
+        forward order for standard models): a strided small-channel first
+        Conv2d yields its space-to-depth tag (layers.Conv2d.ingest_descriptor)
+        that DataLoader(..., layout_for=model) uses to pre-lay-out quantized
+        batches on the host.
+        """
+        from .layers import Conv2d, Linear
+        for _, layer in self.named_layers():
+            if isinstance(layer, Conv2d):
+                return layer.ingest_descriptor()
+            if isinstance(layer, Linear):
+                return None
+        return None
+
     # -- execution -------------------------------------------------------------
     def forward(self, x: Tensor) -> Tensor:  # overridden by the user
         raise NotImplementedError
@@ -165,18 +182,19 @@ class Module:
         """Forward for a pre-quantized u8 input (DataLoader host-side
         ingest): skips the Module's input quantization and runs at the
         tensor's own (scale, zp), which specializes the trace."""
-        key = (round(t.scale, 12), t.zero_point)
+        key = (round(t.scale, 12), t.zero_point, t._ingest)
         fn = self._jit_q_cache.get(key)
         if fn is None:
-            scale, zp = t.scale, t.zero_point
+            scale, zp, ingest = t.scale, t.zero_point, t._ingest
             if self._mesh is not None:
                 from .parallel.sharding import sharded_forward
-                fn = jax.jit(sharded_forward(self, scale, zp))
+                fn = jax.jit(sharded_forward(self, scale, zp, ingest))
             else:
                 def _fwd_q(params, data):
                     self._bind(params)
                     try:
-                        out = self._run(Tensor(data, scale, zp))
+                        out = self._run(Tensor(data, scale, zp,
+                                               _ingest=ingest))
                         return out.logical_data
                     finally:
                         self._bind(None)

@@ -53,6 +53,8 @@ def _load():
                                          u8p]
     lib.i8ie_preprocess_quantize.argtypes = [u8p, i64, i64, i64, i64, f32p,
                                              f32p, f32, i32, u8p]
+    lib.i8ie_s2d_quantized.argtypes = [u8p, i64, i64, i64, i64, i64, i64,
+                                       i64, i32, u8p]
     _lib = lib
     return _lib
 
@@ -148,4 +150,33 @@ def preprocess_quantize(img_nhwc_u8: np.ndarray, mean, std, scale: float,
     out = np.empty((n, c, h, w), dtype=np.uint8)
     lib.i8ie_preprocess_quantize(_u8p(img), n, h, w, c, _f32p(mean),
                                  _f32p(std), scale, zero_point, _u8p(out))
+    return out
+
+
+def s2d_quantized(q_nchw: np.ndarray, kernel: int, stride: int, padding: int,
+                  zero_point: int) -> np.ndarray:
+    """First-conv ingest pre-layout: u8 NCHW -> zp-pad + space-to-depth.
+
+    One native pass producing the [n, hp/s, wp/s, s*s*c] u8 block layout
+    that ops/conv.py's stride-1 rewritten conv consumes directly (see
+    hostops.cc i8ie_s2d_quantized; numpy fallback mirrors ops/conv.s2d_input).
+    """
+    q = np.ascontiguousarray(q_nchw, dtype=np.uint8)
+    n, c, h, w = q.shape
+    k, s, p = int(kernel), int(stride), int(padding)
+    lib = _load()
+    if lib is None:
+        from ..ops.conv import s2d_input
+        x = np.ascontiguousarray(q.transpose(0, 2, 3, 1))
+        if p:
+            x = np.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
+                       constant_values=np.uint8(zero_point))
+        return s2d_input(x, k, k, s, np.uint8(zero_point))
+    kp = -(-k // s)
+    oh = (h + 2 * p - k) // s + 1
+    ow = (w + 2 * p - k) // s + 1
+    hb, wb = oh + kp - 1, ow + kp - 1
+    out = np.empty((n, hb, wb, s * s * c), dtype=np.uint8)
+    lib.i8ie_s2d_quantized(_u8p(q), n, c, h, w, k, s, p, int(zero_point),
+                           _u8p(out))
     return out

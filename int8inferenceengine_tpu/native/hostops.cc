@@ -136,4 +136,45 @@ void i8ie_preprocess_quantize(const uint8_t* img, int64_t n, int64_t h,
   }
 }
 
+// First-conv ingest pre-layout: quantized u8 NCHW -> zero-point-padded +
+// space-to-depth u8 blocks, one pass.  Mirrors ops/conv.py s2d_input (the
+// device-side rewrite of a stride-s conv into a stride-1 conv over s*s*C
+// channels): out[i][Y][X][(r*s+t)*c + ch] = padded[i][Y*s+r][X*s+t][ch],
+// where padded is the zp-padded NHWC view of the NCHW input.  Feeding this
+// from the DataLoader removes the device-side layout pass entirely — the
+// jitted program starts at the stride-1 conv.
+void i8ie_s2d_quantized(const uint8_t* q, int64_t n, int64_t c, int64_t h,
+                        int64_t w, int64_t k, int64_t s, int64_t p,
+                        int32_t zp, uint8_t* out) {
+  const int64_t h2 = h + 2 * p, w2 = w + 2 * p;
+  const int64_t kp = (k + s - 1) / s;
+  const int64_t oh = (h2 - k) / s + 1, ow = (w2 - k) / s + 1;
+  const int64_t HB = oh + kp - 1, WB = ow + kp - 1;  // hp/s, wp/s
+  const int64_t hw = h * w;
+  const uint8_t pad = (uint8_t)zp;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* src = q + i * c * hw;           // NCHW sample
+    uint8_t* dst = out + i * HB * WB * s * s * c;  // [HB, WB, s*s*c]
+    for (int64_t Y = 0; Y < HB; ++Y) {
+      for (int64_t X = 0; X < WB; ++X) {
+        uint8_t* blk = dst + (Y * WB + X) * s * s * c;
+        for (int64_t r = 0; r < s; ++r) {
+          const int64_t y = Y * s + r - p;
+          for (int64_t t = 0; t < s; ++t) {
+            const int64_t x = X * s + t - p;
+            uint8_t* cell = blk + (r * s + t) * c;
+            if (y < 0 || y >= h || x < 0 || x >= w) {
+              for (int64_t ch = 0; ch < c; ++ch) cell[ch] = pad;
+            } else {
+              const uint8_t* px = src + y * w + x;
+              for (int64_t ch = 0; ch < c; ++ch) cell[ch] = px[ch * hw];
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

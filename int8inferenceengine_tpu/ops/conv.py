@@ -26,6 +26,7 @@ pad value is ``zp_a - 128``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .gemm_int8 import qgemm
@@ -51,6 +52,42 @@ def conv2d_fp32(x_nhwc, w_hwio, bias, stride: int, padding: int,
     return out + bias.reshape(1, 1, 1, -1)
 
 
+def s2d_input(x, kh: int, kw: int, stride: int, pad_value):
+    """Space-to-depth input half: [n,h,w,c] -> [n,hp/s,wp/s,s*s*c].
+
+    ``x`` is the (already zp-padded) conv input; works on jnp arrays under
+    trace and on plain numpy arrays (host-side ingest pre-layout — the
+    DataLoader applies this off the critical path so the device program
+    starts directly at the stride-1 conv).
+    """
+    xp = jnp if not isinstance(x, np.ndarray) else np
+    n, h, w, c = x.shape
+    s = stride
+    kp_h, kp_w = -(-kh // s), -(-kw // s)
+    oh = (h - kh) // s + 1
+    ow = (w - kw) // s + 1
+    hp, wp = s * (oh + kp_h - 1), s * (ow + kp_w - 1)
+    # slice-or-pad each spatial dim to exactly (hp, wp)
+    x = x[:, :hp, :wp, :]
+    if hp > x.shape[1] or wp > x.shape[2]:
+        x = xp.pad(x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2]),
+                       (0, 0)), constant_values=pad_value)
+    xb = x.reshape(n, hp // s, s, wp // s, s, c)
+    return xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // s, wp // s,
+                                                  s * s * c)
+
+
+def s2d_weights(w_hwio, stride: int):
+    """Space-to-depth weight half: [kh,kw,c,o] -> [kp_h,kp_w,s*s*c,o]."""
+    kh, kw, c, o = w_hwio.shape
+    s = stride
+    kp_h, kp_w = -(-kh // s), -(-kw // s)
+    wpad = jnp.pad(w_hwio, ((0, kp_h * s - kh), (0, kp_w * s - kw),
+                            (0, 0), (0, 0)))
+    wb = wpad.reshape(kp_h, s, kp_w, s, c, o)
+    return wb.transpose(0, 2, 1, 3, 4, 5).reshape(kp_h, kp_w, s * s * c, o)
+
+
 def _space_to_depth(x, w_hwio, stride: int, pad_value: int):
     """Rewrite a stride-s VALID conv as a stride-1 conv on s*s*C channels.
 
@@ -66,32 +103,15 @@ def _space_to_depth(x, w_hwio, stride: int, pad_value: int):
     ever meet zero weight taps, so edge slicing/padding cannot change the
     result.
     """
-    n, h, w, c = x.shape
-    kh, kw, _, o = w_hwio.shape
-    s = stride
-    kp_h, kp_w = -(-kh // s), -(-kw // s)
-    oh = (h - kh) // s + 1
-    ow = (w - kw) // s + 1
-    hp, wp = s * (oh + kp_h - 1), s * (ow + kp_w - 1)
-    # slice-or-pad each spatial dim to exactly (hp, wp)
-    x = x[:, :hp, :wp, :]
-    if hp > x.shape[1] or wp > x.shape[2]:
-        x = jnp.pad(x, ((0, 0), (0, hp - x.shape[1]), (0, wp - x.shape[2]),
-                        (0, 0)), constant_values=pad_value)
-    xb = x.reshape(n, hp // s, s, wp // s, s, c)
-    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // s, wp // s,
-                                                s * s * c)
-    wpad = jnp.pad(w_hwio, ((0, kp_h * s - kh), (0, kp_w * s - kw),
-                            (0, 0), (0, 0)))
-    wb = wpad.reshape(kp_h, s, kp_w, s, c, o)
-    wb = wb.transpose(0, 2, 1, 3, 4, 5).reshape(kp_h, kp_w, s * s * c, o)
-    return xb, wb
+    kh, kw = w_hwio.shape[0], w_hwio.shape[1]
+    return (s2d_input(x, kh, kw, stride, pad_value),
+            s2d_weights(w_hwio, stride))
 
 
 def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
                     scale_a, zp_a, scale_w, scale_c, zp_c, relu=False,
                     backend: str = "xla", epilogue_dtype=None,
-                    groups: int = 1):
+                    groups: int = 1, input_pre_s2d: bool = False):
     """Quantized conv: recenter -> zp-pad -> (space-to-depth) -> conv.
 
     ``oc`` must include the +128*rowsum recentering term
@@ -99,17 +119,25 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
     routes stride-1 convolutions (including strided ones rewritten by
     space-to-depth) to the Pallas direct conv kernel (conv_pallas.py); the
     default is XLA's native integer convolution.
+
+    ``input_pre_s2d``: the input is already zp-padded + space-to-depth'ed
+    u8 (host-side ingest pre-layout, s2d_input applied by the DataLoader);
+    only the u8->s8 recenter and the weight-half rewrite run on device.
     """
     x = (x_u8_nhwc.astype(jnp.int32) - 128).astype(jnp.int8)
     pad_value = int(zp_a) - 128
-    if padding:
-        x = jnp.pad(
-            x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
-            constant_values=pad_value)
     w = qw_hwio
-    if stride > 1 and x.shape[-1] < 32 and groups == 1:
-        x, w = _space_to_depth(x, w, stride, pad_value)
+    if input_pre_s2d:
+        w = s2d_weights(w, stride)
         stride = 1
+    else:
+        if padding:
+            x = jnp.pad(
+                x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                constant_values=pad_value)
+        if stride > 1 and x.shape[-1] < 32 and groups == 1:
+            x, w = _space_to_depth(x, w, stride, pad_value)
+            stride = 1
     if backend == "pallas" and stride == 1 and groups == 1:
         from .conv_pallas import conv2d_int8_pallas
         from .gemm_int8 import _mult_vector

@@ -32,22 +32,40 @@ def relu(x: Tensor) -> Tensor:
                   _tp_sharded=x._tp_sharded)
 
 
+def _pool_extra_pad(size: int, k: int, s: int, p: int) -> int:
+    """Extra high-side padding emulating torch's ceil_mode=True: output
+    ceil((size+2p-k)/s)+1, with the torch constraint that the last window
+    must start inside the input-or-left-pad region."""
+    o = -(-(size + 2 * p - k) // s) + 1
+    if (o - 1) * s >= size + p:
+        o -= 1
+    return max(0, (o - 1) * s + k - (size + 2 * p))
+
+
 def max_pool2d(x: Tensor, kernel_size: int, stride: int,
-               padding: int = 0) -> Tensor:
+               padding: int = 0, ceil_mode: bool = False) -> Tensor:
     """NCHW-semantics window max (square window), any layout.
 
     ``padding`` (a ResNet-era extension; the reference pool is VALID-only,
     functional.cc:28-64) pads with the reduction identity, so padded taps
-    never win the max.
+    never win the max.  ``ceil_mode`` matches torch's ceil_mode=True output
+    size (SqueezeNet-era nets) via extra high-side identity padding.
     """
+    eh = ew = 0
+    if ceil_mode:
+        h, w = (x.data.shape[1:3]) if x._nhwc else (x.data.shape[2:4])
+        eh = _pool_extra_pad(int(h), kernel_size, stride, padding)
+        ew = _pool_extra_pad(int(w), kernel_size, stride, padding)
     if x._nhwc:
         window = (1, kernel_size, kernel_size, 1)
         strides = (1, stride, stride, 1)
-        pads = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+        pads = [(0, 0), (padding, padding + eh), (padding, padding + ew),
+                (0, 0)]
     else:
         window = (1, 1, kernel_size, kernel_size)
         strides = (1, 1, stride, stride)
-        pads = [(0, 0), (0, 0), (padding, padding), (padding, padding)]
+        pads = [(0, 0), (0, 0), (padding, padding + eh),
+                (padding, padding + ew)]
     if x.quantized:
         init = jnp.uint8(0)            # reference: min<u8_t>() == 0
     elif jnp.issubdtype(x.data.dtype, jnp.floating):

@@ -96,13 +96,16 @@ def shard_module(module, mesh, data_axis: str = "data",
     module._shardings = None  # shard_map handles placement
 
 
-def sharded_forward(module, input_scale=None, input_zero_point=None):
+def sharded_forward(module, input_scale=None, input_zero_point=None,
+                    ingest=None):
     """Build the shard_map-wrapped forward for a sharded Module.
 
     With ``input_scale``/``input_zero_point`` set, the traced forward treats
     its input as pre-quantized u8 at that (scale, zp) — the DataLoader
     host-ingest fast path (module.py _call_quantized) — instead of float
-    input quantized inside the program.  Wrap the result in jax.jit.
+    input quantized inside the program.  ``ingest`` is the optional
+    host-pre-layout tag (tensor.py Tensor._ingest).  Wrap the result in
+    jax.jit.
     """
     from .context import axes as axes_ctx
 
@@ -118,7 +121,8 @@ def sharded_forward(module, input_scale=None, input_zero_point=None):
                     if input_scale is None:
                         t = Tensor(local_data)
                     else:
-                        t = Tensor(local_data, input_scale, input_zero_point)
+                        t = Tensor(local_data, input_scale, input_zero_point,
+                                   _ingest=ingest)
                     out = module._run(t)
                     if out._tp_sharded:   # overlap mode: gather once at exit
                         return gather_channels(out.logical_data, 1)

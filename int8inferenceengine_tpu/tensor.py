@@ -32,10 +32,12 @@ class Tensor:
     kernels specialize on them at trace time.
     """
 
-    __slots__ = ("data", "scale", "zero_point", "_nhwc", "_tp_sharded")
+    __slots__ = ("data", "scale", "zero_point", "_nhwc", "_tp_sharded",
+                 "_ingest")
 
     def __init__(self, data, scale: float = 1.0, zero_point: int = 0,
-                 _nhwc: bool = False, _tp_sharded: bool = False):
+                 _nhwc: bool = False, _tp_sharded: bool = False,
+                 _ingest=None):
         self.data = data
         self.scale = float(scale)
         self.zero_point = int(zero_point)
@@ -44,22 +46,36 @@ class Tensor:
         # shard_map overlap mode (parallel/overlap.py): elementwise ops
         # propagate the flag; Linears either ring-consume or gather.
         self._tp_sharded = _tp_sharded
+        # Host-ingest pre-layout tag (data.py layout_for): the DataLoader
+        # already applied the first conv's zp-pad + space-to-depth on the
+        # host, so data is [n, h', w', s*s*c] u8.  Only the Conv2d whose
+        # geometry matches this tag may consume the tensor.
+        self._ingest = _ingest
 
     # -- layout ------------------------------------------------------------
     @property
     def logical_data(self):
         """Data in the reference's logical (NCHW) element order."""
+        self._no_ingest("logical_data")
         if self._nhwc:
             return jnp.transpose(self.data, (0, 3, 1, 2))
         return self.data
 
     def as_nhwc_data(self):
         """Physical NHWC data (for conv/pool); input must be 4D."""
+        self._no_ingest("as_nhwc_data")
         if self._nhwc:
             return self.data
         if self.data.ndim != 4:
             raise ValueError(f"expected 4D tensor, got shape {self.shape}")
         return jnp.transpose(self.data, (0, 2, 3, 1))
+
+    def _no_ingest(self, what: str):
+        if self._ingest is not None:
+            raise ValueError(
+                f"{what}: this tensor carries a host-ingest pre-layout "
+                f"{self._ingest} (DataLoader layout_for) — only the first "
+                "Conv2d with matching geometry can consume it")
 
     # -- reference Tensor API (i8ie/tensor.py) -------------------------------
     @property

@@ -133,3 +133,100 @@ def test_resize_on_float_rejected():
     x = np.zeros((4, 1, 8, 8), np.float32)
     with pytest.raises(ValueError, match="resize_to"):
         DataLoader(x, batch_size=2, resize_to=(16, 16))
+
+
+class _StridedNet(q.Module):
+    """First conv qualifies for host space-to-depth (stride 2, 3 channels)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = q.Conv2d(3, 16, 5, stride=2, padding=2)
+        self.fc = q.Linear(16 * 8 * 8, 10)
+
+    def forward(self, x):
+        x = q.relu(self.conv1(x))
+        return self.fc(x.reshape(-1, 16 * 8 * 8))
+
+
+def _converted_strided():
+    m = _StridedNet()
+    rng = np.random.default_rng(3)
+    m.conv1.load_weight(rng.normal(0, 0.2, (16, 3, 5, 5)).astype(np.float32))
+    m.conv1.load_bias(rng.normal(0, 0.1, (16,)).astype(np.float32))
+    m.fc.load_weight(rng.normal(0, 0.05, (10, 1024)).astype(np.float32))
+    m.fc.load_bias(rng.normal(0, 0.05, (10,)).astype(np.float32))
+    m.prepare()
+    m(q.tensor(rng.uniform(-1, 1, (8, 3, 16, 16)).astype(np.float32)))
+    m.convert()
+    return m
+
+
+def test_host_prelayout_matches_device_path():
+    """layout_for ingest (host zp-pad + space-to-depth) is bit-identical to
+    plain quantized ingest (device-side s2d)."""
+    m = _converted_strided()
+    assert m.ingest_descriptor() == ("s2d", 5, 2, 2, 3)
+    x = np.random.default_rng(4).uniform(-1, 1, (8, 3, 16, 16)).astype(np.float32)
+    cfg = m.config
+    dl_plain = DataLoader(x, batch_size=8,
+                          quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (plain,) = list(dl_plain)
+    base = m(plain).numpy()
+    dl = DataLoader(x, batch_size=8, layout_for=m,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    assert batch._ingest == ("s2d", 5, 2, 2, 3)
+    np.testing.assert_array_equal(m(batch).numpy(), base)
+
+
+def test_host_prelayout_u8_image_pipeline():
+    """Full u8 image ingest: preprocess + quantize + pre-layout on the host."""
+    m = _converted_strided()
+    img = np.random.randint(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    mean, std = [0.5] * 3, [0.25] * 3
+    cfg = m.config
+    dl_plain = DataLoader(img, batch_size=8, mean=mean, std=std,
+                          quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (plain,) = list(dl_plain)
+    base = m(plain).numpy()
+    dl = DataLoader(img, batch_size=8, mean=mean, std=std, layout_for=m,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    np.testing.assert_array_equal(m(batch).numpy(), base)
+
+
+def test_prelayout_mismatch_raises():
+    m = _converted_strided()
+    x = np.random.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    cfg = m.config
+    dl = DataLoader(x, batch_size=4, layout_for=m,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    other = models.build("lenet")  # conv1: k5 s1 c1 -> no/different layout
+    with pytest.raises(ValueError):
+        other.conv1(batch)
+
+
+def test_layout_for_requires_quantize_to():
+    m = _converted_strided()
+    x = np.random.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    with pytest.raises(ValueError, match="quantize_to"):
+        DataLoader(x, batch_size=4, layout_for=m)
+
+
+def test_layout_for_noop_on_stride1_model():
+    """Models whose first conv doesn't qualify silently skip pre-layout."""
+    tm = models.torch_twin("lenet")
+    mm = models.build("lenet")
+    mm.load(tm.state_dict())
+    mm.prepare()
+    mm(q.tensor(np.random.uniform(-1, 1, (8, 1, 28, 28)).astype(np.float32)))
+    mm.convert()
+    x = np.random.uniform(-1, 1, (8, 1, 28, 28)).astype(np.float32)
+    cfg = mm.config
+    base = mm(q.tensor(x)).numpy()
+    dl = DataLoader(x, batch_size=8, layout_for=mm,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    assert batch._ingest is None
+    np.testing.assert_array_equal(mm(batch).numpy(), base)

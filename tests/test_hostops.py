@@ -128,3 +128,22 @@ def test_numpy_fallbacks_match_native(monkeypatch):
                   - native_res["resize"].astype(int)).max() <= 1
     assert np.abs(fb["fused"].astype(int)
                   - native_res["fused"].astype(int)).max() <= 1
+
+
+def test_s2d_quantized_native_matches_fallback(monkeypatch):
+    from int8inferenceengine_tpu import native
+    assert native.available()
+    rng = np.random.default_rng(9)
+    # AlexNet conv1 geometry (k11 s4 p2) at a reduced spatial size, plus a
+    # slack case where hp exceeds the padded extent (k5 s3 p0 on 17).
+    cases = [((4, 3, 32, 32), 11, 4, 2), ((2, 3, 17, 17), 5, 3, 0),
+             ((2, 4, 16, 16), 5, 2, 2)]
+    for shape, k, s, p in cases:
+        q_in = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = native.s2d_quantized(q_in, k, s, p, 127)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", True)
+        want = native.s2d_quantized(q_in, k, s, p, 127)
+        monkeypatch.undo()
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)

@@ -103,3 +103,38 @@ def test_batch_not_divisible_raises_cleanly():
     bad = _rand((6,) + mm.INPUT_SHAPE)  # 6 % 8 != 0
     with pytest.raises(Exception):
         mm(q.tensor(bad))
+
+
+def test_host_prelayout_through_sharded_module():
+    """Host space-to-depth ingest + shard_map: exact vs sharded float path."""
+    from int8inferenceengine_tpu.data import DataLoader
+
+    class Net(q.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = q.Conv2d(3, 16, 5, stride=2, padding=2)
+            self.fc = q.Linear(16 * 8 * 8, 16)
+
+        def forward(self, x):
+            x = q.relu(self.conv1(x))
+            return self.fc(x.reshape(-1, 16 * 8 * 8))
+
+    rng = np.random.default_rng(5)
+    m = Net()
+    m.conv1.load_weight(rng.normal(0, 0.2, (16, 3, 5, 5)).astype(np.float32))
+    m.conv1.load_bias(rng.normal(0, 0.1, (16,)).astype(np.float32))
+    m.fc.load_weight(rng.normal(0, 0.05, (16, 1024)).astype(np.float32))
+    m.fc.load_bias(rng.normal(0, 0.05, (16,)).astype(np.float32))
+    m.prepare()
+    m(q.tensor(rng.uniform(-1, 1, (8, 3, 16, 16)).astype(np.float32)))
+    m.convert()
+
+    x = rng.uniform(-1, 1, (8, 3, 16, 16)).astype(np.float32)
+    cfg = m.config
+    m.shard(make_mesh((2, 4)))
+    base = m(q.tensor(x)).numpy()
+    dl = DataLoader(x, batch_size=8, layout_for=m,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    assert batch._ingest is not None
+    np.testing.assert_array_equal(m(batch).numpy(), base)
