@@ -77,6 +77,21 @@ def main():
     print("== engine INT8 ==")
     run_engine("engine INT8")
 
+    print("== engine INT8, host-quantized u8 ingest + first-conv pre-layout ==")
+    t0 = time.perf_counter()
+    correct = 0
+    dl = DataLoader(images, args.batch, labels=labels,
+                    quantize_to=(net.config.input_scale,
+                                 net.config.input_zero_point),
+                    layout_for=net)
+    for batch, lab in dl:
+        out = net(batch)
+        correct += int((q.argmax(out, 1) == q.tensor(np.float32(lab))).sum())
+    dt = time.perf_counter() - t0
+    print(f"   engine INT8 (u8 ingest): {dt:.2f}s  ({args.images/dt:.0f} "
+          f"img/s)  agreement {correct}/{args.images} = "
+          f"{correct/args.images:.1%}")
+
     from int8inferenceengine_tpu.utils import log_quantization_report
     print("== per-layer quantization report ==")
     log_quantization_report(net, stream=sys.stdout)
