@@ -41,20 +41,37 @@ class EngineStats:
     images: int = 0
     steps: int = 0
     padded_rows: int = 0
+    # Completed-request latencies (submit -> result materialized), seconds.
+    # Bounded ring so a long-lived engine doesn't grow without limit.
+    latencies_s: list = dataclasses.field(default_factory=list)
+    _max_latencies: int = 10_000
 
     @property
     def mean_batch_fill(self) -> float:
         total = self.images + self.padded_rows
         return self.images / total if total else 0.0
 
+    def record_latency(self, dt: float) -> None:
+        if len(self.latencies_s) >= self._max_latencies:
+            del self.latencies_s[: self._max_latencies // 2]
+        self.latencies_s.append(dt)
+
+    def latency_percentiles(self, ps=(50, 90, 99)) -> dict:
+        """Request-latency percentiles in milliseconds, e.g. {'p50': 1.2}."""
+        if not self.latencies_s:
+            return {f"p{p}": float("nan") for p in ps}
+        arr = np.asarray(self.latencies_s)
+        return {f"p{p}": float(np.percentile(arr, p) * 1e3) for p in ps}
+
 
 class _Request:
-    __slots__ = ("data", "future", "n")
+    __slots__ = ("data", "future", "n", "t_submit")
 
     def __init__(self, data: np.ndarray):
         self.data = data
         self.n = data.shape[0]
         self.future: Future = Future()
+        self.t_submit = time.monotonic()
 
 
 class InferenceEngine:
@@ -66,10 +83,25 @@ class InferenceEngine:
     """
 
     def __init__(self, model, max_batch: int = 256,
-                 batch_timeout_s: float = 0.002, max_inflight: int = 2):
+                 batch_timeout_s: float = 0.002, max_inflight: int = 2,
+                 quantize_ingest: bool = False):
+        """``quantize_ingest=True`` (converted models only) quantizes each
+        coalesced batch on the host at the model's input (scale, zp) and —
+        when the model's first conv qualifies — applies the space-to-depth
+        pre-layout (native/hostops.cc), so the host->device transfer ships
+        u8 at 1/4 the bytes and the device program starts at the stride-1
+        conv.  Numerically identical to the float path (the same quantize
+        runs on device otherwise)."""
         self.model = model
         self.max_batch = int(max_batch)
         self.batch_timeout_s = float(batch_timeout_s)
+        self.quantize_ingest = bool(quantize_ingest)
+        self._ingest_desc = None
+        if self.quantize_ingest:
+            if not getattr(model, "is_quant", False):
+                raise ValueError(
+                    "quantize_ingest requires a converted (INT8) model")
+            self._ingest_desc = model.ingest_descriptor()
         self.stats = EngineStats()
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._pending: _Request | None = None  # overflow carry between steps
@@ -169,7 +201,19 @@ class InferenceEngine:
         if pad:
             batch = np.concatenate(
                 [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
-        out = self.model(Tensor(jnp.asarray(batch)))  # async dispatch
+        if self.quantize_ingest:
+            from .. import native
+            cfg = self.model.config
+            qb = native.quantize_u8(batch, cfg.input_scale,
+                                    cfg.input_zero_point)
+            if self._ingest_desc is not None:
+                _, k, s, p, _c = self._ingest_desc
+                qb = native.s2d_quantized(qb, k, s, p, cfg.input_zero_point)
+            t = Tensor(jnp.asarray(qb), cfg.input_scale,
+                       cfg.input_zero_point, _ingest=self._ingest_desc)
+        else:
+            t = Tensor(jnp.asarray(batch))
+        out = self.model(t)  # async dispatch
         self.stats.steps += 1
         self.stats.images += rows
         self.stats.padded_rows += pad
@@ -189,6 +233,8 @@ class InferenceEngine:
                         r.future.set_exception(e)
                 continue
             off = 0
+            t_done = time.monotonic()
             for r in reqs:
                 r.future.set_result(result[off:off + r.n])
+                self.stats.record_latency(t_done - r.t_submit)
                 off += r.n

@@ -140,3 +140,73 @@ def test_shutdown_flushes_pending_requests():
         assert out.shape == (2, 10)
     t.join(timeout=60)
     assert not t.is_alive(), "shutdown deadlocked"
+
+
+def test_quantized_ingest_matches_float_path():
+    """quantize_ingest=True must produce the exact same results (the same
+    quantize just runs on host), including with the s2d pre-layout."""
+    mm = _calibrated()
+    x = _rand((8, 1, 28, 28))
+    ref = InferenceEngine(mm, max_batch=8)
+    try:
+        base = ref.infer(x)
+    finally:
+        ref.shutdown()
+    engine = InferenceEngine(mm, max_batch=8, quantize_ingest=True)
+    try:
+        np.testing.assert_array_equal(engine.infer(x), base)
+    finally:
+        engine.shutdown()
+
+    # Strided-first-conv model: the engine applies the host s2d pre-layout.
+    class Net(q.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = q.Conv2d(3, 16, 5, stride=2, padding=2)
+            self.fc = q.Linear(16 * 8 * 8, 10)
+
+        def forward(self, t):
+            t = q.relu(self.conv1(t))
+            return self.fc(t.reshape(-1, 16 * 8 * 8))
+
+    rng = np.random.default_rng(11)
+    m = Net()
+    m.conv1.load_weight(rng.normal(0, 0.2, (16, 3, 5, 5)).astype(np.float32))
+    m.conv1.load_bias(rng.normal(0, 0.1, (16,)).astype(np.float32))
+    m.fc.load_weight(rng.normal(0, 0.05, (10, 1024)).astype(np.float32))
+    m.fc.load_bias(rng.normal(0, 0.05, (10,)).astype(np.float32))
+    m.prepare()
+    m(q.tensor(_rand((8, 3, 16, 16))))
+    m.convert()
+    xs = _rand((8, 3, 16, 16))
+    ref = InferenceEngine(m, max_batch=8)
+    try:
+        base = ref.infer(xs)
+    finally:
+        ref.shutdown()
+    engine = InferenceEngine(m, max_batch=8, quantize_ingest=True)
+    try:
+        assert engine._ingest_desc == ("s2d", 5, 2, 2, 3)
+        np.testing.assert_array_equal(engine.infer(xs), base)
+    finally:
+        engine.shutdown()
+
+
+def test_quantized_ingest_requires_converted_model():
+    import pytest
+    mm = models.build("lenet")
+    with pytest.raises(ValueError, match="converted"):
+        InferenceEngine(mm, quantize_ingest=True)
+
+
+def test_latency_stats_populated():
+    mm = _calibrated()
+    engine = InferenceEngine(mm, max_batch=16)
+    try:
+        for _ in range(5):
+            engine.infer(_rand((4, 1, 28, 28)))
+    finally:
+        engine.shutdown()
+    assert len(engine.stats.latencies_s) == 5
+    pct = engine.stats.latency_percentiles()
+    assert pct["p50"] > 0 and pct["p99"] >= pct["p50"]
