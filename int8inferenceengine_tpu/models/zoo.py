@@ -183,6 +183,11 @@ def _squeezenet(**kw):
     return SqueezeNet(**kw)
 
 
+def _googlenet(**kw):
+    from .googlenet import GoogLeNet
+    return GoogLeNet(**kw)
+
+
 MODEL_SPECS = {
     "fc_mnist": FCMnist,
     "simple_conv": SimpleConv,
@@ -193,6 +198,7 @@ MODEL_SPECS = {
     "resnet50": _resnet50,
     "mobilenet_v1": _mobilenet_v1,
     "squeezenet": _squeezenet,
+    "googlenet": _googlenet,
 }
 
 
@@ -305,6 +311,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "resnet50":
         from .resnet import torch_resnet50
         return torch_resnet50(seed=seed)
+
+    elif name == "googlenet":
+        from .googlenet import torch_googlenet
+        return torch_googlenet(seed=seed)
 
     elif name == "squeezenet":
         from .squeezenet import torch_squeezenet
