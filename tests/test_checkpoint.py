@@ -129,3 +129,24 @@ def test_validate_clean_and_dirty():
     fresh.prepare()
     finds = validate.validate(fresh)
     assert any("still preparing" in f for f in finds)
+
+
+def test_quantized_roundtrip_branching_models(tmp_path):
+    """QuantConcat/QuantAdd layers (weightless, calibrated) must persist
+    their (scale, zp) through the artifact too."""
+    import torch
+    torch.set_num_threads(1)
+    for name in ("squeezenet", "googlenet"):
+        tm = models.torch_twin(name)
+        mm = models.build(name)
+        mm.load(tm.state_dict())
+        x = _rand((2, 3, 64, 64))
+        mm.prepare()
+        mm(q.tensor(x))
+        mm.convert()
+        base = mm(q.tensor(x)).numpy()
+        path = str(tmp_path / f"{name}_int8.npz")
+        utils.save(mm, path)
+        fresh = models.build(name)
+        utils.load(fresh, path)
+        np.testing.assert_array_equal(fresh(q.tensor(x)).numpy(), base)
