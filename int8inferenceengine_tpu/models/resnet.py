@@ -22,8 +22,9 @@ from ..module import Module
 from ..ops import functional as F
 from ..tensor import _maybe_torch
 
-__all__ = ["ResNet18", "ResNet50", "fold_bn", "fold_resnet_state_dict",
-           "torch_resnet18", "torch_resnet50"]
+__all__ = ["ResNet18", "ResNet34", "ResNet50", "fold_bn",
+           "fold_resnet_state_dict", "torch_resnet18", "torch_resnet34",
+           "torch_resnet50"]
 
 
 def fold_bn(w_oihw, b, gamma, beta, mean, var, eps: float = 1e-5):
@@ -114,13 +115,17 @@ class _Downsample(Module):
 
 
 class _Stage(Module):
-    def __init__(self, in_c, out_c, stride, config):
+    def __init__(self, in_c, out_c, stride, config, n_blocks: int = 2):
         super().__init__(config)
+        self._n = n_blocks
         setattr(self, "0", BasicBlock(in_c, out_c, stride, config))
-        setattr(self, "1", BasicBlock(out_c, out_c, 1, config))
+        for i in range(1, n_blocks):
+            setattr(self, str(i), BasicBlock(out_c, out_c, 1, config))
 
     def forward(self, x):
-        return getattr(self, "1")(getattr(self, "0")(x))
+        for i in range(self._n):
+            x = getattr(self, str(i))(x)
+        return x
 
     def __call__(self, x):
         return self.forward(x)
@@ -159,6 +164,20 @@ class ResNet18(Module):
         return self.fc(x)
 
 
+class ResNet34(ResNet18):
+    """torchvision-layout ResNet-34 (BasicBlock x [3,4,6,3])."""
+
+    def __init__(self, num_classes: int = 10,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        Module.__init__(self, config)
+        self.conv1 = Conv2d(3, 64, 7, stride=2, padding=3, config=config)
+        self.layer1 = _Stage(64, 64, 1, config, n_blocks=3)
+        self.layer2 = _Stage(64, 128, 2, config, n_blocks=4)
+        self.layer3 = _Stage(128, 256, 2, config, n_blocks=6)
+        self.layer4 = _Stage(256, 512, 2, config, n_blocks=3)
+        self.fc = Linear(512, num_classes, config=config)
+
+
 def torch_resnet18(num_classes: int = 10, seed: int = 42):
     """torchvision-compatible ResNet-18 oracle in plain torch.nn.
 
@@ -166,6 +185,15 @@ def torch_resnet18(num_classes: int = 10, seed: int = 42):
     data so the state_dict carries non-trivial mean/var for the folding
     differential test (no pretrained download in this environment).
     """
+    return _torch_basic_resnet((2, 2, 2, 2), num_classes, seed)
+
+
+def torch_resnet34(num_classes: int = 10, seed: int = 42):
+    """torchvision-compatible ResNet-34 oracle (BasicBlock x [3,4,6,3])."""
+    return _torch_basic_resnet((3, 4, 6, 3), num_classes, seed)
+
+
+def _torch_basic_resnet(depths, num_classes: int = 10, seed: int = 42):
     import torch
     import torch.nn as nn
     import torch.nn.functional as tF
@@ -191,19 +219,20 @@ def torch_resnet18(num_classes: int = 10, seed: int = 42):
             out = self.bn2(self.conv2(out))
             return tF.relu(out + idn)
 
-    class ResNet18T(nn.Module):
+    def stage(n, in_c, out_c, stride):
+        blocks = [BasicBlockT(in_c, out_c, stride)]
+        blocks += [BasicBlockT(out_c, out_c) for _ in range(n - 1)]
+        return nn.Sequential(*blocks)
+
+    class ResNetT(nn.Module):
         def __init__(self):
             super().__init__()
             self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
             self.bn1 = nn.BatchNorm2d(64)
-            self.layer1 = nn.Sequential(BasicBlockT(64, 64),
-                                        BasicBlockT(64, 64))
-            self.layer2 = nn.Sequential(BasicBlockT(64, 128, 2),
-                                        BasicBlockT(128, 128))
-            self.layer3 = nn.Sequential(BasicBlockT(128, 256, 2),
-                                        BasicBlockT(256, 256))
-            self.layer4 = nn.Sequential(BasicBlockT(256, 512, 2),
-                                        BasicBlockT(512, 512))
+            self.layer1 = stage(depths[0], 64, 64, 1)
+            self.layer2 = stage(depths[1], 64, 128, 2)
+            self.layer3 = stage(depths[2], 128, 256, 2)
+            self.layer4 = stage(depths[3], 256, 512, 2)
             self.fc = nn.Linear(512, num_classes)
 
         def forward(self, x):
@@ -213,7 +242,7 @@ def torch_resnet18(num_classes: int = 10, seed: int = 42):
             x = tF.adaptive_avg_pool2d(x, (1, 1)).reshape(-1, 512)
             return self.fc(x)
 
-    net = ResNet18T()
+    net = ResNetT()
     net.train()
     with torch.no_grad():
         net(torch.randn(4, 3, 64, 64))  # populate running stats

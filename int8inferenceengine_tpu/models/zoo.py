@@ -173,6 +173,11 @@ def _mobilenet_v1(**kw):
     return MobileNetV1(**kw)
 
 
+def _resnet34(**kw):
+    from .resnet import ResNet34
+    return ResNet34(**kw)
+
+
 def _resnet50(**kw):
     from .resnet import ResNet50
     return ResNet50(**kw)
@@ -195,6 +200,7 @@ MODEL_SPECS = {
     "lenet": LeNet,
     "vgg11": VGG11,
     "resnet18": _resnet18,
+    "resnet34": _resnet34,
     "resnet50": _resnet50,
     "mobilenet_v1": _mobilenet_v1,
     "squeezenet": _squeezenet,
@@ -307,6 +313,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "resnet18":
         from .resnet import torch_resnet18
         return torch_resnet18(seed=seed)
+
+    elif name == "resnet34":
+        from .resnet import torch_resnet34
+        return torch_resnet34(seed=seed)
 
     elif name == "resnet50":
         from .resnet import torch_resnet50

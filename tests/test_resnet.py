@@ -172,3 +172,21 @@ def test_resnet50_ptq_lifecycle():
     mm.convert()
     qout = mm(q.tensor(x)).numpy()
     assert qout.shape == ref.shape and np.isfinite(qout).all()
+
+
+@pytest.mark.parametrize("name", ["resnet34"])
+def test_resnet34_fp32_and_ptq(name):
+    import torch
+    torch.set_num_threads(1)
+    tm = models.torch_twin(name)
+    mm = models.build(name)
+    mm.load(tm.state_dict())
+    x = np.random.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    want = tm(torch.tensor(x)).detach().numpy()
+    got = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-2)
+    mm.prepare()
+    mm(q.tensor(np.random.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    assert qout.shape == want.shape and np.isfinite(qout).all()
