@@ -42,7 +42,10 @@ def serve():
     print("== serving: load quantized artifact, no calibration ==")
     net = models.build("resnet18", config=CFG)
     utils.load(net, CKPT)
-    engine = InferenceEngine(net, max_batch=32, batch_timeout_s=0.005)
+    # quantize_ingest: batches are quantized (and first-conv space-to-depth
+    # pre-laid-out) on the host — 1/4 host->device bytes per step.
+    engine = InferenceEngine(net, max_batch=32, batch_timeout_s=0.005,
+                             quantize_ingest=True)
 
     def client(cid, n_requests=4):
         rng = np.random.default_rng(cid)
@@ -60,9 +63,11 @@ def serve():
         t.join()
     dt = time.perf_counter() - t0
     s = engine.stats
+    pct = s.latency_percentiles()
     print(f"   {s.requests} requests / {s.images} images in {dt:.2f}s "
           f"({s.images/dt:.0f} img/s) over {s.steps} device steps; "
-          f"mean batch fill {s.mean_batch_fill:.0%}")
+          f"mean batch fill {s.mean_batch_fill:.0%}; request latency "
+          f"p50 {pct['p50']:.1f} / p99 {pct['p99']:.1f} ms")
     engine.shutdown()
 
 
