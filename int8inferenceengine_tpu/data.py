@@ -32,6 +32,20 @@ from .tensor import Tensor
 _STOP = object()
 
 
+def wrap_quantized(q_nchw_u8: np.ndarray, scale, zero_point,
+                   ingest=None) -> Tensor:
+    """Wrap a host-quantized u8 NCHW batch as a device-ready Tensor,
+    applying the first-conv zp-pad + space-to-depth pre-layout when
+    ``ingest`` (a Conv2d.ingest_descriptor tag) is set.  The single place
+    the host-ingest contract lives — used by the DataLoader and the serving
+    engine."""
+    if ingest is not None:
+        _, k, s, p, _c = ingest
+        q_nchw_u8 = native.s2d_quantized(q_nchw_u8, k, s, p, int(zero_point))
+    return Tensor(jnp.asarray(q_nchw_u8), float(scale), int(zero_point),
+                  _ingest=ingest)
+
+
 class DataLoader:
     """Iterate device-resident batches of a host array.
 
@@ -73,13 +87,6 @@ class DataLoader:
                 raise ValueError("layout_for requires quantize_to")
             self.ingest = layout_for.ingest_descriptor()
 
-    def _prelayout(self, q_nchw_u8: np.ndarray) -> np.ndarray:
-        """Apply the first conv's zp-pad + space-to-depth on the host
-        (native one-pass op, numpy fallback — native/hostops.cc)."""
-        _, k, s, p, _c = self.ingest
-        return native.s2d_quantized(q_nchw_u8, k, s, p,
-                                    int(self.quantize_to[1]))
-
     def __len__(self):
         n = self.images.shape[0]
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
@@ -92,20 +99,14 @@ class DataLoader:
                 s, zp = self.quantize_to
                 q = native.preprocess_quantize(chunk, self.mean, self.std,
                                                float(s), int(zp))
-                if self.ingest is not None:
-                    return Tensor(jnp.asarray(self._prelayout(q)),
-                                  float(s), int(zp), _ingest=self.ingest)
-                return Tensor(jnp.asarray(q), float(s), int(zp))
+                return wrap_quantized(q, s, zp, self.ingest)
             return Tensor(jnp.asarray(
                 native.normalize_nchw(chunk, self.mean, self.std)))
         arr = np.asarray(chunk, np.float32)
         if self.quantize_to is not None:
             s, zp = self.quantize_to
             q = native.quantize_u8(arr, float(s), int(zp))
-            if self.ingest is not None:
-                return Tensor(jnp.asarray(self._prelayout(q)),
-                              float(s), int(zp), _ingest=self.ingest)
-            return Tensor(jnp.asarray(q), float(s), int(zp))
+            return wrap_quantized(q, s, zp, self.ingest)
         return Tensor(jnp.asarray(arr))
 
     def __iter__(self):

@@ -23,14 +23,16 @@ extern "C" {
 
 // Asymmetric affine quantization f32 -> u8:
 //   q = (uint8)clip(x/scale + zp, 0, 255), trunc toward zero
-// (reference: src/quantize_utils.cc:3-10).
+// (reference: src/quantize_utils.cc:3-10).  NOTE: a true division, not
+// multiplication by the reciprocal — the device path (ops/quant.quantize_u8)
+// divides, and the 1-LSB divergence of x*(1/s) would break the host-vs-
+// device bit-equality contract (~1e-6/element observed at scale 0.025).
 void i8ie_quantize_u8(const float* x, int64_t n, float scale, int32_t zp,
                       uint8_t* out) {
-  const float inv = 1.0f / scale;
   const float zpf = (float)zp;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
-    float t = x[i] * inv + zpf;
+    float t = x[i] / scale + zpf;
     t = std::min(255.0f, std::max(0.0f, t));
     out[i] = (uint8_t)t;
   }
@@ -117,7 +119,6 @@ void i8ie_preprocess_quantize(const uint8_t* img, int64_t n, int64_t h,
                               uint8_t* out) {
   const int64_t hw = h * w;
   const int64_t chw = c * hw;
-  const float inv_scale = 1.0f / scale;
   const float zpf = (float)zp;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
@@ -128,7 +129,7 @@ void i8ie_preprocess_quantize(const uint8_t* img, int64_t n, int64_t h,
       uint8_t* plane = dst + ch * hw;
       for (int64_t p = 0; p < hw; ++p) {
         float v = ((float)src[p * c + ch] * (1.0f / 255.0f) - m) * inv_s;
-        float t = v * inv_scale + zpf;
+        float t = v / scale + zpf;  // divide, matching ops/quant.quantize_u8
         t = std::min(255.0f, std::max(0.0f, t));
         plane[p] = (uint8_t)t;
       }

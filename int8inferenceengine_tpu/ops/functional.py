@@ -24,6 +24,7 @@ from . import quant
 
 
 def relu(x: Tensor) -> Tensor:
+    x._no_ingest("relu")
     if x.quantized:
         out = jnp.maximum(x.data, jnp.uint8(x.zero_point))
     else:
@@ -51,6 +52,7 @@ def max_pool2d(x: Tensor, kernel_size: int, stride: int,
     never win the max.  ``ceil_mode`` matches torch's ceil_mode=True output
     size (SqueezeNet-era nets) via extra high-side identity padding.
     """
+    x._no_ingest("max_pool2d")
     eh = ew = 0
     if ceil_mode:
         h, w = (x.data.shape[1:3]) if x._nhwc else (x.data.shape[2:4])
@@ -80,6 +82,7 @@ def avg_pool2d(x: Tensor, kernel_size: int, stride: int) -> Tensor:
     """Window mean. For quantized tensors the mean happens on the raw u8
     codes (affine-invariant: mean(x) = (mean(q) - zp)*s) and truncates back
     to u8 at the same (scale, zp)."""
+    x._no_ingest("avg_pool2d")
     if x._nhwc:
         window = (1, kernel_size, kernel_size, 1)
         strides = (1, stride, stride, 1)
@@ -95,6 +98,7 @@ def avg_pool2d(x: Tensor, kernel_size: int, stride: int) -> Tensor:
 
 def adaptive_avg_pool2d_1x1(x: Tensor) -> Tensor:
     """Global average pool to 1x1 (ResNet head)."""
+    x._no_ingest("adaptive_avg_pool2d_1x1")
     axes = (1, 2) if x._nhwc else (2, 3)
     acc = jnp.mean(x.data.astype(jnp.float32), axis=axes, keepdims=True)
     out = acc.astype(x.data.dtype)
@@ -110,11 +114,13 @@ def argmax(x: Tensor, *args, **kwargs) -> Tensor:
 
 def quantize(x: Tensor, scale: float, zero_point: int) -> Tensor:
     """Module-level asymmetric u8 quantization (i8ie/__init__.py:29-30)."""
+    x._no_ingest("quantize")
     q = quant.quantize_u8(x.data, scale, zero_point)
     return Tensor(q, scale, zero_point, _nhwc=x._nhwc)
 
 
 def dequantize(x: Tensor) -> Tensor:
     """u8 -> f32 using the tensor's own (scale, zp) (i8ie/__init__.py:31-32)."""
+    x._no_ingest("dequantize")
     out = quant.dequantize_u8(x.data, x.scale, x.zero_point)
     return Tensor(out, _nhwc=x._nhwc, _tp_sharded=x._tp_sharded)

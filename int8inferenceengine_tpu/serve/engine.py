@@ -42,9 +42,13 @@ class EngineStats:
     steps: int = 0
     padded_rows: int = 0
     # Completed-request latencies (submit -> result materialized), seconds.
-    # Bounded ring so a long-lived engine doesn't grow without limit.
+    # Bounded ring so a long-lived engine doesn't grow without limit; the
+    # lock covers the trim+append vs snapshot race (collector thread writes,
+    # any monitoring thread may read).
     latencies_s: list = dataclasses.field(default_factory=list)
     _max_latencies: int = 10_000
+    _lat_lock: threading.Lock = dataclasses.field(
+        default_factory=threading.Lock, repr=False, compare=False)
 
     @property
     def mean_batch_fill(self) -> float:
@@ -52,15 +56,18 @@ class EngineStats:
         return self.images / total if total else 0.0
 
     def record_latency(self, dt: float) -> None:
-        if len(self.latencies_s) >= self._max_latencies:
-            del self.latencies_s[: self._max_latencies // 2]
-        self.latencies_s.append(dt)
+        with self._lat_lock:
+            if len(self.latencies_s) >= self._max_latencies:
+                del self.latencies_s[: self._max_latencies // 2]
+            self.latencies_s.append(dt)
 
     def latency_percentiles(self, ps=(50, 90, 99)) -> dict:
         """Request-latency percentiles in milliseconds, e.g. {'p50': 1.2}."""
-        if not self.latencies_s:
+        with self._lat_lock:
+            snap = list(self.latencies_s)
+        if not snap:
             return {f"p{p}": float("nan") for p in ps}
-        arr = np.asarray(self.latencies_s)
+        arr = np.asarray(snap)
         return {f"p{p}": float(np.percentile(arr, p) * 1e3) for p in ps}
 
 
@@ -203,14 +210,12 @@ class InferenceEngine:
                 [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
         if self.quantize_ingest:
             from .. import native
+            from ..data import wrap_quantized
             cfg = self.model.config
             qb = native.quantize_u8(batch, cfg.input_scale,
                                     cfg.input_zero_point)
-            if self._ingest_desc is not None:
-                _, k, s, p, _c = self._ingest_desc
-                qb = native.s2d_quantized(qb, k, s, p, cfg.input_zero_point)
-            t = Tensor(jnp.asarray(qb), cfg.input_scale,
-                       cfg.input_zero_point, _ingest=self._ingest_desc)
+            t = wrap_quantized(qb, cfg.input_scale, cfg.input_zero_point,
+                               self._ingest_desc)
         else:
             t = Tensor(jnp.asarray(batch))
         out = self.model(t)  # async dispatch

@@ -124,7 +124,12 @@ class Tensor:
 
     def __repr__(self):
         # Reference shows dequantized values: (q - zp) * scale
-        # (i8ie/tensor.py:8-9).
+        # (i8ie/tensor.py:8-9).  Never raise from __repr__: pre-laid-out
+        # ingest tensors have no NCHW element order to show.
+        if self._ingest is not None:
+            return (f"Tensor(ingest pre-layout {self._ingest}, physical "
+                    f"shape {tuple(self.data.shape)}, scale={self.scale}, "
+                    f"zero_point={self.zero_point})")
         return repr((self.numpy() - self.zero_point) * self.scale)
 
 

@@ -230,3 +230,23 @@ def test_layout_for_noop_on_stride1_model():
     (batch,) = list(dl)
     assert batch._ingest is None
     np.testing.assert_array_equal(mm(batch).numpy(), base)
+
+
+def test_ingest_tensor_repr_and_guards():
+    """repr() must never raise; ops that can't consume the pre-layout must
+    fail with the diagnostic, not a downstream shape error."""
+    from int8inferenceengine_tpu.ops import functional as F
+
+    m = _converted_strided()
+    x = np.random.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32)
+    cfg = m.config
+    dl = DataLoader(x, batch_size=4, layout_for=m,
+                    quantize_to=(cfg.input_scale, cfg.input_zero_point))
+    (batch,) = list(dl)
+    assert "pre-layout" in repr(batch)
+    for op in (lambda: F.relu(batch),
+               lambda: F.max_pool2d(batch, 2, 2),
+               lambda: F.dequantize(batch),
+               lambda: batch.reshape(-1, 4)):
+        with pytest.raises(ValueError, match="pre-layout"):
+            op()
