@@ -112,6 +112,61 @@ def main():
         log(f"INT8 speedup over FP32 (same chip): "
             f"{int8_img_s / fp32_img_s:.2f}x")
 
+    # u8 host-ingest leg (+first-conv space-to-depth pre-layout); opt in.
+    # Documented measurement (batch 256): 2.75 ms/batch = 93,010 img/s.
+    if os.environ.get("BENCH_INGEST"):
+        from int8inferenceengine_tpu import native
+        from int8inferenceengine_tpu.data import wrap_quantized
+        from int8inferenceengine_tpu.ops import functional as F
+        from int8inferenceengine_tpu.tensor import Tensor
+
+        cfg = m_int8.config
+        desc = m_int8.ingest_descriptor()
+        xq = native.quantize_u8(np.asarray(x0), cfg.input_scale,
+                                cfg.input_zero_point)
+        t0 = wrap_quantized(xq, cfg.input_scale, cfg.input_zero_point, desc)
+
+        def fwd_q(params, data):
+            m_int8._bind(params)
+            try:
+                out = m_int8.forward(Tensor(data, cfg.input_scale,
+                                            cfg.input_zero_point,
+                                            _ingest=desc))
+                return F.dequantize(out).logical_data
+            finally:
+                m_int8._bind(None)
+
+        import jax as _jax
+        from jax import lax as _lax
+
+        def make_loop(k):
+            @_jax.jit
+            def loop(params, x):
+                def body(c, _):
+                    out = fwd_q(params, c)
+                    bump = (jnp.sum(out.astype(jnp.float32))
+                            .astype(jnp.int32) % 2)
+                    return jnp.where(bump < 2, c, jnp.zeros_like(c)), ()
+                f, _ = _lax.scan(body, x, None, length=k)
+                return jnp.sum(f.astype(jnp.float32))
+            return loop
+
+        params = m_int8._gather_params()
+        d = jax.device_put(t0.data)
+        times = {}
+        for k in (K_SHORT, K_LONG):
+            loop = make_loop(k)
+            float(loop(params, d))
+            best = float("inf")
+            for _ in range(2):
+                t1 = time.perf_counter()
+                float(loop(params, d))
+                best = min(best, time.perf_counter() - t1)
+            times[k] = best
+        per = (times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT)
+        log(f"INT8 u8-ingest (host s2d): {per*1e3:.2f} ms/batch "
+            f"-> {BATCH/per:.0f} img/s")
+
     from int8inferenceengine_tpu.utils import roofline
     rl = roofline.report(m_int8, models.AlexNet.INPUT_SHAPE, BATCH,
                          measured_s=BATCH / int8_img_s)

@@ -198,10 +198,12 @@ class InferenceEngine:
                 self._dispatch(reqs)
             except Exception as e:  # propagate to all waiters
                 for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                    self._resolve(r, exc=e)
 
     def _dispatch(self, reqs: list[_Request]) -> None:
+        reqs = [r for r in reqs if not r.future.cancelled()]
+        if not reqs:
+            return
         rows = sum(r.n for r in reqs)
         batch = np.concatenate([r.data for r in reqs], axis=0)
         pad = self.max_batch - rows
@@ -224,6 +226,24 @@ class InferenceEngine:
         self.stats.padded_rows += pad
         self._done.put((reqs, out))   # bounded: applies backpressure
 
+    @staticmethod
+    def _resolve(req: _Request, result=None, exc=None) -> bool:
+        """Set a request's outcome; a caller may have cancel()ed the future
+        (allowed any time before set_result since we never mark it running),
+        and set_result on a cancelled future raises InvalidStateError —
+        which must not kill the collector thread."""
+        try:
+            if exc is not None:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+                    return True
+            elif not req.future.cancelled():
+                req.future.set_result(result)
+                return True
+        except Exception:   # lost the cancel race; result is dropped
+            pass
+        return False
+
     def _collect(self) -> None:
         while True:
             item = self._done.get()
@@ -234,12 +254,11 @@ class InferenceEngine:
                 result = out.numpy()   # blocks on the device
             except Exception as e:
                 for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                    self._resolve(r, exc=e)
                 continue
             off = 0
             t_done = time.monotonic()
             for r in reqs:
-                r.future.set_result(result[off:off + r.n])
-                self.stats.record_latency(t_done - r.t_submit)
+                if self._resolve(r, result=result[off:off + r.n]):
+                    self.stats.record_latency(t_done - r.t_submit)
                 off += r.n

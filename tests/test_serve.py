@@ -210,3 +210,19 @@ def test_latency_stats_populated():
     assert len(engine.stats.latencies_s) == 5
     pct = engine.stats.latency_percentiles()
     assert pct["p50"] > 0 and pct["p99"] >= pct["p50"]
+
+
+def test_cancelled_future_does_not_kill_engine():
+    """A caller cancel()ing its Future must not crash scheduler/collector
+    threads or block later requests."""
+    mm = _calibrated()
+    engine = InferenceEngine(mm, max_batch=16, batch_timeout_s=0.1)
+    try:
+        fut = engine.submit(_rand((4, 1, 28, 28)))
+        fut.cancel()
+        # Engine must still serve subsequent work on the same threads.
+        for _ in range(3):
+            out = engine.infer(_rand((4, 1, 28, 28)))
+            assert out.shape == (4, 10)
+    finally:
+        engine.shutdown()
