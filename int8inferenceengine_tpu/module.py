@@ -100,6 +100,14 @@ class Module:
         self.is_quant = True
         self._jit_fn = None
         self._jit_q_cache = {}
+        if self._mesh is not None:
+            # shard() was called pre-convert (FP32 serving -> calibrate ->
+            # convert): convert() rebuilt every layer's params on the host,
+            # so re-place the quantized artifact on the mesh — otherwise
+            # execution would silently fall back to unsharded.
+            pa = self._parallel_axes
+            self.shard(self._mesh, data_axis=pa.data_axis,
+                       model_axis=pa.model_axis, overlap=pa.overlap)
 
     def ingest_descriptor(self):
         """Host-ingest pre-layout tag for this model's input, or None.

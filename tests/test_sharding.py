@@ -138,3 +138,28 @@ def test_host_prelayout_through_sharded_module():
     (batch,) = list(dl)
     assert batch._ingest is not None
     np.testing.assert_array_equal(m(batch).numpy(), base)
+
+
+def test_shard_before_convert_stays_sharded():
+    """shard() -> calibrate -> convert() must keep executing sharded (the
+    quantized params are re-placed on the mesh by convert())."""
+    tm = models.torch_twin("lenet")
+    ref = models.build("lenet")
+    ref.load(tm.state_dict())
+    x = _rand((16, 1, 28, 28))
+    calib = _rand((16, 1, 28, 28))
+    ref.prepare(); ref(q.tensor(calib)); ref.convert()
+    base = ref(q.tensor(x)).numpy()
+
+    mm = models.build("lenet")
+    mm.load(tm.state_dict())
+    mm.shard(make_mesh((2, 4)))          # before convert (FP32 serving)
+    mm.prepare()
+    mm(q.tensor(calib))
+    mm.convert()
+    assert mm._mesh is not None
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_array_equal(out, base)
+    # quantized params actually live on the mesh
+    assert all(len(v.sharding.device_set) == 8
+               for v in mm.conv1.params.values())
