@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--batch", type=int, default=100)
     ap.add_argument("--model", default="alexnet",
                     help="any zoo model: fc_mnist simple_conv lenet alexnet "
-                         "vgg11 resnet18 mobilenet_v1")
+                         "vgg11 resnet18 resnet34 resnet50 mobilenet_v1 "
+                         "squeezenet googlenet")
     args = ap.parse_args()
 
     import torch
