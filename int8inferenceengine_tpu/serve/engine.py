@@ -91,14 +91,26 @@ class InferenceEngine:
 
     def __init__(self, model, max_batch: int = 256,
                  batch_timeout_s: float = 0.002, max_inflight: int = 2,
-                 quantize_ingest: bool = False):
+                 quantize_ingest: bool = False, batch_sizes=None):
         """``quantize_ingest=True`` (converted models only) quantizes each
         coalesced batch on the host at the model's input (scale, zp) and —
         when the model's first conv qualifies — applies the space-to-depth
         pre-layout (native/hostops.cc), so the host->device transfer ships
         u8 at 1/4 the bytes and the device program starts at the stride-1
         conv.  Numerically identical to the float path (the same quantize
-        runs on device otherwise)."""
+        runs on device otherwise).
+
+        ``batch_sizes``: optional ascending tile buckets, e.g. ``(32, 256)``.
+        Each step pads only up to the smallest tile that fits the coalesced
+        rows — small requests at low load stop paying for the full
+        ``max_batch`` tile.  One compile per tile (XLA shapes stay static);
+        the largest tile caps request size.  Default: one ``max_batch``
+        tile, the original behavior."""
+        if batch_sizes:
+            self.tiles = tuple(sorted(int(b) for b in set(batch_sizes)))
+            max_batch = self.tiles[-1]
+        else:
+            self.tiles = (int(max_batch),)
         self.model = model
         self.max_batch = int(max_batch)
         self.batch_timeout_s = float(batch_timeout_s)
@@ -206,7 +218,8 @@ class InferenceEngine:
             return
         rows = sum(r.n for r in reqs)
         batch = np.concatenate([r.data for r in reqs], axis=0)
-        pad = self.max_batch - rows
+        tile = next(t for t in self.tiles if t >= rows)
+        pad = tile - rows
         if pad:
             batch = np.concatenate(
                 [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])

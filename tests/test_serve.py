@@ -226,3 +226,27 @@ def test_cancelled_future_does_not_kill_engine():
             assert out.shape == (4, 10)
     finally:
         engine.shutdown()
+
+
+def test_batch_size_buckets():
+    """Tile bucketing: small coalesced batches pad to the small tile, big
+    ones to the big tile; results identical either way."""
+    mm = _calibrated()
+    x = _rand((4, 1, 28, 28))
+    ref = InferenceEngine(mm, max_batch=64)
+    try:
+        base = ref.infer(x)
+    finally:
+        ref.shutdown()
+    engine = InferenceEngine(mm, batch_sizes=(8, 64), batch_timeout_s=0.01)
+    try:
+        assert engine.max_batch == 64
+        np.testing.assert_array_equal(engine.infer(x), base)
+        # 4 rows -> 8-tile (4 padded), not 64
+        assert engine.stats.padded_rows == 4
+        big = _rand((40, 1, 28, 28))
+        out = engine.infer(big)
+        assert out.shape == (40, 10)
+        assert engine.stats.padded_rows == 4 + 24   # 40 -> 64-tile
+    finally:
+        engine.shutdown()
