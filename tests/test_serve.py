@@ -250,3 +250,18 @@ def test_batch_size_buckets():
         assert engine.stats.padded_rows == 4 + 24   # 40 -> 64-tile
     finally:
         engine.shutdown()
+
+
+def test_bad_request_fails_future_not_engine():
+    """A request that breaks the model (wrong input shape) must deliver its
+    exception through the Future and leave the engine serving."""
+    mm = _calibrated()
+    engine = InferenceEngine(mm, max_batch=16, batch_timeout_s=0.01)
+    try:
+        bad = engine.submit(_rand((2, 3, 28, 28)))   # wrong channel count
+        with np.testing.assert_raises(Exception):
+            bad.result(timeout=60)
+        out = engine.infer(_rand((4, 1, 28, 28)))    # engine still alive
+        assert out.shape == (4, 10)
+    finally:
+        engine.shutdown()
