@@ -4,10 +4,12 @@ from .mobilenet import MobileNetV1, torch_mobilenet_v1
 from .googlenet import GoogLeNet, torch_googlenet
 from .squeezenet import SqueezeNet, torch_squeezenet
 from .resnet import ResNet18, ResNet34, ResNet50, torch_resnet18, torch_resnet34, torch_resnet50
-from .zoo import MODEL_SPECS, VGG11, AlexNet, FCMnist, LeNet, SimpleConv, build, torch_twin
+from .zoo import (MODEL_SPECS, VGG11, VGG16, VGG19, AlexNet, FCMnist, LeNet,
+                  SimpleConv, build, torch_twin)
 
 __all__ = [
-    "FCMnist", "SimpleConv", "AlexNet", "LeNet", "VGG11", "ResNet18",
+    "FCMnist", "SimpleConv", "AlexNet", "LeNet", "VGG11", "VGG16", "VGG19",
+    "ResNet18",
     "MobileNetV1", "torch_mobilenet_v1", "ResNet34", "torch_resnet34",
     "ResNet50", "torch_resnet50",
     "build", "torch_twin", "MODEL_SPECS", "torch_resnet18",

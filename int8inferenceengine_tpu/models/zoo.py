@@ -22,7 +22,7 @@ from ..module import Module
 from ..ops import functional as F
 
 __all__ = [
-    "FCMnist", "SimpleConv", "AlexNet", "LeNet", "VGG11",
+    "FCMnist", "SimpleConv", "AlexNet", "LeNet", "VGG11", "VGG16", "VGG19",
     "build", "torch_twin", "MODEL_SPECS",
 ]
 
@@ -102,43 +102,62 @@ class AlexNet(Module):
         return self.fc3(x)
 
 
-class VGG11(Module):
-    """VGG-11 (configuration A) for 224x224 input — a deeper plain-conv
-    family exercising long chains of 3x3 convs and requant boundaries.
-    Not in the reference zoo; weights load from the hand-written torch twin
-    (``torch_twin('vgg11')``), conv1..conv8 / fc1..fc3 naming.
+# VGG configurations A/D/E: convs per stage; every stage ends in a 2x2/2
+# max-pool and widths are fixed (64, 128, 256, 512, 512).
+_VGG_STAGES = {11: (1, 1, 2, 2, 2), 16: (2, 2, 3, 3, 3), 19: (2, 2, 4, 4, 4)}
+_VGG_WIDTHS = (64, 128, 256, 512, 512)
+
+
+class _VGG(Module):
+    """Config-driven VGG for 224x224 input — deep plain-conv chains
+    exercising long requant-boundary sequences and the 3x3/512-channel
+    shapes where the int8 MXU advantage is largest. Not in the reference
+    zoo; weights load from the generated torch twin (``torch_twin('vggN')``),
+    conv1..convN / fc1..fc3 naming (flat, reference-style single-dot keys).
     """
 
     INPUT_SHAPE = (3, 224, 224)
+    DEPTH = None  # set by subclasses
 
     def __init__(self, num_classes: int = 10,
                  config: QuantConfig = DEFAULT_CONFIG):
         super().__init__(config)
-        self.conv1 = Conv2d(3, 64, 3, padding=1, config=config)
-        self.conv2 = Conv2d(64, 128, 3, padding=1, config=config)
-        self.conv3 = Conv2d(128, 256, 3, padding=1, config=config)
-        self.conv4 = Conv2d(256, 256, 3, padding=1, config=config)
-        self.conv5 = Conv2d(256, 512, 3, padding=1, config=config)
-        self.conv6 = Conv2d(512, 512, 3, padding=1, config=config)
-        self.conv7 = Conv2d(512, 512, 3, padding=1, config=config)
-        self.conv8 = Conv2d(512, 512, 3, padding=1, config=config)
+        idx, in_ch = 1, 3
+        for n_convs, width in zip(_VGG_STAGES[self.DEPTH], _VGG_WIDTHS):
+            for _ in range(n_convs):
+                setattr(self, f"conv{idx}",
+                        Conv2d(in_ch, width, 3, padding=1, config=config))
+                in_ch, idx = width, idx + 1
         self.fc1 = Linear(512 * 7 * 7, 4096, config=config)
         self.fc2 = Linear(4096, 4096, config=config)
         self.fc3 = Linear(4096, num_classes, config=config)
 
     def forward(self, x):
-        x = F.max_pool2d(F.relu(self.conv1(x)), 2, 2)
-        x = F.max_pool2d(F.relu(self.conv2(x)), 2, 2)
-        x = F.relu(self.conv3(x))
-        x = F.max_pool2d(F.relu(self.conv4(x)), 2, 2)
-        x = F.relu(self.conv5(x))
-        x = F.max_pool2d(F.relu(self.conv6(x)), 2, 2)
-        x = F.relu(self.conv7(x))
-        x = F.max_pool2d(F.relu(self.conv8(x)), 2, 2)
+        idx = 1
+        for n_convs in _VGG_STAGES[self.DEPTH]:
+            for _ in range(n_convs):
+                x = F.relu(getattr(self, f"conv{idx}")(x))
+                idx += 1
+            x = F.max_pool2d(x, 2, 2)
         x = x.reshape(-1, 512 * 7 * 7)
         x = F.relu(self.fc1(x))
         x = F.relu(self.fc2(x))
         return self.fc3(x)
+
+
+class VGG11(_VGG):
+    """VGG-11 (configuration A): conv1..conv8."""
+    DEPTH = 11
+
+
+class VGG16(_VGG):
+    """VGG-16 (configuration D): conv1..conv13."""
+    DEPTH = 16
+
+
+class VGG19(_VGG):
+    """VGG-19 (configuration E): conv1..conv16."""
+    DEPTH = 19
 
 
 class LeNet(Module):
@@ -199,6 +218,8 @@ MODEL_SPECS = {
     "alexnet": AlexNet,
     "lenet": LeNet,
     "vgg11": VGG11,
+    "vgg16": VGG16,
+    "vgg19": VGG19,
     "resnet18": _resnet18,
     "resnet34": _resnet34,
     "resnet50": _resnet50,
@@ -280,31 +301,29 @@ def torch_twin(name: str, seed: int = 42):
                 x = tF.relu(self.fc2(x))
                 return self.fc3(x)
 
-    elif name == "vgg11":
+    elif name in ("vgg11", "vgg16", "vgg19"):
+        stages = _VGG_STAGES[int(name[3:])]
+
         class Net(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.conv1 = nn.Conv2d(3, 64, 3, padding=1)
-                self.conv2 = nn.Conv2d(64, 128, 3, padding=1)
-                self.conv3 = nn.Conv2d(128, 256, 3, padding=1)
-                self.conv4 = nn.Conv2d(256, 256, 3, padding=1)
-                self.conv5 = nn.Conv2d(256, 512, 3, padding=1)
-                self.conv6 = nn.Conv2d(512, 512, 3, padding=1)
-                self.conv7 = nn.Conv2d(512, 512, 3, padding=1)
-                self.conv8 = nn.Conv2d(512, 512, 3, padding=1)
+                idx, in_ch = 1, 3
+                for n_convs, width in zip(stages, _VGG_WIDTHS):
+                    for _ in range(n_convs):
+                        setattr(self, f"conv{idx}",
+                                nn.Conv2d(in_ch, width, 3, padding=1))
+                        in_ch, idx = width, idx + 1
                 self.fc1 = nn.Linear(512 * 7 * 7, 4096)
                 self.fc2 = nn.Linear(4096, 4096)
                 self.fc3 = nn.Linear(4096, 10)
 
             def forward(self, x):
-                x = tF.max_pool2d(tF.relu(self.conv1(x)), 2, 2)
-                x = tF.max_pool2d(tF.relu(self.conv2(x)), 2, 2)
-                x = tF.relu(self.conv3(x))
-                x = tF.max_pool2d(tF.relu(self.conv4(x)), 2, 2)
-                x = tF.relu(self.conv5(x))
-                x = tF.max_pool2d(tF.relu(self.conv6(x)), 2, 2)
-                x = tF.relu(self.conv7(x))
-                x = tF.max_pool2d(tF.relu(self.conv8(x)), 2, 2)
+                idx = 1
+                for n_convs in stages:
+                    for _ in range(n_convs):
+                        x = tF.relu(getattr(self, f"conv{idx}")(x))
+                        idx += 1
+                    x = tF.max_pool2d(x, 2, 2)
                 x = x.reshape(-1, 512 * 7 * 7)
                 x = tF.relu(self.fc1(x))
                 x = tF.relu(self.fc2(x))

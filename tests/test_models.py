@@ -112,6 +112,39 @@ def test_vgg11_ptq_small_spatial():
     assert qout.shape == (1, 10) and np.isfinite(qout).all()
 
 
+def test_vgg_family_structure():
+    """VGG16/19 share the config-driven builder: conv counts per VGG paper
+    configs D/E, and twin state_dict keys match framework layer names."""
+    for depth, n_convs in ((11, 8), (16, 13), (19, 16)):
+        mm = models.build(f"vgg{depth}")
+        names = [n for n, _ in mm.named_layers()]
+        assert sum(n.startswith("conv") for n in names) == n_convs, depth
+        assert {"fc1", "fc2", "fc3"} <= set(names)
+    # twin's keys line up with the framework's layer names (load() contract)
+    tm = models.torch_twin("vgg16")
+    twin_layers = {k.rsplit(".", 1)[0] for k in tm.state_dict()}
+    mm = models.build("vgg16")
+    assert twin_layers == {n for n, _ in mm.named_layers()}
+
+
+def test_vgg16_ptq():
+    """VGG-16 end-to-end: FP32 parity vs the torch twin, then the PTQ
+    lifecycle produces finite logits (batch 1 at the required 224 input)."""
+    torch.set_num_threads(1)
+    tm = models.torch_twin("vgg16")
+    mm = models.build("vgg16")
+    mm.load(tm.state_dict())
+    x = _rand((1, 3, 224, 224))
+    ref = tm(torch.tensor(x)).detach().numpy()
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+    mm.prepare()
+    mm(q.tensor(x))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    assert qout.shape == (1, 10) and np.isfinite(qout).all()
+
+
 def test_reservoir_quantile_calibration_mode():
     """calib_exact_minmax=False runs the eager reservoir path end-to-end
     (the reference's sampling scheme, needed for quantile < 1)."""
