@@ -1,6 +1,7 @@
 """Model zoo (the reference's sample/notebooks as library code, plus ResNet)."""
 
-from .mobilenet import MobileNetV1, torch_mobilenet_v1
+from .mobilenet import (MobileNetV1, MobileNetV2, torch_mobilenet_v1,
+                        torch_mobilenet_v2)
 from .googlenet import GoogLeNet, torch_googlenet
 from .squeezenet import SqueezeNet, torch_squeezenet
 from .resnet import ResNet18, ResNet34, ResNet50, torch_resnet18, torch_resnet34, torch_resnet50
@@ -10,7 +11,8 @@ from .zoo import (MODEL_SPECS, VGG11, VGG16, VGG19, AlexNet, FCMnist, LeNet,
 __all__ = [
     "FCMnist", "SimpleConv", "AlexNet", "LeNet", "VGG11", "VGG16", "VGG19",
     "ResNet18",
-    "MobileNetV1", "torch_mobilenet_v1", "ResNet34", "torch_resnet34",
+    "MobileNetV1", "torch_mobilenet_v1", "MobileNetV2", "torch_mobilenet_v2",
+    "ResNet34", "torch_resnet34",
     "ResNet50", "torch_resnet50",
     "build", "torch_twin", "MODEL_SPECS", "torch_resnet18",
     "SqueezeNet", "torch_squeezenet", "GoogLeNet", "torch_googlenet",

@@ -192,6 +192,11 @@ def _mobilenet_v1(**kw):
     return MobileNetV1(**kw)
 
 
+def _mobilenet_v2(**kw):
+    from .mobilenet import MobileNetV2
+    return MobileNetV2(**kw)
+
+
 def _resnet34(**kw):
     from .resnet import ResNet34
     return ResNet34(**kw)
@@ -224,6 +229,7 @@ MODEL_SPECS = {
     "resnet34": _resnet34,
     "resnet50": _resnet50,
     "mobilenet_v1": _mobilenet_v1,
+    "mobilenet_v2": _mobilenet_v2,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
 }
@@ -353,6 +359,10 @@ def torch_twin(name: str, seed: int = 42):
         from .mobilenet import torch_mobilenet_v1
         torch.manual_seed(seed)
         return torch_mobilenet_v1(seed=seed)
+
+    elif name == "mobilenet_v2":
+        from .mobilenet import torch_mobilenet_v2
+        return torch_mobilenet_v2(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

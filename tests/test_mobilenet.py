@@ -64,6 +64,30 @@ def test_mobilenet_ptq_lifecycle():
     assert qout.shape == ref.shape and np.isfinite(qout).all()
 
 
+def test_mobilenet_v2_ptq_lifecycle():
+    """V2: inverted residuals — linear (two-sided) bottleneck outputs feeding
+    QuantAdd residuals; FP32 parity vs the twin, then INT8 stays sane."""
+    torch.set_num_threads(1)
+    tm = models.torch_twin("mobilenet_v2")
+    mm = models.build("mobilenet_v2")
+    mm.load(tm.state_dict())
+    x = _rand((2, 3, 64, 64))
+    ref = tm(torch.tensor(x)).detach().numpy()
+    out = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+    mm.prepare()
+    mm(q.tensor(_rand((2, 3, 64, 64))))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    assert qout.shape == ref.shape and np.isfinite(qout).all()
+    # every residual block got a calibrated QuantAdd
+    from int8inferenceengine_tpu.layers import QuantAdd
+    from int8inferenceengine_tpu.models.mobilenet import MOBILENET_V2_BLOCKS
+    adds = [l for _, l in mm.named_layers() if isinstance(l, QuantAdd)]
+    assert len(adds) == sum(res for *_, res in MOBILENET_V2_BLOCKS)
+    assert all(l.is_quantized for l in adds)
+
+
 def test_mobilenet_sharded_equals_unsharded():
     from int8inferenceengine_tpu.parallel.mesh import make_mesh
     torch.set_num_threads(1)
