@@ -58,6 +58,44 @@ def test_fp32_roundtrip(tmp_path):
     np.testing.assert_array_equal(fresh(q.tensor(x)).numpy(), base)
 
 
+def test_quantized_roundtrip_safetensors(tmp_path):
+    """Same artifact through the .safetensors container: bit-exact restore."""
+    mm, shape = _calibrated()
+    x = _rand(shape)
+    base = mm(q.tensor(x)).numpy()
+
+    path = str(tmp_path / "lenet_int8.safetensors")
+    utils.save(mm, path)
+    fresh = models.build("lenet")
+    utils.load(fresh, path)
+    assert fresh.is_quant
+    np.testing.assert_array_equal(fresh(q.tensor(x)).numpy(), base)
+
+
+def test_read_state_dict_formats(tmp_path):
+    """Module.load ingests from .pt / .npz / .safetensors files alike."""
+    import torch
+    from safetensors.numpy import save_file
+
+    tm = models.torch_twin("fc_mnist")
+    sd_np = {k: v.numpy() for k, v in tm.state_dict().items()}
+    pt = str(tmp_path / "w.pt")
+    npz = str(tmp_path / "w.npz")
+    st = str(tmp_path / "w.safetensors")
+    torch.save(tm.state_dict(), pt)
+    np.savez(npz, **sd_np)
+    save_file(sd_np, st)
+
+    x = _rand((4, 1, 28, 28))
+    outs = []
+    for path in (pt, npz, st):
+        mm = models.build("fc_mnist")
+        mm.load(utils.read_state_dict(path))
+        outs.append(mm(q.tensor(x)).numpy())
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_architecture_mismatch(tmp_path):
     mm, _ = _calibrated("fc_mnist", batch=4)
     path = str(tmp_path / "fc.npz")
