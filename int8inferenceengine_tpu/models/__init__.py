@@ -1,5 +1,6 @@
 """Model zoo (the reference's sample/notebooks as library code, plus ResNet)."""
 
+from .densenet import DenseNet121, torch_densenet121
 from .mobilenet import (MobileNetV1, MobileNetV2, torch_mobilenet_v1,
                         torch_mobilenet_v2)
 from .googlenet import GoogLeNet, torch_googlenet
@@ -16,4 +17,5 @@ __all__ = [
     "ResNet50", "torch_resnet50",
     "build", "torch_twin", "MODEL_SPECS", "torch_resnet18",
     "SqueezeNet", "torch_squeezenet", "GoogLeNet", "torch_googlenet",
+    "DenseNet121", "torch_densenet121",
 ]

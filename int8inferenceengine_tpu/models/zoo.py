@@ -217,6 +217,11 @@ def _googlenet(**kw):
     return GoogLeNet(**kw)
 
 
+def _densenet121(**kw):
+    from .densenet import DenseNet121
+    return DenseNet121(**kw)
+
+
 MODEL_SPECS = {
     "fc_mnist": FCMnist,
     "simple_conv": SimpleConv,
@@ -232,6 +237,7 @@ MODEL_SPECS = {
     "mobilenet_v2": _mobilenet_v2,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
+    "densenet121": _densenet121,
 }
 
 
@@ -354,6 +360,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "squeezenet":
         from .squeezenet import torch_squeezenet
         return torch_squeezenet(seed=seed)
+
+    elif name == "densenet121":
+        from .densenet import torch_densenet121
+        return torch_densenet121(seed=seed)
 
     elif name == "mobilenet_v1":
         from .mobilenet import torch_mobilenet_v1
