@@ -1,12 +1,14 @@
 """Utilities: checkpointing, observability."""
 
-from . import checkpoint, observe, roofline, validate
+from . import checkpoint, equalize, observe, roofline, validate
 from .checkpoint import load, read_state_dict, save, state_dict
+from .equalize import cross_layer_equalize
 from .observe import log_quantization_report, quantization_report, trace
 
 __all__ = [
     "checkpoint", "observe",
     "save", "load", "state_dict", "read_state_dict",
+    "equalize", "cross_layer_equalize",
     "quantization_report", "log_quantization_report", "trace",
     "roofline", "validate",
 ]
