@@ -97,12 +97,17 @@ def accuracy_report(net, x_test, y_test, calib, log=print):
     accs["engine_fp32"] = float(
         (mm(q.tensor(x_test)).numpy().argmax(1) == y_test).mean())
 
-    for tag, cfg in (
-            ("engine_int8", QuantConfig()),
-            ("engine_int8_per_channel", QuantConfig(weight_per_channel=True)),
+    for tag, cfg, cle in (
+            ("engine_int8", QuantConfig(), False),
+            ("engine_int8_cle", QuantConfig(), True),
+            ("engine_int8_per_channel", QuantConfig(weight_per_channel=True),
+             False),
     ):
         mq = models.build("lenet", config=cfg)
         mq.load(net.state_dict())
+        if cle:   # data-free cross-layer equalization before calibration
+            from int8inferenceengine_tpu.utils import cross_layer_equalize
+            cross_layer_equalize(mq, [("conv1", "conv2"), ("fc1", "fc2")])
         mq.prepare()
         mq(q.tensor(calib))
         mq.convert()
