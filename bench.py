@@ -36,21 +36,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(model, x0, tag):
-    """Per-batch device time via chained-scan delta timing."""
+def measure_fwd(fwd, params, x0, batch, tag, k_short=K_SHORT, k_long=K_LONG):
+    """Per-batch device time of ``fwd(params, x)`` via chained-scan delta
+    timing — the one shared implementation (also used by bench_scaling.py)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from int8inferenceengine_tpu.tensor import Tensor
-
-    def fwd(params, data):
-        model._bind(params)
-        try:
-            return model._run(Tensor(data)).logical_data
-        finally:
-            model._bind(None)
-
-    params = model._gather_params()
 
     def make_loop(k):
         @jax.jit
@@ -64,7 +55,7 @@ def measure(model, x0, tag):
         return loop
 
     times = {}
-    for k in (K_SHORT, K_LONG):
+    for k in (k_short, k_long):
         loop = make_loop(k)
         float(loop(params, x0))                      # compile + first run
         best = float("inf")
@@ -76,10 +67,29 @@ def measure(model, x0, tag):
         times[k] = best
         log(f"  {tag} K={k}: {best*1e3:.1f} ms total")
 
-    per_batch = (times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT)
-    img_s = BATCH / per_batch
-    log(f"{tag}: {per_batch*1e3:.2f} ms/batch @ {BATCH} -> {img_s:.0f} img/s")
+    per_batch = (times[k_long] - times[k_short]) / (k_long - k_short)
+    if per_batch <= 0:
+        # dispatch noise swamped the delta (shapes too small for the host)
+        log(f"  warning: non-positive scan delta ({per_batch:.2e}s); "
+            f"using K={k_long} average instead")
+        per_batch = times[k_long] / k_long
+    img_s = batch / per_batch
+    log(f"{tag}: {per_batch*1e3:.2f} ms/batch @ {batch} -> {img_s:.0f} img/s")
     return img_s
+
+
+def measure(model, x0, tag):
+    """Per-batch device time of a Module forward (chained-scan delta)."""
+    from int8inferenceengine_tpu.tensor import Tensor
+
+    def fwd(params, data):
+        model._bind(params)
+        try:
+            return model._run(Tensor(data)).logical_data
+        finally:
+            model._bind(None)
+
+    return measure_fwd(fwd, model._gather_params(), x0, BATCH, tag)
 
 
 def main():

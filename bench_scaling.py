@@ -25,53 +25,19 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _measure_sharded(model, x0, batch, k_short=2, k_long=10):
-    """img/s of a sharded model via chained-scan delta timing."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
+def _measure_sharded(model, x0, batch, k_short=2, k_long=10, tag=""):
+    """img/s of a sharded model via bench.py's shared chained-scan timing."""
+    from bench import measure_fwd
     from int8inferenceengine_tpu.parallel.sharding import sharded_forward
 
-    fwd = sharded_forward(model)
-    params = model._gather_params()
-
-    def make_loop(k):
-        @jax.jit
-        def loop(params, x):
-            def body(carry, _):
-                out = fwd(params, carry)
-                nxt = carry + 1e-12 * jnp.sum(out.astype(jnp.float32))
-                return nxt, ()
-            final, _ = lax.scan(body, x, None, length=k)
-            return jnp.sum(final)
-        return loop
-
-    times = {}
-    for k in (k_short, k_long):
-        loop = make_loop(k)
-        float(loop(params, x0))                      # compile + first run
-        best = float("inf")
-        for trial in range(2):
-            x = x0 * (1.0 + 1e-6 * (trial + 1))
-            t0 = time.perf_counter()
-            float(loop(params, x))
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    per_batch = (times[k_long] - times[k_short]) / (k_long - k_short)
-    if per_batch <= 0:
-        # dispatch noise swamped the delta (shapes too small for this
-        # device count) — fall back to the long-scan average
-        log(f"  warning: non-positive scan delta ({per_batch:.2e}s); "
-            f"using K={k_long} average instead")
-        per_batch = times[k_long] / k_long
-    return batch / per_batch
+    return measure_fwd(sharded_forward(model), model._gather_params(),
+                       x0, batch, tag, k_short=k_short, k_long=k_long)
 
 
 def run_scaling(model_name="alexnet", per_device_batch=64, n_list=None,
@@ -92,16 +58,15 @@ def run_scaling(model_name="alexnet", per_device_batch=64, n_list=None,
     results = {}
     for n in n_list:
         mesh = make_mesh((n, 1), devices=devs[:n])
-        model = _calibrated(models.build(model_name),
-                            models.build(model_name).INPUT_SHAPE)
+        model = models.build(model_name)
+        model = _calibrated(model, model.INPUT_SHAPE)
         model.shard(mesh)
         batch = per_device_batch * n
         shape = (batch,) + tuple(model.INPUT_SHAPE)
         x = np.random.default_rng(0).uniform(-1, 1, shape).astype(np.float32)
         x0 = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
-        img_s = _measure_sharded(model, x0, batch, k_short, k_long)
-        log(f"N={n}: {img_s:.0f} img/s (batch {batch})")
-        results[n] = img_s
+        results[n] = _measure_sharded(model, x0, batch, k_short, k_long,
+                                      tag=f"N={n}")
     return results
 
 

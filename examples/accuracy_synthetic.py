@@ -80,7 +80,7 @@ def train_torch_lenet(x, y, epochs=2, batch=128, seed=0, log=print):
     return net
 
 
-def accuracy_report(net, x_test, y_test, calib, log=print):
+def accuracy_report(net, x_test, y_test, calib):
     """Returns dict of labelled accuracies across the four paths."""
     import torch
 

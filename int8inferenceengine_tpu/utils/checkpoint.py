@@ -79,10 +79,15 @@ def load(model, path: str):
     """
     if str(path).endswith(".safetensors"):
         import safetensors
-        from safetensors.numpy import load_file
         with safetensors.safe_open(path, framework="numpy") as f:
-            meta = json.loads(f.metadata()["i8ie_meta"])
-        arrays = load_file(path)
+            md = f.metadata()
+            if not md or "i8ie_meta" not in md:
+                raise ValueError(
+                    f"{path} is not an i8ie checkpoint (no 'i8ie_meta' "
+                    "header) — for a plain safetensors state_dict use "
+                    "read_state_dict() + Module.load()")
+            meta = json.loads(md["i8ie_meta"])
+            arrays = {k: f.get_tensor(k) for k in f.keys()}
     else:
         with np.load(path) as z:
             meta = json.loads(bytes(z["__meta__"]).decode())
@@ -130,10 +135,14 @@ def read_state_dict(path: str) -> dict:
     if p.endswith(".npz"):
         with np.load(p) as z:
             return {k: z[k] for k in z.files}
-    import torch
-    sd = torch.load(p, map_location="cpu", weights_only=True)
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in sd.items()}
+    if p.endswith((".pt", ".pth")):
+        import torch
+        sd = torch.load(p, map_location="cpu", weights_only=True)
+        return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in sd.items()}
+    raise ValueError(
+        f"read_state_dict: unsupported extension on {path!r} — "
+        "expected .pt/.pth (torch), .npz, or .safetensors")
 
 
 def _jsonable(x):

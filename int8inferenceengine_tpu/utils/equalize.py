@@ -71,6 +71,11 @@ def cross_layer_equalize(model, pairs, iterations: int = 2,
             raise RuntimeError(
                 "cross_layer_equalize must run before convert() — "
                 f"({a_name!r}, {b_name!r}) already quantized")
+        if a.is_preparing or b.is_preparing:
+            raise RuntimeError(
+                "cross_layer_equalize must run before prepare() — "
+                "calibration ranges observed on pre-equalization weights "
+                "would silently mismatch the rewritten model")
         a_key, a_out, _ = _axes(a)
         b_key, _, b_in = _axes(b)
         if isinstance(b, Conv2d) and b.groups != 1:

@@ -24,8 +24,7 @@ def test_labelled_accuracy_delta():
 
     net = train_torch_lenet(x_train, y_train, epochs=3,
                             log=lambda *a: None)
-    accs = accuracy_report(net, x_test, y_test, x_train[:100],
-                           log=lambda *a: None)
+    accs = accuracy_report(net, x_test, y_test, x_train[:100])
 
     assert accs["torch_fp32"] > 0.80, accs       # the task is learnable
     # engine FP32 matches the torch oracle

@@ -96,6 +96,20 @@ def test_read_state_dict_formats(tmp_path):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_safetensors_without_header_rejected(tmp_path):
+    """A plain (non-i8ie) safetensors file gets a clear format error."""
+    from safetensors.numpy import save_file
+    path = str(tmp_path / "plain.safetensors")
+    save_file({"fc1.weight": np.zeros((10, 784), np.float32)}, path)
+    with pytest.raises(ValueError, match="not an i8ie checkpoint"):
+        utils.load(models.build("fc_mnist"), path)
+
+
+def test_read_state_dict_unknown_extension(tmp_path):
+    with pytest.raises(ValueError, match="unsupported extension"):
+        utils.read_state_dict(str(tmp_path / "w.npy"))
+
+
 def test_architecture_mismatch(tmp_path):
     mm, _ = _calibrated("fc_mnist", batch=4)
     path = str(tmp_path / "fc.npz")

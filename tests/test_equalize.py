@@ -103,6 +103,8 @@ def test_guards():
     with pytest.raises(ValueError, match="out=.*!=.*in"):
         utils.cross_layer_equalize(mm, [("conv1", "fc1")])
     mm.prepare()
+    with pytest.raises(RuntimeError, match="before prepare"):
+        utils.cross_layer_equalize(mm, [("conv1", "conv2")])
     mm(q.tensor(_rand((4, 1, 28, 28))))
     mm.convert()
     with pytest.raises(RuntimeError, match="before convert"):

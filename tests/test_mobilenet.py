@@ -68,6 +68,7 @@ def test_mobilenet_v2_ptq_lifecycle():
     """V2: inverted residuals — linear (two-sided) bottleneck outputs feeding
     QuantAdd residuals; FP32 parity vs the twin, then INT8 stays sane."""
     torch.set_num_threads(1)
+    np.random.seed(0)
     tm = models.torch_twin("mobilenet_v2")
     mm = models.build("mobilenet_v2")
     mm.load(tm.state_dict())

@@ -131,6 +131,7 @@ def test_vgg16_ptq():
     """VGG-16 end-to-end: FP32 parity vs the torch twin, then the PTQ
     lifecycle produces finite logits (batch 1 at the required 224 input)."""
     torch.set_num_threads(1)
+    np.random.seed(0)
     tm = models.torch_twin("vgg16")
     mm = models.build("vgg16")
     mm.load(tm.state_dict())
