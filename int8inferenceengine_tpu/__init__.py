@@ -14,7 +14,8 @@ points.
 """
 
 from .config import DEFAULT_CONFIG, QuantConfig
-from .layers import Conv2d, Layer, Linear, QuantAdd, QuantConcat
+from .layers import (Conv2d, Layer, Linear, QuantAct, QuantAdd, QuantConcat,
+                     QuantMul)
 from .module import Module
 from .ops.functional import argmax, dequantize, max_pool2d, quantize, relu
 from .tensor import Tensor, tensor
@@ -22,7 +23,7 @@ from .tensor import Tensor, tensor
 __all__ = [
     "tensor", "argmax", "relu", "max_pool2d",
     "Linear", "Conv2d", "Tensor", "Layer", "Module",
-    "QuantAdd", "QuantConcat",
+    "QuantAdd", "QuantConcat", "QuantMul", "QuantAct",
     "quantize", "dequantize",
     "QuantConfig", "DEFAULT_CONFIG",
 ]

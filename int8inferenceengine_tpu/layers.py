@@ -465,6 +465,111 @@ class QuantConcat(Layer):
         return Tensor(out, self.scale, self.zero_point, _nhwc=first._nhwc)
 
 
+class QuantAct(Layer):
+    """Calibrated nonlinear activation in the quantized domain.
+
+    Not in the reference (its only nonlinearity is ReLU, which needs no
+    calibration — clamping at the zero_point is exact, functional.cc:15-26).
+    Required by MobileNetV3/EfficientNet-era nets whose hardswish / silu /
+    gelu activations change the value distribution, so the output needs its
+    own calibrated (scale, zp) like any compute layer.
+
+    Same PTQ lifecycle as QuantAdd: while preparing, the FP32 activation's
+    output range is observed; after convert(), the quantized input is mapped
+    ``u8 -> dequant -> fn -> requant -> u8`` at this layer's calibrated
+    output range.  Two INT8 backends, bit-identical by construction:
+
+    * ``elementwise`` (default): the float map runs on the VPU and XLA fuses
+      it into the neighbouring conv epilogue — no extra HBM round-trip.
+      TPU-idiomatic: even silu/gelu are a handful of VPU transcendentals.
+    * ``lut``: since both (scale, zp) pairs are static at trace time, the
+      whole map collapses to a 256-entry u8->u8 table (the classic CPU int8
+      trick), applied as a gather.  Kept for exactness tests and as an
+      escape hatch for expensive custom ``fn``s.
+    """
+
+    def __init__(self, fn="hardswish", config: QuantConfig = DEFAULT_CONFIG,
+                 backend: str = "elementwise"):
+        super().__init__(config)
+        from .ops.functional import ACTIVATIONS
+        if callable(fn):
+            self.fn = fn
+            self.fn_name = getattr(fn, "__name__", "custom")
+        else:
+            try:
+                self.fn = ACTIVATIONS[fn]
+            except KeyError:
+                raise ValueError(
+                    f"unknown activation {fn!r}; available: "
+                    f"{sorted(ACTIVATIONS)} (or pass a callable)")
+            self.fn_name = fn
+        if backend not in ("elementwise", "lut"):
+            raise ValueError(f"backend must be 'elementwise' or 'lut', "
+                             f"got {backend!r}")
+        self.backend = backend
+
+    def _quantize_weights(self):  # no weights to quantize
+        pass
+
+    def __call__(self, x: Tensor) -> Tensor:
+        if not x.quantized:
+            out = self.fn(x.data)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out, _nhwc=x._nhwc, _tp_sharded=x._tp_sharded)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        if self.backend == "lut":
+            codes = jnp.arange(256, dtype=jnp.uint8)
+            lut = quant_ops.quantize_u8(
+                self.fn(quant_ops.dequantize_u8(codes, x.scale,
+                                                x.zero_point)),
+                self.scale, self.zero_point)
+            out = jnp.take(lut, x.data.astype(jnp.int32))
+        else:
+            f = self.fn(quant_ops.dequantize_u8(x.data, x.scale,
+                                                x.zero_point))
+            out = quant_ops.quantize_u8(f, self.scale, self.zero_point)
+        return Tensor(out, self.scale, self.zero_point, _nhwc=x._nhwc,
+                      _tp_sharded=x._tp_sharded)
+
+
+class QuantMul(Layer):
+    """Calibrated elementwise multiply — the squeeze-excite gating primitive.
+
+    Not in the reference (no attention-style gating in its CNNs); required
+    by SE blocks (MobileNetV3, EfficientNet) where a per-channel gate
+    [N, 1, 1, C] scales the trunk [N, H, W, C].  Mirrors QuantAdd: while
+    preparing, the FP32 product's range is observed; after convert(), both
+    quantized factors are dequantized on the VPU, multiplied (with
+    broadcasting), and requantized to this layer's calibrated output range.
+    XLA fuses the whole thing into one elementwise kernel.
+    """
+
+    def __init__(self, config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+
+    def _quantize_weights(self):  # no weights to quantize
+        pass
+
+    def __call__(self, a: Tensor, b: Tensor) -> Tensor:
+        if a.quantized != b.quantized:
+            raise ValueError(
+                "QuantMul: both inputs must be quantized or both float")
+        b_data = QuantAdd._aligned(a, b)
+        if not a.quantized:
+            out = a.data * b_data
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out, _nhwc=a._nhwc)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point)
+        fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point)
+        q = quant_ops.quantize_u8(fa * fb, self.scale, self.zero_point)
+        return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc)
+
+
 class QuantAdd(Layer):
     """Calibrated elementwise add — the residual-connection primitive.
 

@@ -15,12 +15,34 @@ quantized GEMM kernel can also fuse relu directly into its epilogue.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
 from ..tensor import Tensor
 from . import quant
+
+
+def _hardsigmoid(x):
+    """torch.nn.functional.hardsigmoid: relu6(x + 3) / 6."""
+    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+
+
+# Float-domain activation definitions shared by QuantAct's FP32 path, its
+# elementwise INT8 path, and its 256-entry LUT precomputation (the same jnp
+# ops in all three, so the paths are bit-identical per input code).  The
+# bounded ones (relu6, hard*) are MobileNetV3-era; silu/gelu are
+# EfficientNet/transformer-era.  All match the torch.nn.functional function
+# of the same name (gelu: exact erf form, torch's default).
+ACTIVATIONS = {
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+    "hardsigmoid": _hardsigmoid,
+    "hardswish": lambda x: x * _hardsigmoid(x),
+    "silu": lambda x: x * jax.nn.sigmoid(x),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+}
 
 
 def relu(x: Tensor) -> Tensor:
