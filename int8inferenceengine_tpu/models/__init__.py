@@ -3,6 +3,8 @@
 from .densenet import DenseNet121, torch_densenet121
 from .mobilenet import (MobileNetV1, MobileNetV2, torch_mobilenet_v1,
                         torch_mobilenet_v2)
+from .mobilenet_v3 import MobileNetV3, torch_mobilenet_v3
+from .efficientnet import EfficientNetB0, torch_efficientnet_b0
 from .googlenet import GoogLeNet, torch_googlenet
 from .squeezenet import SqueezeNet, torch_squeezenet
 from .resnet import ResNet18, ResNet34, ResNet50, torch_resnet18, torch_resnet34, torch_resnet50
@@ -13,6 +15,8 @@ __all__ = [
     "FCMnist", "SimpleConv", "AlexNet", "LeNet", "VGG11", "VGG16", "VGG19",
     "ResNet18",
     "MobileNetV1", "torch_mobilenet_v1", "MobileNetV2", "torch_mobilenet_v2",
+    "MobileNetV3", "torch_mobilenet_v3",
+    "EfficientNetB0", "torch_efficientnet_b0",
     "ResNet34", "torch_resnet34",
     "ResNet50", "torch_resnet50",
     "build", "torch_twin", "MODEL_SPECS", "torch_resnet18",

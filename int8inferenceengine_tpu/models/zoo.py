@@ -207,6 +207,21 @@ def _resnet50(**kw):
     return ResNet50(**kw)
 
 
+def _mobilenet_v3_large(**kw):
+    from .mobilenet_v3 import MobileNetV3
+    return MobileNetV3(variant="large", **kw)
+
+
+def _mobilenet_v3_small(**kw):
+    from .mobilenet_v3 import MobileNetV3
+    return MobileNetV3(variant="small", **kw)
+
+
+def _efficientnet_b0(**kw):
+    from .efficientnet import EfficientNetB0
+    return EfficientNetB0(**kw)
+
+
 def _squeezenet(**kw):
     from .squeezenet import SqueezeNet
     return SqueezeNet(**kw)
@@ -235,6 +250,9 @@ MODEL_SPECS = {
     "resnet50": _resnet50,
     "mobilenet_v1": _mobilenet_v1,
     "mobilenet_v2": _mobilenet_v2,
+    "mobilenet_v3_large": _mobilenet_v3_large,
+    "mobilenet_v3_small": _mobilenet_v3_small,
+    "efficientnet_b0": _efficientnet_b0,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -373,6 +391,14 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "mobilenet_v2":
         from .mobilenet import torch_mobilenet_v2
         return torch_mobilenet_v2(seed=seed)
+
+    elif name in ("mobilenet_v3_large", "mobilenet_v3_small"):
+        from .mobilenet_v3 import torch_mobilenet_v3
+        return torch_mobilenet_v3(variant=name.rsplit("_", 1)[1], seed=seed)
+
+    elif name == "efficientnet_b0":
+        from .efficientnet import torch_efficientnet_b0
+        return torch_efficientnet_b0(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

@@ -40,6 +40,7 @@ ACTIVATIONS = {
     "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
     "hardsigmoid": _hardsigmoid,
     "hardswish": lambda x: x * _hardsigmoid(x),
+    "sigmoid": jax.nn.sigmoid,
     "silu": lambda x: x * jax.nn.sigmoid(x),
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
 }

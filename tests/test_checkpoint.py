@@ -184,11 +184,11 @@ def test_validate_clean_and_dirty():
 
 
 def test_quantized_roundtrip_branching_models(tmp_path):
-    """QuantConcat/QuantAdd layers (weightless, calibrated) must persist
-    their (scale, zp) through the artifact too."""
+    """QuantConcat/QuantAdd/QuantAct/QuantMul layers (weightless,
+    calibrated) must persist their (scale, zp) through the artifact too."""
     import torch
     torch.set_num_threads(1)
-    for name in ("squeezenet", "googlenet"):
+    for name in ("squeezenet", "googlenet", "mobilenet_v3_small"):
         tm = models.torch_twin(name)
         mm = models.build(name)
         mm.load(tm.state_dict())
