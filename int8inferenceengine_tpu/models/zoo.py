@@ -222,6 +222,11 @@ def _efficientnet_b0(**kw):
     return EfficientNetB0(**kw)
 
 
+def _shufflenet_v2(**kw):
+    from .shufflenet import ShuffleNetV2
+    return ShuffleNetV2(**kw)
+
+
 def _squeezenet(**kw):
     from .squeezenet import SqueezeNet
     return SqueezeNet(**kw)
@@ -253,6 +258,7 @@ MODEL_SPECS = {
     "mobilenet_v3_large": _mobilenet_v3_large,
     "mobilenet_v3_small": _mobilenet_v3_small,
     "efficientnet_b0": _efficientnet_b0,
+    "shufflenet_v2": _shufflenet_v2,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -399,6 +405,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "efficientnet_b0":
         from .efficientnet import torch_efficientnet_b0
         return torch_efficientnet_b0(seed=seed)
+
+    elif name == "shufflenet_v2":
+        from .shufflenet import torch_shufflenet_v2
+        return torch_shufflenet_v2(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

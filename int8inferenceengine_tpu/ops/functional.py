@@ -128,6 +128,41 @@ def adaptive_avg_pool2d_1x1(x: Tensor) -> Tensor:
     return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
 
 
+def channel_shuffle(x: Tensor, groups: int) -> Tensor:
+    """ShuffleNet's channel permutation: [.., g*k channels] -> interleave
+    the g groups.  A pure layout op — quantization-transparent (scale/zp
+    pass through), so it costs one relayout the XLA scheduler can usually
+    fold into a neighbouring op."""
+    x._no_ingest("channel_shuffle")
+    axis = 3 if x._nhwc else 1
+    c = x.data.shape[axis]
+    if c % groups:
+        raise ValueError(f"channels {c} not divisible by groups {groups}")
+    d = x.data
+    if x._nhwc:
+        n, h, w, _ = d.shape
+        d = d.reshape(n, h, w, groups, c // groups)
+        d = jnp.swapaxes(d, 3, 4).reshape(n, h, w, c)
+    else:
+        n, _, h, w = d.shape
+        d = d.reshape(n, groups, c // groups, h, w)
+        d = jnp.swapaxes(d, 1, 2).reshape(n, c, h, w)
+    return Tensor(d, x.scale, x.zero_point, _nhwc=x._nhwc)
+
+
+def split_channels(x: Tensor, sections: int):
+    """Split the channel axis into ``sections`` equal parts (ShuffleNetV2's
+    channel split).  Each part keeps the input's (scale, zp)."""
+    x._no_ingest("split_channels")
+    axis = 3 if x._nhwc else 1
+    c = x.data.shape[axis]
+    if c % sections:
+        raise ValueError(f"channels {c} not divisible into {sections} parts")
+    parts = jnp.split(x.data, sections, axis=axis)
+    return tuple(Tensor(p, x.scale, x.zero_point, _nhwc=x._nhwc)
+                 for p in parts)
+
+
 def argmax(x: Tensor, *args, **kwargs) -> Tensor:
     """Matches i8ie.argmax — numpy semantics, float32 result tensor
     (reference: i8ie/__init__.py:17-18)."""
