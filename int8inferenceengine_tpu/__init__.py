@@ -15,7 +15,8 @@ points.
 
 from .config import DEFAULT_CONFIG, QuantConfig
 from .layers import (Conv2d, Layer, Linear, QuantAct, QuantAdd, QuantConcat,
-                     QuantMul)
+                     QuantLayerNorm, QuantMatmul, QuantMul, QuantPosEmbed,
+                     QuantSoftmax)
 from .module import Module
 from .ops.functional import argmax, dequantize, max_pool2d, quantize, relu
 from .tensor import Tensor, tensor
@@ -24,6 +25,7 @@ __all__ = [
     "tensor", "argmax", "relu", "max_pool2d",
     "Linear", "Conv2d", "Tensor", "Layer", "Module",
     "QuantAdd", "QuantConcat", "QuantMul", "QuantAct",
+    "QuantMatmul", "QuantSoftmax", "QuantLayerNorm", "QuantPosEmbed",
     "quantize", "dequantize",
     "QuantConfig", "DEFAULT_CONFIG",
 ]

@@ -30,8 +30,10 @@ from __future__ import annotations
 import contextvars
 import warnings
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .calibrator import Calibrator
 from .config import DEFAULT_CONFIG, QuantConfig
@@ -568,6 +570,197 @@ class QuantMul(Layer):
         fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point)
         q = quant_ops.quantize_u8(fa * fb, self.scale, self.zero_point)
         return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc)
+
+
+class QuantMatmul(Layer):
+    """Calibrated activation x activation batched matmul — the attention
+    primitive (``QK^T`` and ``P@V``).
+
+    Not in the reference (it only multiplies activations by weights, whose
+    zero-point offsets are static at convert time; src/fully_connected.cc,
+    src/conv2d.cc).  Here both operands are quantized activations, so the
+    offset correction uses on-device row/column sums — see
+    ``ops/qmatmul.qmatmul_act`` for the exact-integer math.  ``alpha``
+    (e.g. 1/sqrt(head_dim)) folds into the static requant multiplier for
+    free.  Leading dims are batch dims; set ``transpose_b`` for ``QK^T``.
+    """
+
+    def __init__(self, alpha: float = 1.0, transpose_b: bool = False,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.alpha = float(alpha)
+        self.transpose_b = transpose_b
+
+    def _quantize_weights(self):  # no weights to quantize
+        pass
+
+    def __call__(self, a: Tensor, b: Tensor) -> Tensor:
+        if a.quantized != b.quantized:
+            raise ValueError(
+                "QuantMatmul: both inputs must be quantized or both float")
+        if a._nhwc or b._nhwc:
+            raise ValueError("QuantMatmul expects token-major tensors "
+                             "(no NHWC image layout)")
+        if not a.quantized:
+            bd = jnp.swapaxes(b.data, -1, -2) if self.transpose_b else b.data
+            out = self.alpha * jnp.matmul(
+                a.data, bd, preferred_element_type=jnp.float32)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        from .ops.qmatmul import qmatmul_act
+        out = qmatmul_act(
+            a.data, b.data, scale_a=a.scale, zp_a=a.zero_point,
+            scale_b=b.scale, zp_b=b.zero_point, scale_c=self.scale,
+            zp_c=self.zero_point, alpha=self.alpha,
+            transpose_b=self.transpose_b)
+        _record_cost(self, 2 * out.size * a.data.shape[-1],
+                     a.data.size + b.data.size + out.size)
+        return Tensor(out, self.scale, self.zero_point)
+
+
+class QuantSoftmax(Layer):
+    """Calibrated softmax over the last axis (attention probabilities).
+
+    FP32 path observes the softmax output range while preparing; INT8 path
+    dequantizes the u8 scores, runs a numerically-stable softmax in f32 on
+    the VPU, and requantizes to the calibrated output range.  (Keeping
+    softmax in float between int8 GEMMs is standard INT8-transformer
+    practice; the exp/sum never round-trips HBM thanks to XLA fusion.)
+    """
+
+    def __init__(self, config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+
+    def _quantize_weights(self):  # no weights to quantize
+        pass
+
+    def __call__(self, x: Tensor) -> Tensor:
+        if not x.quantized:
+            out = jax.nn.softmax(x.data, axis=-1)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
+        out = quant_ops.quantize_u8(jax.nn.softmax(f, axis=-1),
+                                    self.scale, self.zero_point)
+        return Tensor(out, self.scale, self.zero_point)
+
+
+class QuantLayerNorm(Layer):
+    """LayerNorm over the last axis with calibrated u8 output.
+
+    gamma/beta stay FP32 and the normalization runs in f32 on the VPU
+    between the int8 GEMMs (standard INT8-transformer practice — the
+    per-token mean/variance make an integer-only LN numerically fraught
+    for no bandwidth win: in/out stay u8, and XLA fuses the f32 interior).
+    The surrounding PTQ lifecycle is the usual one: observe the FP32 LN
+    output while preparing; after convert(), dequant -> LN -> requant to
+    the calibrated range.
+    """
+
+    def __init__(self, dim: int, eps: float = 1e-5,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.dim = int(dim)
+        self.eps = float(eps)
+        self.params = {
+            "weight": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32),
+        }
+
+    def load_weight(self, w):
+        self.params["weight"] = self._load_array(w, (self.dim,),
+                                                 "load_weight")
+
+    def load_bias(self, b):
+        self.params["bias"] = self._load_array(b, (self.dim,), "load_bias")
+
+    def _quantize_weights(self):
+        # gamma/beta stay FP32 (see class docstring) — nothing to free.
+        pass
+
+    def _ln(self, f):
+        mean = jnp.mean(f, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(f - mean), axis=-1, keepdims=True)
+        norm = (f - mean) * lax.rsqrt(var + self.eps)
+        return norm * self._p("weight") + self._p("bias")
+
+    def __call__(self, x: Tensor) -> Tensor:
+        if x.shape[-1] != self.dim:
+            raise ValueError(
+                f"QuantLayerNorm({self.dim}) got last-dim {x.shape[-1]}")
+        if not x.quantized:
+            out = self._ln(x.data)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
+        out = quant_ops.quantize_u8(self._ln(f), self.scale, self.zero_point)
+        return Tensor(out, self.scale, self.zero_point)
+
+
+class QuantPosEmbed(Layer):
+    """Class token + learned positional embedding with calibrated output.
+
+    ViT stem glue: prepends the cls token (held in ``bias`` [C]) to the
+    patch tokens [B, T, C] and adds the positional table (held in
+    ``weight`` [T+1, C]).  Params stay FP32 (they're tiny and additive);
+    the INT8 path dequantizes, adds, and requantizes to the calibrated
+    range — one fused VPU pass.
+    """
+
+    def __init__(self, num_tokens: int, dim: int,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.num_tokens = int(num_tokens)   # patch tokens, excluding cls
+        self.dim = int(dim)
+        self.params = {
+            "weight": jnp.zeros((num_tokens + 1, dim), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32),
+        }
+
+    def load_weight(self, w):
+        self.params["weight"] = self._load_array(
+            w, (self.num_tokens + 1, self.dim), "load_weight")
+
+    def load_bias(self, b):
+        self.params["bias"] = self._load_array(b, (self.dim,), "load_bias")
+
+    def _quantize_weights(self):
+        # additive FP32 tables stay FP32 (see class docstring).
+        pass
+
+    def _apply(self, f):
+        bsz = f.shape[0]
+        cls = jnp.broadcast_to(self._p("bias").reshape(1, 1, self.dim),
+                               (bsz, 1, self.dim))
+        toks = jnp.concatenate([cls, f], axis=1)
+        return toks + self._p("weight")
+
+    def __call__(self, x: Tensor) -> Tensor:
+        if len(x.shape) != 3 or x.shape[1] != self.num_tokens \
+                or x.shape[2] != self.dim:
+            raise ValueError(
+                f"QuantPosEmbed expects [B, {self.num_tokens}, {self.dim}] "
+                f"tokens, got {x.shape}")
+        if not x.quantized:
+            out = self._apply(x.data)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
+        out = quant_ops.quantize_u8(self._apply(f), self.scale,
+                                    self.zero_point)
+        return Tensor(out, self.scale, self.zero_point)
 
 
 class QuantAdd(Layer):

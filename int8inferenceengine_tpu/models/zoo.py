@@ -222,6 +222,11 @@ def _efficientnet_b0(**kw):
     return EfficientNetB0(**kw)
 
 
+def _vit_tiny(**kw):
+    from .vit import ViT
+    return ViT(**kw)
+
+
 def _shufflenet_v2(**kw):
     from .shufflenet import ShuffleNetV2
     return ShuffleNetV2(**kw)
@@ -259,6 +264,7 @@ MODEL_SPECS = {
     "mobilenet_v3_small": _mobilenet_v3_small,
     "efficientnet_b0": _efficientnet_b0,
     "shufflenet_v2": _shufflenet_v2,
+    "vit_tiny": _vit_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -409,6 +415,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "shufflenet_v2":
         from .shufflenet import torch_shufflenet_v2
         return torch_shufflenet_v2(seed=seed)
+
+    elif name == "vit_tiny":
+        from .vit import torch_vit
+        return torch_vit(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

@@ -163,6 +163,46 @@ def split_channels(x: Tensor, sections: int):
                  for p in parts)
 
 
+def to_tokens(x: Tensor) -> Tensor:
+    """Image feature map -> token sequence [B, H*W, C] (ViT patch stem).
+
+    TPU-first detail: the conv output is already NHWC internally, which IS
+    token-major — this is a free reshape, no transpose (an NCHW-internal
+    engine would pay one here)."""
+    x._no_ingest("to_tokens")
+    if x._nhwc:
+        n, h, w, c = x.data.shape
+        d = x.data.reshape(n, h * w, c)
+    else:
+        n, c, h, w = x.data.shape
+        d = jnp.transpose(x.data, (0, 2, 3, 1)).reshape(n, h * w, c)
+    return Tensor(d, x.scale, x.zero_point)
+
+
+def split_heads(x: Tensor, num_heads: int) -> Tensor:
+    """[B, T, C] -> [B, H, T, C/H] (quantization-transparent layout op)."""
+    x._no_ingest("split_heads")
+    b, t, c = x.data.shape
+    if c % num_heads:
+        raise ValueError(f"dim {c} not divisible by heads {num_heads}")
+    d = x.data.reshape(b, t, num_heads, c // num_heads)
+    return Tensor(jnp.transpose(d, (0, 2, 1, 3)), x.scale, x.zero_point)
+
+
+def merge_heads(x: Tensor) -> Tensor:
+    """[B, H, T, D] -> [B, T, H*D] (inverse of split_heads)."""
+    x._no_ingest("merge_heads")
+    b, h, t, d = x.data.shape
+    out = jnp.transpose(x.data, (0, 2, 1, 3)).reshape(b, t, h * d)
+    return Tensor(out, x.scale, x.zero_point)
+
+
+def select_token(x: Tensor, index: int) -> Tensor:
+    """[B, T, C] -> [B, C]: pick one token (e.g. cls at 0) for the head."""
+    x._no_ingest("select_token")
+    return Tensor(x.data[:, index, :], x.scale, x.zero_point)
+
+
 def argmax(x: Tensor, *args, **kwargs) -> Tensor:
     """Matches i8ie.argmax — numpy semantics, float32 result tensor
     (reference: i8ie/__init__.py:17-18)."""
