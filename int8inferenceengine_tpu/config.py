@@ -67,5 +67,14 @@ class QuantConfig:
     # price of occasional +-1 output codes (see ops/quant.down_scale).
     epilogue_dtype: str = "float32"
 
+    # Compute dtype for the calibrated *pointwise glue* between layers —
+    # QuantAct / QuantAdd / QuantMul / QuantConcat dequant->op->requant
+    # interiors.  These dominate the INT8 runtime of depthwise/SE-heavy
+    # families (MobileNetV2/V3, EfficientNet), which are VPU-bound, not
+    # MXU-bound.  'bfloat16' halves their VPU cost at the price of
+    # occasional +-1 output codes.  Reduction-based glue (LayerNorm,
+    # softmax) always keeps f32 interiors regardless.
+    glue_dtype: str = "float32"
+
 
 DEFAULT_CONFIG = QuantConfig()

@@ -100,6 +100,11 @@ class Layer:
             return pa
         return None
 
+    def _glue_dtype(self):
+        """Compute dtype for calibrated pointwise glue (config.glue_dtype)."""
+        return (jnp.bfloat16 if self.config.glue_dtype == "bfloat16"
+                else jnp.float32)
+
     def _observe(self, out) -> None:
         """Record layer output ranges while preparing (eager or traced)."""
         sink = _CALIB_SINK.get()
@@ -455,9 +460,10 @@ class QuantConcat(Layer):
             return Tensor(out, _nhwc=first._nhwc)
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
+        dt = self._glue_dtype()
         requant = [
             quant_ops.quantize_u8(
-                quant_ops.dequantize_u8(d, x.scale, x.zero_point),
+                quant_ops.dequantize_u8(d, x.scale, x.zero_point, dtype=dt),
                 self.scale, self.zero_point)
             for d, x in zip(datas, xs)
         ]
@@ -530,7 +536,8 @@ class QuantAct(Layer):
             out = jnp.take(lut, x.data.astype(jnp.int32))
         else:
             f = self.fn(quant_ops.dequantize_u8(x.data, x.scale,
-                                                x.zero_point))
+                                                x.zero_point,
+                                                dtype=self._glue_dtype()))
             out = quant_ops.quantize_u8(f, self.scale, self.zero_point)
         return Tensor(out, self.scale, self.zero_point, _nhwc=x._nhwc,
                       _tp_sharded=x._tp_sharded)
@@ -566,8 +573,9 @@ class QuantMul(Layer):
             return Tensor(out, _nhwc=a._nhwc)
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
-        fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point)
-        fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point)
+        dt = self._glue_dtype()
+        fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point, dtype=dt)
+        fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point, dtype=dt)
         q = quant_ops.quantize_u8(fa * fb, self.scale, self.zero_point)
         return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc)
 
@@ -804,8 +812,9 @@ class QuantAdd(Layer):
             return Tensor(out, _nhwc=a._nhwc)
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
-        fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point)
-        fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point)
+        dt = self._glue_dtype()
+        fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point, dtype=dt)
+        fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point, dtype=dt)
         q = quant_ops.quantize_u8(fa + fb, self.scale, self.zero_point)
         if self.fuse_relu:
             q = jnp.maximum(q, jnp.uint8(self.zero_point))

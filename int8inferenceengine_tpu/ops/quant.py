@@ -26,8 +26,12 @@ import jax.numpy as jnp
 
 
 def quantize_u8(x: jnp.ndarray, scale: float, zero_point) -> jnp.ndarray:
-    """Asymmetric affine quantization float -> uint8 (activations)."""
-    t = x / scale + zero_point
+    """Asymmetric affine quantization float -> uint8 (activations).
+
+    Computes in ``x``'s own float dtype (f32 normally; bf16 when a caller
+    dequantized at bf16 under ``QuantConfig.glue_dtype``)."""
+    one = jnp.ones((), x.dtype)
+    t = x / (one * scale) + one * zero_point
     t = jnp.clip(t, 0.0, 255.0)
     return t.astype(jnp.uint8)
 
@@ -39,9 +43,14 @@ def quantize_s8(x: jnp.ndarray, scale) -> jnp.ndarray:
     return t.astype(jnp.int8)
 
 
-def dequantize_u8(q: jnp.ndarray, scale: float, zero_point) -> jnp.ndarray:
-    """uint8 -> float: ``x = (q - zp) * s`` (quantize_utils.cc:38-42)."""
-    return (q.astype(jnp.float32) - jnp.float32(zero_point)) * jnp.float32(scale)
+def dequantize_u8(q: jnp.ndarray, scale: float, zero_point,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 -> float: ``x = (q - zp) * s`` (quantize_utils.cc:38-42).
+
+    ``dtype`` selects the compute precision (bf16 via
+    ``QuantConfig.glue_dtype`` halves VPU cost on pointwise glue)."""
+    one = jnp.ones((), dtype)
+    return (q.astype(dtype) - one * zero_point) * (one * scale)
 
 
 def dequantize_s32(acc: jnp.ndarray, scale_a: float, scale_w: float) -> jnp.ndarray:
