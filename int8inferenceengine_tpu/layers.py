@@ -771,6 +771,56 @@ class QuantPosEmbed(Layer):
         return Tensor(out, self.scale, self.zero_point)
 
 
+class QuantEmbed(Layer):
+    """Token embedding with a pre-quantized table — the NLP stem.
+
+    Not in the reference (image-only).  FP32 path gathers the float table
+    and observes the output range like any compute layer; ``convert()``
+    quantizes the WHOLE table to the calibrated output (scale, zp) once, so
+    the INT8 path is a pure u8 row gather — no float work, and the table
+    lives in HBM at 1/4 the bytes.  Input is a tensor of integer token ids
+    (carried as f32 values; ``Module`` skips input quantization for models
+    whose first layer ``consumes_ids``).
+    """
+
+    consumes_ids = True
+
+    def __init__(self, vocab_size: int, dim: int,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.vocab_size = int(vocab_size)
+        self.dim = int(dim)
+        self.params = {
+            "weight": jnp.zeros((vocab_size, dim), jnp.float32),
+        }
+
+    def load_weight(self, w):
+        self.params["weight"] = self._load_array(
+            w, (self.vocab_size, self.dim), "load_weight")
+
+    def load_bias(self, b):
+        raise ValueError("QuantEmbed has no bias")
+
+    def _quantize_weights(self):
+        self.params = {
+            "q_weight": quant_ops.quantize_u8(
+                self.params["weight"], self.scale, self.zero_point),
+        }
+
+    def __call__(self, ids: Tensor) -> Tensor:
+        if ids.quantized:
+            raise ValueError(
+                "QuantEmbed consumes raw token ids, not quantized codes")
+        idx = ids.data.astype(jnp.int32)
+        if not self.is_quantized:
+            out = jnp.take(self._p("weight"), idx, axis=0)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out)
+        out = jnp.take(self._p("q_weight"), idx, axis=0)
+        return Tensor(out, self.scale, self.zero_point)
+
+
 class QuantAdd(Layer):
     """Calibrated elementwise add — the residual-connection primitive.
 

@@ -7,6 +7,7 @@ from .mobilenet_v3 import MobileNetV3, torch_mobilenet_v3
 from .efficientnet import EfficientNetB0, torch_efficientnet_b0
 from .shufflenet import ShuffleNetV2, torch_shufflenet_v2
 from .vit import ViT, torch_vit
+from .text_transformer import TextTransformer, torch_text_transformer
 from .googlenet import GoogLeNet, torch_googlenet
 from .squeezenet import SqueezeNet, torch_squeezenet
 from .resnet import ResNet18, ResNet34, ResNet50, torch_resnet18, torch_resnet34, torch_resnet50
@@ -21,6 +22,7 @@ __all__ = [
     "EfficientNetB0", "torch_efficientnet_b0",
     "ShuffleNetV2", "torch_shufflenet_v2",
     "ViT", "torch_vit",
+    "TextTransformer", "torch_text_transformer",
     "ResNet34", "torch_resnet34",
     "ResNet50", "torch_resnet50",
     "build", "torch_twin", "MODEL_SPECS", "torch_resnet18",

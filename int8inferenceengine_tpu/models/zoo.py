@@ -222,6 +222,11 @@ def _efficientnet_b0(**kw):
     return EfficientNetB0(**kw)
 
 
+def _text_tiny(**kw):
+    from .text_transformer import TextTransformer
+    return TextTransformer(**kw)
+
+
 def _vit_tiny(**kw):
     from .vit import ViT
     return ViT(**kw)
@@ -265,6 +270,7 @@ MODEL_SPECS = {
     "efficientnet_b0": _efficientnet_b0,
     "shufflenet_v2": _shufflenet_v2,
     "vit_tiny": _vit_tiny,
+    "text_tiny": _text_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -419,6 +425,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "vit_tiny":
         from .vit import torch_vit
         return torch_vit(seed=seed)
+
+    elif name == "text_tiny":
+        from .text_transformer import torch_text_transformer
+        return torch_text_transformer(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

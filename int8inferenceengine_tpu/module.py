@@ -130,7 +130,17 @@ class Module:
     def forward(self, x: Tensor) -> Tensor:  # overridden by the user
         raise NotImplementedError
 
+    def _consumes_ids(self) -> bool:
+        """True when the first compute layer takes raw token ids
+        (layers.QuantEmbed) — input quantization must be skipped."""
+        for _, layer in self.named_layers():
+            return getattr(layer, "consumes_ids", False)
+        return False
+
     def _run(self, t: Tensor) -> Tensor:
+        if self.is_quant and self._consumes_ids():
+            out = self.forward(t)
+            return F.dequantize(out)
         if self.is_quant:
             if not t.quantized:
                 # Reference behavior: quantize at the configured input
