@@ -531,7 +531,8 @@ class QuantAct(Layer):
             codes = jnp.arange(256, dtype=jnp.uint8)
             lut = quant_ops.quantize_u8(
                 self.fn(quant_ops.dequantize_u8(codes, x.scale,
-                                                x.zero_point)),
+                                                x.zero_point,
+                                                dtype=self._glue_dtype())),
                 self.scale, self.zero_point)
             out = jnp.take(lut, x.data.astype(jnp.int32))
         else:
@@ -577,7 +578,8 @@ class QuantMul(Layer):
         fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point, dtype=dt)
         fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point, dtype=dt)
         q = quant_ops.quantize_u8(fa * fb, self.scale, self.zero_point)
-        return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc)
+        return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc,
+                      _tp_sharded=a._tp_sharded)
 
 
 class QuantMatmul(Layer):
@@ -801,6 +803,16 @@ class QuantEmbed(Layer):
     def load_bias(self, b):
         raise ValueError("QuantEmbed has no bias")
 
+    def convert(self):
+        # The whole (static) table is quantized at the calibrated range, so
+        # widen the observed range to cover every row — not just the tokens
+        # that happened to appear in calibration batches.  Unlike activation
+        # ranges, the true population is known for free here; without this,
+        # unseen tokens' embeddings would silently clip.
+        if self.is_preparing and self.calibrator is not None:
+            self.calibrator.sample(self.params["weight"])
+        super().convert()
+
     def _quantize_weights(self):
         self.params = {
             "q_weight": quant_ops.quantize_u8(
@@ -811,7 +823,11 @@ class QuantEmbed(Layer):
         if ids.quantized:
             raise ValueError(
                 "QuantEmbed consumes raw token ids, not quantized codes")
-        idx = ids.data.astype(jnp.int32)
+        # Clamp ids into the table: jnp.take's out-of-range semantics (wrap
+        # for negatives, fill for overflows) would otherwise poison the
+        # calibrator with NaN / gather garbage codes silently.  Clamping
+        # maps bad ids to row 0 / row V-1 deterministically.
+        idx = jnp.clip(ids.data.astype(jnp.int32), 0, self.vocab_size - 1)
         if not self.is_quantized:
             out = jnp.take(self._p("weight"), idx, axis=0)
             if self.is_preparing:
@@ -868,4 +884,5 @@ class QuantAdd(Layer):
         q = quant_ops.quantize_u8(fa + fb, self.scale, self.zero_point)
         if self.fuse_relu:
             q = jnp.maximum(q, jnp.uint8(self.zero_point))
-        return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc)
+        return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc,
+                      _tp_sharded=a._tp_sharded)

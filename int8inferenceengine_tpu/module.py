@@ -131,24 +131,21 @@ class Module:
         raise NotImplementedError
 
     def _consumes_ids(self) -> bool:
-        """True when the first compute layer takes raw token ids
-        (layers.QuantEmbed) — input quantization must be skipped."""
-        for _, layer in self.named_layers():
-            return getattr(layer, "consumes_ids", False)
-        return False
+        """True when the model's stem takes raw token ids
+        (layers.QuantEmbed) — input quantization must be skipped.
+        Declaration order is not forward order, so ANY id-consuming layer
+        marks the model (a model can't mix id and image inputs)."""
+        return any(getattr(layer, "consumes_ids", False)
+                   for _, layer in self.named_layers())
 
     def _run(self, t: Tensor) -> Tensor:
-        if self.is_quant and self._consumes_ids():
-            out = self.forward(t)
-            return F.dequantize(out)
-        if self.is_quant:
-            if not t.quantized:
-                # Reference behavior: quantize at the configured input
-                # (scale, zp) (i8ie/module.py:20).  Already-quantized input
-                # (e.g. DataLoader host-side u8 ingest) passes through at its
-                # own scale.
-                t = F.quantize(t, self.config.input_scale,
-                               self.config.input_zero_point)
+        if self.is_quant and not t.quantized and not self._consumes_ids():
+            # Reference behavior: quantize at the configured input
+            # (scale, zp) (i8ie/module.py:20).  Already-quantized input
+            # (e.g. DataLoader host-side u8 ingest) passes through at its
+            # own scale; raw token ids pass through untouched.
+            t = F.quantize(t, self.config.input_scale,
+                           self.config.input_zero_point)
         out = self.forward(t)
         if self.is_quant:
             out = F.dequantize(out)

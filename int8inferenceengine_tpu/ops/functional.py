@@ -24,24 +24,20 @@ from ..tensor import Tensor
 from . import quant
 
 
-def _hardsigmoid(x):
-    """torch.nn.functional.hardsigmoid: relu6(x + 3) / 6."""
-    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
-
-
 # Float-domain activation definitions shared by QuantAct's FP32 path, its
 # elementwise INT8 path, and its 256-entry LUT precomputation (the same jnp
 # ops in all three, so the paths are bit-identical per input code).  The
 # bounded ones (relu6, hard*) are MobileNetV3-era; silu/gelu are
 # EfficientNet/transformer-era.  All match the torch.nn.functional function
-# of the same name (gelu: exact erf form, torch's default).
+# of the same name (gelu: exact erf form, torch's default; hard_sigmoid is
+# jax.nn's relu6(x+3)/6, torch's exact definition).
 ACTIVATIONS = {
     "relu": lambda x: jnp.maximum(x, 0.0),
     "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
-    "hardsigmoid": _hardsigmoid,
-    "hardswish": lambda x: x * _hardsigmoid(x),
+    "hardsigmoid": jax.nn.hard_sigmoid,
+    "hardswish": jax.nn.hard_swish,
     "sigmoid": jax.nn.sigmoid,
-    "silu": lambda x: x * jax.nn.sigmoid(x),
+    "silu": jax.nn.silu,
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
 }
 
@@ -128,12 +124,24 @@ def adaptive_avg_pool2d_1x1(x: Tensor) -> Tensor:
     return Tensor(out, x.scale, x.zero_point, _nhwc=x._nhwc)
 
 
+def _no_shard(x: Tensor, what: str) -> None:
+    """Channel-manipulating layout ops are undefined on a shard-local
+    (overlap-TP) tensor — permuting/splitting a channel shard would be
+    silently wrong math, so fail loudly instead."""
+    if x._tp_sharded:
+        raise ValueError(
+            f"{what}: input holds only a local output-channel shard "
+            "(overlap tensor parallelism) — gather channels first or run "
+            "this model without shard(overlap=True)")
+
+
 def channel_shuffle(x: Tensor, groups: int) -> Tensor:
     """ShuffleNet's channel permutation: [.., g*k channels] -> interleave
     the g groups.  A pure layout op — quantization-transparent (scale/zp
     pass through), so it costs one relayout the XLA scheduler can usually
     fold into a neighbouring op."""
     x._no_ingest("channel_shuffle")
+    _no_shard(x, "channel_shuffle")
     axis = 3 if x._nhwc else 1
     c = x.data.shape[axis]
     if c % groups:
@@ -154,6 +162,7 @@ def split_channels(x: Tensor, sections: int):
     """Split the channel axis into ``sections`` equal parts (ShuffleNetV2's
     channel split).  Each part keeps the input's (scale, zp)."""
     x._no_ingest("split_channels")
+    _no_shard(x, "split_channels")
     axis = 3 if x._nhwc else 1
     c = x.data.shape[axis]
     if c % sections:
@@ -170,6 +179,7 @@ def to_tokens(x: Tensor) -> Tensor:
     token-major — this is a free reshape, no transpose (an NCHW-internal
     engine would pay one here)."""
     x._no_ingest("to_tokens")
+    _no_shard(x, "to_tokens")
     if x._nhwc:
         n, h, w, c = x.data.shape
         d = x.data.reshape(n, h * w, c)
@@ -182,6 +192,7 @@ def to_tokens(x: Tensor) -> Tensor:
 def split_heads(x: Tensor, num_heads: int) -> Tensor:
     """[B, T, C] -> [B, H, T, C/H] (quantization-transparent layout op)."""
     x._no_ingest("split_heads")
+    _no_shard(x, "split_heads")
     b, t, c = x.data.shape
     if c % num_heads:
         raise ValueError(f"dim {c} not divisible by heads {num_heads}")
@@ -192,6 +203,7 @@ def split_heads(x: Tensor, num_heads: int) -> Tensor:
 def merge_heads(x: Tensor) -> Tensor:
     """[B, H, T, D] -> [B, T, H*D] (inverse of split_heads)."""
     x._no_ingest("merge_heads")
+    _no_shard(x, "merge_heads")
     b, h, t, d = x.data.shape
     out = jnp.transpose(x.data, (0, 2, 1, 3)).reshape(b, t, h * d)
     return Tensor(out, x.scale, x.zero_point)
@@ -200,6 +212,7 @@ def merge_heads(x: Tensor) -> Tensor:
 def select_token(x: Tensor, index: int) -> Tensor:
     """[B, T, C] -> [B, C]: pick one token (e.g. cls at 0) for the head."""
     x._no_ingest("select_token")
+    _no_shard(x, "select_token")
     return Tensor(x.data[:, index, :], x.scale, x.zero_point)
 
 

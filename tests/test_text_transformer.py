@@ -51,6 +51,35 @@ def test_embed_int8_is_quantized_table_gather():
         e(F.quantize(q.tensor(ids), 1.0, 0))
 
 
+def test_embed_range_covers_unseen_tokens():
+    """convert() must widen the calibrated range to the FULL table, so
+    tokens unseen during calibration don't clip."""
+    table = np.zeros((10, 4), np.float32)
+    table[:5] = 0.1          # the only rows seen during calibration
+    table[7] = 3.0           # unseen, far outside the observed range
+    e = QuantEmbed(10, 4)
+    e.load_weight(table)
+    e.prepare()
+    e(q.tensor(np.zeros((2, 3), np.float32)))   # only token 0 observed
+    e.convert()
+    out = F.dequantize(e(q.tensor(np.full((1, 1), 7, np.float32)))).numpy()
+    np.testing.assert_allclose(out, 3.0, atol=2 * e.scale)
+
+
+def test_embed_out_of_vocab_ids_clamped():
+    """Out-of-range / negative ids clamp to the table edges instead of
+    wrapping or producing NaN (jnp.take's raw semantics)."""
+    rng = np.random.default_rng(0)
+    e = QuantEmbed(10, 4)
+    e.load_weight(rng.normal(0, 1, (10, 4)).astype(np.float32))
+    bad = np.array([[-3, 99, 5]], np.float32)
+    out = e(q.tensor(bad)).numpy()
+    assert np.isfinite(out).all()
+    table = np.asarray(e.params["weight"])
+    np.testing.assert_allclose(out[0, 0], table[0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], table[9], atol=1e-6)
+
+
 def test_text_transformer_ptq_lifecycle():
     torch.set_num_threads(1)
     kw = dict(vocab_size=200, max_len=16, dim=64, depth=2, heads=2,
