@@ -224,13 +224,26 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
 
 
 def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
-    """Dispatch between the Pallas kernel and the XLA path."""
+    """Dispatch between the Pallas kernel and the XLA path.
+
+    'auto' is shape-aware on TPU.  A pallas_call is a fusion barrier — XLA
+    must materialize padded operands around it — so the kernel only pays
+    when its tiles fit: K 128-aligned AND (N 128-aligned OR a tiny
+    classifier head N < 128, where XLA's s8 dot is poor — forcing the
+    N=10 AlexNet head to XLA cost 7% end-to-end).  Otherwise dot_general
+    wins (measured sweep, ViT-Tiny INT8 b128: all-XLA 7,985 img/s,
+    K-aligned-mixed 6,808, all-Pallas 5,897 — its profile showed 27% of
+    runtime in reshape/copy/pad at kernel boundaries; AlexNet b100:
+    all-Pallas 63.9-64.9k, XLA-head 59.7k)."""
     if a_u8.dtype != jnp.uint8:
         raise TypeError(
             f"qgemm activations must be uint8 codes, got {a_u8.dtype} "
             "(the kernel recenters u8 -> s8 internally)")
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        k, n = w_s8_kn.shape
+        fits = k % 128 == 0 and (n % 128 == 0 or n < 128)
+        backend = ("pallas" if jax.default_backend() == "tpu" and fits
+                   else "xla")
     if backend == "pallas":
         return qgemm_pallas(a_u8, w_s8_kn, oc, **kw)
     return qgemm_xla(a_u8, w_s8_kn, oc, **kw)
