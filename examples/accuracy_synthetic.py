@@ -102,6 +102,12 @@ def accuracy_report(net, x_test, y_test, calib):
             ("engine_int8_cle", QuantConfig(), True),
             ("engine_int8_per_channel", QuantConfig(weight_per_channel=True),
              False),
+            ("engine_int8_nearest", QuantConfig(rounding="nearest"), False),
+            ("engine_int8_biascorr", QuantConfig(bias_correction=True),
+             False),
+            ("engine_int8_all_levers",
+             QuantConfig(weight_per_channel=True, rounding="nearest",
+                         bias_correction=True), True),
     ):
         mq = models.build("lenet", config=cfg)
         mq.load(net.state_dict())

@@ -44,6 +44,23 @@ class QuantConfig:
     # (per-output-channel weight scales) used by deeper models (ResNet).
     weight_per_channel: bool = False
 
+    # Float->int conversion mode.  'trunc' (default) reproduces the
+    # reference's C-cast round-toward-zero everywhere (quantize_utils.cc) —
+    # which systematically biases every quantization step by -s/2 on
+    # average.  'nearest' rounds to the nearest code at input quantization,
+    # weight quantization, and every requant epilogue, removing that bias
+    # (the measured common-mode shift on a Linear layer was -s_c/2 per
+    # output exactly as predicted).
+    rounding: str = "trunc"
+
+    # Bias correction (Nagel et al., ICCV'19 "Data-Free Quantization"):
+    # during calibration each Linear / ungrouped Conv2d also observes its
+    # per-input-channel activation mean; convert() folds the expected
+    # weight-quantization error  E[(W - s_w*W_q) x] = (W - s_w*W_q) E[x]
+    # into the bias before quantizing it.  Removes the systematic output
+    # shift of per-tensor weight scales at zero runtime cost.
+    bias_correction: bool = False
+
     # INT8 conv lowering:
     #   'auto'       -> XLA native s8 conv (implicit im2col on the MXU)
     #   'xla_conv'   -> force the native integer convolution

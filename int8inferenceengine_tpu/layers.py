@@ -109,10 +109,28 @@ class Layer:
         """Record layer output ranges while preparing (eager or traced)."""
         sink = _CALIB_SINK.get()
         if sink is not None:
-            sink.append((self, jnp.min(out), jnp.max(out),
+            sink.append((self, "range", jnp.min(out), jnp.max(out),
                          int(np.prod(out.shape))))
         else:
             self.calibrator.sample(out)
+
+    def _observe_in_mean(self, mean_vec, count: int) -> None:
+        """Record the per-input-channel activation mean while preparing
+        (bias correction, config.bias_correction)."""
+        sink = _CALIB_SINK.get()
+        if sink is not None:
+            sink.append((self, "in_mean", mean_vec, count))
+        else:
+            self._merge_in_mean(np.asarray(mean_vec), count)
+
+    def _merge_in_mean(self, mean, count: int) -> None:
+        if getattr(self, "_in_mean", None) is None:
+            self._in_mean, self._in_count = np.asarray(mean, np.float64), count
+        else:
+            total = self._in_count + count
+            self._in_mean = (self._in_mean * self._in_count
+                             + np.asarray(mean, np.float64) * count) / total
+            self._in_count = total
 
     # -- param access (traced params win during jit) ------------------------
     def _p(self, name):
@@ -134,6 +152,8 @@ class Layer:
             exact_minmax=self.config.calib_exact_minmax,
             reservoir_size=self.config.calib_reservoir_size,
         )
+        self._in_mean = None    # bias correction (config.bias_correction)
+        self._in_count = 0
         self.is_preparing = True
 
     def convert(self):
@@ -190,12 +210,23 @@ class Linear(Layer):
 
     def _quantize_weights(self):
         per_channel = self.config.weight_per_channel
+        rnd = self.config.rounding
         if per_channel:
             q_w, q_b, s_w = quant_ops.quantize_weight_per_channel(
-                self.params["weight"], self.params["bias"], channel_axis=0)
+                self.params["weight"], self.params["bias"], channel_axis=0,
+                rounding=rnd)
         else:
             q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
-                self.params["weight"], self.params["bias"])
+                self.params["weight"], self.params["bias"], rounding=rnd)
+        if self.config.bias_correction and \
+                getattr(self, "_in_mean", None) is not None:
+            # Fold E[(W - s_w*W_q) x] into the bias (config.bias_correction).
+            w = self.params["weight"]
+            s_col = jnp.asarray(s_w, jnp.float32).reshape(-1, 1)
+            err = (w - s_col * q_w.astype(jnp.float32)) @ jnp.asarray(
+                self._in_mean, jnp.float32)
+            q_b = quant_ops.quantize_s8(self.params["bias"] + err, s_w,
+                                        rnd)
         self.weight_scale = s_w
         self.params = {
             "qw_kn": q_w.T,                                  # [K, N] for MXU
@@ -228,6 +259,9 @@ class Linear(Layer):
         )
         if self.is_preparing:
             self._observe(out)
+            if self.config.bias_correction:
+                self._observe_in_mean(jnp.mean(x.data, axis=0),
+                                      int(x.data.shape[0]))
         _record_cost(self, 2 * out.shape[0] * self.in_channels
                      * self.out_channels,
                      4 * (x.data.size + out.size
@@ -260,7 +294,8 @@ class Linear(Layer):
             x.data, self._p("qw_kn"), oc,
             backend=self.config.kernel_backend,
             scale_a=x.scale, zp_a=x.zero_point, scale_w=self._scale_w(),
-            scale_c=self.scale, zp_c=self.zero_point, relu=self.fuse_relu)
+            scale_c=self.scale, zp_c=self.zero_point, relu=self.fuse_relu,
+            rounding=self.config.rounding)
         _record_cost(self, 2 * out.shape[0] * self.in_channels
                      * self.out_channels,
                      x.data.size + out.size
@@ -315,12 +350,24 @@ class Conv2d(Layer):
 
     def _quantize_weights(self):
         per_channel = self.config.weight_per_channel
+        rnd = self.config.rounding
         if per_channel:
             q_w, q_b, s_w = quant_ops.quantize_weight_per_channel(
-                self.params["w_hwio"], self.params["bias"], channel_axis=3)
+                self.params["w_hwio"], self.params["bias"], channel_axis=3,
+                rounding=rnd)
         else:
             q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
-                self.params["w_hwio"], self.params["bias"])
+                self.params["w_hwio"], self.params["bias"], rounding=rnd)
+        if self.config.bias_correction and self.groups == 1 and \
+                getattr(self, "_in_mean", None) is not None:
+            # Fold E[(W - s_w*W_q) x] into the bias (config.bias_correction;
+            # zp-padding edge effects are ignored, as is standard).
+            w = self.params["w_hwio"]
+            deq = jnp.asarray(s_w, jnp.float32) * q_w.astype(jnp.float32)
+            err = jnp.einsum("hwio,i->o", w - deq,
+                             jnp.asarray(self._in_mean, jnp.float32))
+            q_b = quant_ops.quantize_s8(self.params["bias"] + err, s_w,
+                                        rnd)
         self.weight_scale = s_w
         self.params = {
             "qw_hwio": q_w,                                          # s8 HWIO
@@ -371,6 +418,11 @@ class Conv2d(Layer):
             self.stride, self.padding, groups=self.groups)
         if self.is_preparing:
             self._observe(out)
+            if self.config.bias_correction and self.groups == 1:
+                xn = x.as_nhwc_data()
+                self._observe_in_mean(
+                    jnp.mean(xn, axis=(0, 1, 2)),
+                    int(np.prod(xn.shape[:3])))
         _record_cost(self, 2 * out.size * (self.in_channels // self.groups)
                      * self.kernel_size ** 2,
                      4 * (x.data.size + out.size
@@ -385,7 +437,8 @@ class Conv2d(Layer):
                             recentered=True)
         kw = dict(scale_a=x.scale, zp_a=x.zero_point,
                   scale_w=self._scale_w(), scale_c=self.scale,
-                  zp_c=self.zero_point, relu=self.fuse_relu)
+                  zp_c=self.zero_point, relu=self.fuse_relu,
+                  rounding=self.config.rounding)
         backend = self._conv_backend()
         if self.groups > 1:
             backend = "xla_conv"   # grouped convs go through XLA's native path
@@ -464,7 +517,7 @@ class QuantConcat(Layer):
         requant = [
             quant_ops.quantize_u8(
                 quant_ops.dequantize_u8(d, x.scale, x.zero_point, dtype=dt),
-                self.scale, self.zero_point)
+                self.scale, self.zero_point, self.config.rounding)
             for d, x in zip(datas, xs)
         ]
         out = jnp.concatenate(requant, axis=axis)
@@ -533,13 +586,14 @@ class QuantAct(Layer):
                 self.fn(quant_ops.dequantize_u8(codes, x.scale,
                                                 x.zero_point,
                                                 dtype=self._glue_dtype())),
-                self.scale, self.zero_point)
+                self.scale, self.zero_point, self.config.rounding)
             out = jnp.take(lut, x.data.astype(jnp.int32))
         else:
             f = self.fn(quant_ops.dequantize_u8(x.data, x.scale,
                                                 x.zero_point,
                                                 dtype=self._glue_dtype()))
-            out = quant_ops.quantize_u8(f, self.scale, self.zero_point)
+            out = quant_ops.quantize_u8(f, self.scale, self.zero_point,
+                                        self.config.rounding)
         return Tensor(out, self.scale, self.zero_point, _nhwc=x._nhwc,
                       _tp_sharded=x._tp_sharded)
 
@@ -577,7 +631,8 @@ class QuantMul(Layer):
         dt = self._glue_dtype()
         fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point, dtype=dt)
         fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point, dtype=dt)
-        q = quant_ops.quantize_u8(fa * fb, self.scale, self.zero_point)
+        q = quant_ops.quantize_u8(fa * fb, self.scale, self.zero_point,
+                                  self.config.rounding)
         return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc,
                       _tp_sharded=a._tp_sharded)
 
@@ -625,7 +680,7 @@ class QuantMatmul(Layer):
             a.data, b.data, scale_a=a.scale, zp_a=a.zero_point,
             scale_b=b.scale, zp_b=b.zero_point, scale_c=self.scale,
             zp_c=self.zero_point, alpha=self.alpha,
-            transpose_b=self.transpose_b)
+            transpose_b=self.transpose_b, rounding=self.config.rounding)
         _record_cost(self, 2 * out.size * a.data.shape[-1],
                      a.data.size + b.data.size + out.size)
         return Tensor(out, self.scale, self.zero_point)
@@ -657,7 +712,8 @@ class QuantSoftmax(Layer):
             raise RuntimeError("layer not converted; call convert() first")
         f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
         out = quant_ops.quantize_u8(jax.nn.softmax(f, axis=-1),
-                                    self.scale, self.zero_point)
+                                    self.scale, self.zero_point,
+                                    self.config.rounding)
         return Tensor(out, self.scale, self.zero_point)
 
 
@@ -712,7 +768,8 @@ class QuantLayerNorm(Layer):
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
         f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
-        out = quant_ops.quantize_u8(self._ln(f), self.scale, self.zero_point)
+        out = quant_ops.quantize_u8(self._ln(f), self.scale,
+                                    self.zero_point, self.config.rounding)
         return Tensor(out, self.scale, self.zero_point)
 
 
@@ -769,7 +826,7 @@ class QuantPosEmbed(Layer):
             raise RuntimeError("layer not converted; call convert() first")
         f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
         out = quant_ops.quantize_u8(self._apply(f), self.scale,
-                                    self.zero_point)
+                                    self.zero_point, self.config.rounding)
         return Tensor(out, self.scale, self.zero_point)
 
 
@@ -816,7 +873,8 @@ class QuantEmbed(Layer):
     def _quantize_weights(self):
         self.params = {
             "q_weight": quant_ops.quantize_u8(
-                self.params["weight"], self.scale, self.zero_point),
+                self.params["weight"], self.scale, self.zero_point,
+                self.config.rounding),
         }
 
     def __call__(self, ids: Tensor) -> Tensor:
@@ -881,7 +939,8 @@ class QuantAdd(Layer):
         dt = self._glue_dtype()
         fa = quant_ops.dequantize_u8(a.data, a.scale, a.zero_point, dtype=dt)
         fb = quant_ops.dequantize_u8(b_data, b.scale, b.zero_point, dtype=dt)
-        q = quant_ops.quantize_u8(fa + fb, self.scale, self.zero_point)
+        q = quant_ops.quantize_u8(fa + fb, self.scale, self.zero_point,
+                                  self.config.rounding)
         if self.fuse_relu:
             q = jnp.maximum(q, jnp.uint8(self.zero_point))
         return Tensor(q, self.scale, self.zero_point, _nhwc=a._nhwc,

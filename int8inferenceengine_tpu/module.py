@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import DEFAULT_CONFIG, QuantConfig
 from .layers import Layer
@@ -145,7 +146,8 @@ class Module:
             # (e.g. DataLoader host-side u8 ingest) passes through at its
             # own scale; raw token ids pass through untouched.
             t = F.quantize(t, self.config.input_scale,
-                           self.config.input_zero_point)
+                           self.config.input_zero_point,
+                           self.config.rounding)
         out = self.forward(t)
         if self.is_quant:
             out = F.dequantize(out)
@@ -241,18 +243,25 @@ class Module:
                 finally:
                     _CALIB_SINK.reset(token)
                     self._bind(None)
-                # Trace-time metadata: which layer produced each range, and
-                # how many elements it saw (static per input shape).
+                # Trace-time metadata: which layer produced each record and
+                # its kind/count (static per input shape); payload arrays
+                # ("range" -> lo, hi scalars; "in_mean" -> mean vector)
+                # become extra program outputs.
                 self._calib_meta[tuple(data.shape)] = [
-                    (layer, count) for layer, _, _, count in sink]
-                los = [lo for _, lo, _, _ in sink]
-                his = [hi for _, _, hi, _ in sink]
-                return out.logical_data, los, his
+                    (rec[0], rec[1], rec[-1]) for rec in sink]
+                vals = []
+                for rec in sink:
+                    vals.extend(rec[2:-1])
+                return out.logical_data, vals
 
             self._calib_fn = jax.jit(_fwd)
-        out, los, his = self._calib_fn(self._gather_params(), t.data)
-        for (layer, count), lo, hi in zip(self._calib_meta[shape], los, his):
-            layer.calibrator.observe_minmax(lo, hi, count)
+        out, vals = self._calib_fn(self._gather_params(), t.data)
+        it = iter(vals)
+        for layer, kind, count in self._calib_meta[shape]:
+            if kind == "range":
+                layer.calibrator.observe_minmax(next(it), next(it), count)
+            elif kind == "in_mean":
+                layer._merge_in_mean(np.asarray(next(it)), count)
         return Tensor(out)
 
     # -- scale-out --------------------------------------------------------------

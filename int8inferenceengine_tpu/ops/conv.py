@@ -111,7 +111,8 @@ def _space_to_depth(x, w_hwio, stride: int, pad_value: int):
 def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
                     scale_a, zp_a, scale_w, scale_c, zp_c, relu=False,
                     backend: str = "xla", epilogue_dtype=None,
-                    groups: int = 1, input_pre_s2d: bool = False):
+                    groups: int = 1, input_pre_s2d: bool = False,
+                    rounding: str = "trunc"):
     """Quantized conv: recenter -> zp-pad -> (space-to-depth) -> conv.
 
     ``oc`` must include the +128*rowsum recentering term
@@ -138,7 +139,8 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
         if stride > 1 and x.shape[-1] < 32 and groups == 1:
             x, w = _space_to_depth(x, w, stride, pad_value)
             stride = 1
-    if backend == "pallas" and stride == 1 and groups == 1:
+    if backend == "pallas" and stride == 1 and groups == 1 \
+            and rounding == "trunc":   # nearest not threaded into the kernel
         from .conv_pallas import conv2d_int8_pallas
         from .gemm_int8 import _mult_vector
         mult = _mult_vector(scale_a, scale_w, scale_c, w.shape[-1])
@@ -154,7 +156,7 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
     acc = acc + oc.reshape(1, 1, 1, -1)
     dtype = jnp.bfloat16 if epilogue_dtype == "bfloat16" else jnp.float32
     out = down_scale(acc, scale_a, scale_w, scale_c, zp_c,
-                     compute_dtype=dtype)
+                     compute_dtype=dtype, rounding=rounding)
     if relu:
         out = jnp.maximum(out, jnp.uint8(zp_c))
     return out
@@ -190,7 +192,8 @@ def im2col_nhwc(x_nhwc, kh: int, kw: int, stride: int, padding: int,
 
 def conv2d_int8_gemm(x_u8_nhwc, qw_kn, oc, *, kh: int, kw: int, stride: int,
                      padding: int, scale_a, zp_a, scale_w, scale_c, zp_c,
-                     relu=False, backend: str = "auto"):
+                     relu=False, backend: str = "auto",
+                     rounding: str = "trunc"):
     """Quantized conv as im2col + the shared Pallas int8 GEMM.
 
     ``qw_kn`` is the weight reordered [(kh*kw*c), kc] (OIHW -> (2,3,1,0) at
@@ -203,5 +206,5 @@ def conv2d_int8_gemm(x_u8_nhwc, qw_kn, oc, *, kh: int, kw: int, stride: int,
     a = patches.reshape(n * oh * ow, k)
     out = qgemm(a, qw_kn, oc, backend=backend,
                 scale_a=scale_a, zp_a=zp_a, scale_w=scale_w,
-                scale_c=scale_c, zp_c=zp_c, relu=relu)
+                scale_c=scale_c, zp_c=zp_c, relu=relu, rounding=rounding)
     return out.reshape(n, oh, ow, -1)

@@ -223,10 +223,11 @@ def argmax(x: Tensor, *args, **kwargs) -> Tensor:
     return Tensor(jnp.asarray(np.float32(res)))
 
 
-def quantize(x: Tensor, scale: float, zero_point: int) -> Tensor:
+def quantize(x: Tensor, scale: float, zero_point: int,
+             rounding: str = "trunc") -> Tensor:
     """Module-level asymmetric u8 quantization (i8ie/__init__.py:29-30)."""
     x._no_ingest("quantize")
-    q = quant.quantize_u8(x.data, scale, zero_point)
+    q = quant.quantize_u8(x.data, scale, zero_point, rounding)
     return Tensor(q, scale, zero_point, _nhwc=x._nhwc)
 
 

@@ -76,7 +76,7 @@ def compute_offset(q_bias: jnp.ndarray, rowsum_w: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _qgemm_kernel(a_ref, w_ref, oc_ref, mult_ref, out_ref, acc_ref, *,
-                  zp_c: int, relu: bool, n_k: int):
+                  zp_c: int, relu: bool, n_k: int, round_bias: float = 0.0):
     """One (TM, TN) output tile; grid dim 2 iterates K tiles.
 
     ``mult_ref`` is the per-output-channel requant multiplier
@@ -105,7 +105,7 @@ def _qgemm_kernel(a_ref, w_ref, oc_ref, mult_ref, out_ref, acc_ref, *,
     def _():
         c = acc_ref[:] + oc_ref[:]
         q = c.astype(jnp.float32) * mult_ref[:] + jnp.float32(zp_c)
-        q = jnp.clip(q, 0.0, 255.0)
+        q = jnp.clip(q, 0.0, 255.0) + jnp.float32(round_bias)
         qi = q.astype(jnp.int32)           # rounds toward zero, like C++
         if relu:
             qi = jnp.maximum(qi, zp_c)     # ReLU at zero_point, fused
@@ -125,9 +125,10 @@ def _mult_vector(scale_a, scale_w, scale_c, n: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("zp_c", "relu"),
+    static_argnames=("zp_c", "relu", "round_bias"),
 )
-def _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, *, zp_c, relu):
+def _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, *, zp_c, relu,
+                       round_bias=0.0):
     m, k = a_u8.shape
     k2, n = w_s8_kn.shape
     assert k == k2, (a_u8.shape, w_s8_kn.shape)
@@ -151,6 +152,7 @@ def _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, *, zp_c, relu):
     grid = (m_p // tm, n_p // tn, n_k)
     kernel = functools.partial(
         _qgemm_kernel, zp_c=int(zp_c), relu=relu, n_k=n_k,
+        round_bias=round_bias,
     )
     out = pl.pallas_call(
         kernel,
@@ -179,7 +181,7 @@ def _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, *, zp_c, relu):
 
 
 def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
-                 relu=False):
+                 relu=False, rounding: str = "trunc"):
     """u8[M,K] x s8[K,N] (+oc[N]) -> u8[M,N] requantized to (scale_c, zp_c).
 
     ``w_s8_kn`` is the weight stored [K, N] (transposed once at convert
@@ -193,7 +195,9 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
     """
     mult = _mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
     return _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, zp_c=int(zp_c),
-                              relu=relu)
+                              relu=relu,
+                              round_bias=0.5 if rounding == "nearest"
+                              else 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +205,7 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
 # ---------------------------------------------------------------------------
 
 def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
-              relu=False):
+              relu=False, rounding: str = "trunc"):
     """Same contract as :func:`qgemm_pallas`, via lax.dot_general.
 
     ``oc`` here must also carry the recentering term: we subtract 128 before
@@ -217,6 +221,8 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
     mult = _mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
     q = c.astype(jnp.float32) * mult.reshape(1, -1) + jnp.float32(zp_c)
     q = jnp.clip(q, 0.0, 255.0)
+    if rounding == "nearest":
+        q = q + jnp.float32(0.5)
     qi = q.astype(jnp.int32)
     if relu:
         qi = jnp.maximum(qi, int(zp_c))

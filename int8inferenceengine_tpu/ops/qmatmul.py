@@ -33,7 +33,7 @@ from jax import lax
 
 def qmatmul_act(a_u8, b_u8, *, scale_a, zp_a, scale_b, zp_b,
                 scale_c, zp_c, alpha: float = 1.0,
-                transpose_b: bool = False):
+                transpose_b: bool = False, rounding: str = "trunc"):
     """u8[..., M, K] x u8[..., K, N] (or [..., N, K] with transpose_b)
     -> u8[..., M, N] requantized to (scale_c, zp_c).
 
@@ -67,4 +67,6 @@ def qmatmul_act(a_u8, b_u8, *, scale_a, zp_a, scale_b, zp_b,
             * jnp.float32(alpha) / jnp.float32(scale_c))
     q = acc.astype(jnp.float32) * mult + jnp.float32(zp_c)
     q = jnp.clip(q, 0.0, 255.0)
+    if rounding == "nearest":
+        q = q + jnp.float32(0.5)
     return q.astype(jnp.int32).astype(jnp.uint8)

@@ -25,20 +25,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def quantize_u8(x: jnp.ndarray, scale: float, zero_point) -> jnp.ndarray:
+def quantize_u8(x: jnp.ndarray, scale: float, zero_point,
+                rounding: str = "trunc") -> jnp.ndarray:
     """Asymmetric affine quantization float -> uint8 (activations).
 
     Computes in ``x``'s own float dtype (f32 normally; bf16 when a caller
-    dequantized at bf16 under ``QuantConfig.glue_dtype``)."""
+    dequantized at bf16 under ``QuantConfig.glue_dtype``).  ``rounding``:
+    'trunc' is the reference's C-cast; 'nearest' adds 0.5 before the
+    (toward-zero, but now non-negative) cast -> round-half-up."""
     one = jnp.ones((), x.dtype)
     t = x / (one * scale) + one * zero_point
     t = jnp.clip(t, 0.0, 255.0)
+    if rounding == "nearest":
+        t = t + one * 0.5
     return t.astype(jnp.uint8)
 
 
-def quantize_s8(x: jnp.ndarray, scale) -> jnp.ndarray:
+def quantize_s8(x: jnp.ndarray, scale, rounding: str = "trunc") -> jnp.ndarray:
     """Symmetric quantization float -> int8 (weights / biases)."""
     t = x / scale
+    if rounding == "nearest":
+        t = jnp.round(t)
     t = jnp.clip(t, -127.0, 127.0)
     return t.astype(jnp.int8)
 
@@ -65,6 +72,7 @@ def down_scale(
     scale_c: float,
     zp_c,
     compute_dtype=jnp.float32,
+    rounding: str = "trunc",
 ) -> jnp.ndarray:
     """Fused requantization epilogue: s32 accum -> u8 at the consumer scale.
 
@@ -77,20 +85,21 @@ def down_scale(
     (bf16 spacing reaches 1-2 ULP near 255); gate via
     ``QuantConfig.epilogue_dtype``.
     """
+    rb = 0.5 if rounding == "nearest" else 0.0
     if compute_dtype == jnp.bfloat16:
         mult = (jnp.float32(scale_a) * jnp.asarray(scale_w, jnp.float32)
                 / jnp.float32(scale_c)).astype(jnp.bfloat16)
         q = acc.astype(jnp.bfloat16) * mult + jnp.bfloat16(zp_c)
-        q = jnp.clip(q, 0, 255)
+        q = jnp.clip(q, 0, 255) + jnp.bfloat16(rb)
         return q.astype(jnp.uint8)
     s_w = jnp.asarray(scale_w, jnp.float32)
     deq = acc.astype(jnp.float32) * jnp.float32(scale_a) * s_w
     q = deq / jnp.float32(scale_c) + jnp.float32(zp_c)
-    q = jnp.clip(q, 0.0, 255.0)
+    q = jnp.clip(q, 0.0, 255.0) + jnp.float32(rb)
     return q.astype(jnp.uint8)
 
 
-def quantize_weight_joint_scale(weight, bias):
+def quantize_weight_joint_scale(weight, bias, rounding: str = "trunc"):
     """Per-tensor symmetric s8 weight+bias quantization with a joint scale.
 
     ``scale = (max - min) / 127`` over the union of weight AND bias values
@@ -104,12 +113,13 @@ def quantize_weight_joint_scale(weight, bias):
     scale = (w_max - w_min) / 127.0
     # Degenerate all-zero layer: keep scale positive.
     scale = jnp.where(scale == 0, 1.0, scale)
-    q_w = quantize_s8(weight, scale)
-    q_b = quantize_s8(bias, scale)
+    q_w = quantize_s8(weight, scale, rounding)
+    q_b = quantize_s8(bias, scale, rounding)
     return q_w, q_b, float(scale)
 
 
-def quantize_weight_per_channel(weight, bias, channel_axis: int = 0):
+def quantize_weight_per_channel(weight, bias, channel_axis: int = 0,
+                                rounding: str = "trunc"):
     """Per-output-channel symmetric s8 scales (TPU-side extension).
 
     Not present in the reference; used by deeper models (ResNet) where a
@@ -123,6 +133,6 @@ def quantize_weight_per_channel(weight, bias, channel_axis: int = 0):
     scale = jnp.where(scale == 0, 1.0, scale)
     shape = [1] * weight.ndim
     shape[channel_axis] = -1
-    q_w = quantize_s8(weight, scale.reshape(shape))
-    q_b = quantize_s8(bias, scale)
+    q_w = quantize_s8(weight, scale.reshape(shape), rounding)
+    q_b = quantize_s8(bias, scale, rounding)
     return q_w, q_b, scale
