@@ -73,6 +73,16 @@ class QuantConfig:
     #   'xla'    -> force the jnp/dot_general reference path
     kernel_backend: str = "auto"
 
+    # Fused INT8 attention (ops/attention.py): run the converted
+    # QK^T -> softmax -> P@V chain through one op with intermediate
+    # quantization replayed bit-compatibly.
+    #   'auto'   -> measured best (composed XLA; see ops/attention.py)
+    #   'pallas' -> force the single-kernel Pallas path (scores stay
+    #               in VMEM; loses to XLA's fusions at measured shapes)
+    #   'xla'    -> force the composed path through the fused wrapper
+    #   'off'    -> per-layer composed path (QuantMatmul/QuantSoftmax)
+    fused_attention: str = "auto"
+
     # Computation dtype for the FP32 (pre-convert) path. float32 matches the
     # reference oracle; bfloat16 doubles MXU throughput at slight accuracy
     # cost.

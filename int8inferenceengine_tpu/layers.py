@@ -717,6 +717,40 @@ class QuantSoftmax(Layer):
         return Tensor(out, self.scale, self.zero_point)
 
 
+def fused_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
+                    av: "QuantMatmul", qh: Tensor, kh: Tensor,
+                    vh: Tensor) -> Tensor:
+    """Run a converted QK^T -> softmax -> P@V chain as one fused op.
+
+    Drop-in for ``av(smax(attn(qh, kh)), vh)`` once all three layers are
+    quantized: same calibrated scales, same intermediate u8 grids (see
+    ops/attention.py), but the score/probability tensors never touch HBM.
+    Models gate on ``QuantConfig.fused_attention``.
+    """
+    if not (attn.is_quantized and smax.is_quantized and av.is_quantized):
+        raise RuntimeError("fused_attention requires converted layers")
+    if not attn.transpose_b or av.transpose_b or av.alpha != 1.0:
+        raise ValueError("fused_attention expects attn=QK^T (transpose_b) "
+                         "and a plain P@V")
+    from .ops import attention as attn_ops
+    backend = attn.config.fused_attention
+    out = attn_ops.attention(
+        qh.data, kh.data, vh.data,
+        backend="auto" if backend in ("auto", "off") else backend,
+        scale_q=qh.scale, zp_q=qh.zero_point,
+        scale_k=kh.scale, zp_k=kh.zero_point,
+        scale_v=vh.scale, zp_v=vh.zero_point,
+        scale_s=attn.scale, zp_s=attn.zero_point,
+        scale_p=smax.scale, zp_p=smax.zero_point,
+        scale_c=av.scale, zp_c=av.zero_point,
+        alpha=attn.alpha, rounding=attn.config.rounding)
+    t = qh.data.shape[-2]
+    _record_cost(attn, 2 * qh.data.size * t,
+                 qh.data.size + kh.data.size)
+    _record_cost(av, 2 * out.size * t, vh.data.size + out.size)
+    return Tensor(out, av.scale, av.zero_point)
+
+
 class QuantLayerNorm(Layer):
     """LayerNorm over the last axis with calibrated u8 output.
 

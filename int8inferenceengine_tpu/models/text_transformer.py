@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from ..config import DEFAULT_CONFIG, QuantConfig
 from ..layers import (Linear, QuantAct, QuantAdd, QuantEmbed, QuantLayerNorm,
-                      QuantMatmul, QuantPosEmbed, QuantSoftmax)
+                      QuantMatmul, QuantPosEmbed, QuantSoftmax,
+                      fused_attention)
 from ..module import Module
 from ..ops import functional as F
 
@@ -70,9 +71,15 @@ class TextTransformer(Module):
             qh = F.split_heads(self._linear3d(f"wq{i}", h), self.heads)
             kh = F.split_heads(self._linear3d(f"wk{i}", h), self.heads)
             vh = F.split_heads(self._linear3d(f"wv{i}", h), self.heads)
-            s = getattr(self, f"attn{i}")(qh, kh)
-            p = getattr(self, f"smax{i}")(s)
-            o = F.merge_heads(getattr(self, f"av{i}")(p, vh))
+            attn = getattr(self, f"attn{i}")
+            if attn.is_quantized and self.config.fused_attention != "off":
+                o = fused_attention(attn, getattr(self, f"smax{i}"),
+                                    getattr(self, f"av{i}"), qh, kh, vh)
+            else:
+                s = attn(qh, kh)
+                p = getattr(self, f"smax{i}")(s)
+                o = getattr(self, f"av{i}")(p, vh)
+            o = F.merge_heads(o)
             o = self._linear3d(f"proj{i}", o)
             x = getattr(self, f"add1_{i}")(x, o)
             h = getattr(self, f"ln2_{i}")(x)

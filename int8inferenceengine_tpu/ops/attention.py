@@ -1,0 +1,234 @@
+"""Fused INT8 attention: QK^T -> requant -> softmax -> requant -> P@V in VMEM.
+
+The composed transformer path (models/vit.py, models/text_transformer.py)
+runs attention as three calibrated layers — ``QuantMatmul`` (scores),
+``QuantSoftmax``, ``QuantMatmul`` (context) — which is semantically right
+but materializes the [B, H, T, T] score and probability tensors in HBM
+twice each.  The reference engine has no attention at all (its zoo is
+CNN-only, SURVEY.md §2.3); this is the TPU-native design for the op:
+one Pallas kernel per (batch, head) that keeps the whole score matrix in
+VMEM, with the exact same quantized semantics as the composed layers:
+
+    codes_s = trunc(clip(exact_int_qk * s_q*s_k*alpha/s_s + zp_s))
+    p       = softmax((codes_s - zp_s) * s_s)           # 8-bit bottleneck
+    codes_p = trunc(clip(p / s_p + zp_p))               # kept: calibration
+    out     = trunc(clip(exact_int_pv * s_p*s_v/s_c + zp_c))
+
+i.e. the fused kernel REPLAYS the composed path's intermediate
+quantization (scores and probabilities still pass through their
+calibrated u8 grids) so calibration transfers unchanged; it just never
+writes the codes to HBM.
+
+Zero-point math (both stages are activation x activation, see
+ops/qmatmul.py): operands are recentered u8 -> s8 via the XOR bitcast,
+and the data-dependent row/column-sum corrections are computed ON THE MXU
+as two extra dots against a ones matrix — Mosaic-friendly (no s8->s32
+vector casts, no 1D->2D reshapes) and exact:
+
+    sum_k (a-zp_a)(b-zp_b) = a'.b' + (128-zp_b) * (a'.ones)
+                                   + (128-zp_a) * (ones.b') + K c_a c_b
+
+All corrections and epilogues run in f32; every intermediate integer here
+is < 2^24 (|acc| <= T*128*128 ~ 3.2M for T <= 1024) so f32 arithmetic is
+exact and bit-identical to the composed int32 path.
+
+Padding contract: T and D are padded to the kernel grid with code 128,
+which recenters to 0 and therefore contributes nothing to dots or sums;
+the static ``K * c_a * c_b`` terms use the REAL dims.  Padded score
+columns are masked to -inf before softmax and their probability codes
+forced to 128 (-> p' = 0) so padded positions never leak into real ones.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import quant as quant_ops
+from .qmatmul import qmatmul_act
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA-composed path (the oracle — literally the three composed layers' math)
+# ---------------------------------------------------------------------------
+
+def attention_xla(q_u8, k_u8, v_u8, *, scale_q, zp_q, scale_k, zp_k,
+                  scale_v, zp_v, scale_s, zp_s, scale_p, zp_p,
+                  scale_c, zp_c, alpha: float, rounding: str = "trunc"):
+    """Composed attention: bit-identical to QuantMatmul+QuantSoftmax+
+    QuantMatmul run back to back (the differential oracle for the kernel).
+    """
+    s = qmatmul_act(q_u8, k_u8, scale_a=scale_q, zp_a=zp_q,
+                    scale_b=scale_k, zp_b=zp_k, scale_c=scale_s, zp_c=zp_s,
+                    alpha=alpha, transpose_b=True, rounding=rounding)
+    f = quant_ops.dequantize_u8(s, scale_s, zp_s)
+    p = quant_ops.quantize_u8(jax.nn.softmax(f, axis=-1), scale_p, zp_p,
+                              rounding)
+    return qmatmul_act(p, v_u8, scale_a=scale_p, zp_a=zp_p,
+                       scale_b=scale_v, zp_b=zp_v, scale_c=scale_c,
+                       zp_c=zp_c, rounding=rounding)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+# fparams layout (f32 SMEM vector)
+_MULT_S, _ZP_S, _S_S, _S_P, _ZP_P, _MULT_O, _ZP_C, _RB, \
+    _C_Q, _C_K, _C_P, _C_V = range(12)
+
+
+def _attn_kernel(fp_ref, q_ref, k_ref, v_ref, o_ref, *, t_real: int,
+                 d_real: int):
+    """One (batch*head) slice: q/k/v [1, Tp, Dp] u8 -> out [1, Tp, Dp] u8."""
+    f32, s8 = jnp.float32, jnp.int8
+    a = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)        # [Tp, Dp]
+    b = pltpu.bitcast(k_ref[0] ^ jnp.uint8(0x80), s8)
+    tp, dp = a.shape
+    ones_d = jnp.ones((tp, dp), s8)
+
+    def dot_t(x, y):                                  # x [M,K] . y[N,K]^T
+        return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    c_q, c_k = fp_ref[_C_Q], fp_ref[_C_K]
+    acc = (dot_t(a, b).astype(f32)
+           + c_k * dot_t(a, ones_d).astype(f32)       # (128-zp_k) * rowsum_q'
+           + c_q * dot_t(ones_d, b).astype(f32)       # (128-zp_q) * colsum_k'
+           + f32(d_real) * c_q * c_k)
+    codes = jnp.clip(acc * fp_ref[_MULT_S] + fp_ref[_ZP_S], 0.0, 255.0)
+    codes = jnp.floor(codes + fp_ref[_RB])            # trunc (non-negative)
+
+    x = (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]        # dequant at smax input
+    col = lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    x = jnp.where(col < t_real, x, -jnp.inf)
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+
+    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
+    pcodes = jnp.floor(pcodes + fp_ref[_RB])
+    pcodes = jnp.where(col < t_real, pcodes, f32(128.0))   # pads -> p' = 0
+    p8 = (pcodes.astype(jnp.int32) - 128).astype(s8)       # [Tp, Tp]
+
+    v8 = pltpu.bitcast(v_ref[0] ^ jnp.uint8(0x80), s8)     # [Tp, Dp]
+    ones_t = jnp.ones((tp, tp), s8)
+
+    def dot_n(x, y):                                  # x [M,K] . y [K,N]
+        return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    c_p, c_v = fp_ref[_C_P], fp_ref[_C_V]
+    acc2 = (dot_n(p8, v8).astype(f32)
+            + c_v * dot_n(p8, ones_d).astype(f32)     # (128-zp_v) * rowsum_p'
+            + c_p * dot_n(ones_t, v8).astype(f32)     # (128-zp_p) * colsum_v'
+            + f32(t_real) * c_p * c_v)
+    qo = jnp.clip(acc2 * fp_ref[_MULT_O] + fp_ref[_ZP_C], 0.0, 255.0)
+    qo = (qo + fp_ref[_RB]).astype(jnp.int32)
+    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
+        ^ jnp.uint8(0x80)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_real", "d_real", "interpret"))
+def _attn_pallas_impl(q3, k3, v3, fparams, *, t_real: int, d_real: int,
+                      interpret: bool = False):
+    g, tp, dp = q3.shape
+    kernel = functools.partial(_attn_kernel, t_real=t_real, d_real=d_real)
+    spec = pl.BlockSpec((1, tp, dp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec, spec, spec,
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((g, tp, dp), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * tp * tp * dp * 2,
+            bytes_accessed=4 * g * tp * dp,
+            transcendentals=g * tp * tp,
+        ),
+        interpret=interpret,
+    )(fparams, q3, k3, v3)
+
+
+def attention_pallas(q_u8, k_u8, v_u8, *, scale_q, zp_q, scale_k, zp_k,
+                     scale_v, zp_v, scale_s, zp_s, scale_p, zp_p,
+                     scale_c, zp_c, alpha: float, rounding: str = "trunc",
+                     interpret: bool = False):
+    """Fused kernel entry: u8 [..., T, D] x3 -> u8 [..., T, D].
+
+    Scales/zero-points are runtime scalars (SMEM) so ONE compiled kernel
+    serves every attention layer of a given shape — TPU compiles through
+    the tunnel cost minutes each; 12 per-layer specializations would be
+    unusable.
+    """
+    *lead, t, d = q_u8.shape
+    g = 1
+    for n in lead:
+        g *= n
+    tp, dp = _round_up(t, 128), _round_up(d, 128)
+    q3 = q_u8.reshape(g, t, d)
+    k3 = k_u8.reshape(g, t, d)
+    v3 = v_u8.reshape(g, t, d)
+    if (tp, dp) != (t, d):
+        pad = ((0, 0), (0, tp - t), (0, dp - d))
+        q3 = jnp.pad(q3, pad, constant_values=128)   # code 128 -> s8 zero
+        k3 = jnp.pad(k3, pad, constant_values=128)
+        v3 = jnp.pad(v3, pad, constant_values=128)
+    # Same f32 op order as the composed path (qmatmul_act / quantize_u8)
+    # so both backends share every rounding.
+    mult_s = (jnp.float32(scale_q) * jnp.float32(scale_k)
+              * jnp.float32(alpha) / jnp.float32(scale_s))
+    mult_o = (jnp.float32(scale_p) * jnp.float32(scale_v)
+              / jnp.float32(scale_c))
+    rb = 0.5 if rounding == "nearest" else 0.0
+    fparams = jnp.stack([
+        mult_s, jnp.float32(zp_s), jnp.float32(scale_s),
+        jnp.float32(scale_p), jnp.float32(zp_p), mult_o,
+        jnp.float32(zp_c), jnp.float32(rb),
+        jnp.float32(128 - int(zp_q)), jnp.float32(128 - int(zp_k)),
+        jnp.float32(128 - int(zp_p)), jnp.float32(128 - int(zp_v)),
+    ])
+    out = _attn_pallas_impl(q3, k3, v3, fparams, t_real=t, d_real=d,
+                            interpret=interpret)
+    if (tp, dp) != (t, d):
+        out = out[:, :t, :d]
+    return out.reshape(*lead, t, d)
+
+
+def attention(q_u8, k_u8, v_u8, *, backend: str = "auto", **kw):
+    """Dispatch.  'auto' -> the composed XLA path, by measurement:
+
+    on one v5e chip the composed path beat the Pallas kernel at every
+    shape tried — ViT-Tiny (B128, H3, T197, D64): 0.063 vs 0.153 ms/op
+    (model-level: 7,972 vs 7,098 img/s); GPT-ish (B8, H12, T512, D64):
+    0.074 vs 0.502 ms/op.  XLA fuses dequant+softmax+requant into ONE
+    VPU pass over the u8 score codes and batches all (batch, head)
+    slices at full occupancy, while the kernel's per-slice grid
+    serializes that VPU work — the score tensors are u8, so the HBM
+    round-trips the fusion leaves behind are small.  Same verdict as the
+    conv study (ops/conv_pallas.py): beating XLA's fusion machinery on
+    bandwidth-bound chains needs a Mosaic-emitter-level kernel, not a
+    Pallas grid.  The kernel stays selectable
+    (``QuantConfig.fused_attention='pallas'``) and bit-compatible."""
+    if backend == "auto":
+        backend = "xla"
+    if backend == "pallas":
+        return attention_pallas(q_u8, k_u8, v_u8, **kw)
+    return attention_xla(q_u8, k_u8, v_u8, **kw)
