@@ -73,6 +73,12 @@ class QuantConfig:
     #   'xla'    -> force the jnp/dot_general reference path
     kernel_backend: str = "auto"
 
+    # Fuse a Linear's following QuantAct into the GEMM requant epilogue
+    # (layers.fused_linear_act / ops/gemm_int8.KERNEL_ACTS): the
+    # intermediate u8 grid is replayed in-register instead of a standalone
+    # dequant->fn->requant HBM pass over the GEMM output.
+    fuse_linear_act: bool = True
+
     # Fused INT8 attention (ops/attention.py): run the converted
     # QK^T -> softmax -> P@V chain through one op with intermediate
     # quantization replayed bit-compatibly.

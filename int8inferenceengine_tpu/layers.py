@@ -39,7 +39,7 @@ from .calibrator import Calibrator
 from .config import DEFAULT_CONFIG, QuantConfig
 from .ops import conv as conv_ops
 from .ops import quant as quant_ops
-from .ops.gemm_int8 import compute_offset, qgemm
+from .ops.gemm_int8 import KERNEL_ACTS, compute_offset, qgemm
 from .tensor import Tensor, _maybe_torch
 
 
@@ -268,7 +268,7 @@ class Linear(Layer):
                           + self.in_channels * self.out_channels))
         return Tensor(self._maybe_gather(out, 1))
 
-    def _forward_int8(self, x: Tensor) -> Tensor:
+    def _forward_int8(self, x: Tensor, act=None) -> Tensor:
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
         pa = self._overlap_axes()
@@ -295,11 +295,13 @@ class Linear(Layer):
             backend=self.config.kernel_backend,
             scale_a=x.scale, zp_a=x.zero_point, scale_w=self._scale_w(),
             scale_c=self.scale, zp_c=self.zero_point, relu=self.fuse_relu,
-            rounding=self.config.rounding)
+            rounding=self.config.rounding, act=act)
         _record_cost(self, 2 * out.shape[0] * self.in_channels
                      * self.out_channels,
                      x.data.size + out.size
                      + self.in_channels * self.out_channels)
+        if act is not None:
+            return Tensor(out, act[1], act[2])
         if self._tp_sharded and pa is not None:
             return Tensor(out, self.scale, self.zero_point, _tp_sharded=True)
         return Tensor(self._maybe_gather(out, 1), self.scale, self.zero_point)
@@ -715,6 +717,31 @@ class QuantSoftmax(Layer):
                                     self.scale, self.zero_point,
                                     self.config.rounding)
         return Tensor(out, self.scale, self.zero_point)
+
+
+def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:
+    """Run a converted ``Linear`` -> ``QuantAct`` pair as one GEMM with the
+    activation folded into the requant epilogue (ops/gemm_int8.KERNEL_ACTS).
+
+    Drop-in for ``act(linear(x))`` once both layers are quantized: the
+    intermediate u8 grid is replayed in-register (bit-identical on the XLA
+    backend; +-1 code on the Pallas kernel for erf-gelu, see
+    ops/gemm_int8._erf), so calibration transfers unchanged and the
+    standalone dequant->fn->requant pass over the Linear output never
+    touches HBM.  Models gate on ``QuantConfig.fuse_linear_act``; falls
+    back to the composed pair when the pair isn't fusable (TP-sharded
+    input, custom fn, bf16 glue, LUT backend)."""
+    fusable = (linear.is_quantized and act.is_quantized
+               and act.fn_name in KERNEL_ACTS
+               and act.backend == "elementwise"
+               and act.config.glue_dtype == "float32"
+               and not x._tp_sharded and not linear._tp_sharded)
+    if not fusable:
+        return act(linear(x))
+    out = linear._forward_int8(
+        x, act=(act.fn_name, act.scale, act.zero_point))
+    _record_cost(act, out.data.size, 2 * out.data.size)
+    return out
 
 
 def fused_attention(attn: "QuantMatmul", smax: "QuantSoftmax",

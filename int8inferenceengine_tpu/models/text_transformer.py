@@ -15,7 +15,7 @@ from __future__ import annotations
 from ..config import DEFAULT_CONFIG, QuantConfig
 from ..layers import (Linear, QuantAct, QuantAdd, QuantEmbed, QuantLayerNorm,
                       QuantMatmul, QuantPosEmbed, QuantSoftmax,
-                      fused_attention)
+                      fused_attention, fused_linear_act)
 from ..module import Module
 from ..ops import functional as F
 
@@ -58,19 +58,21 @@ class TextTransformer(Module):
         self.ln_f = QuantLayerNorm(dim, config=config)
         self.head = Linear(dim, num_classes, config=config)
 
-    def _linear3d(self, name, x):
-        b, t, c = x.shape
-        out = getattr(self, name)(x.reshape(-1, c))
-        return out.reshape(b, t, -1)
-
     def forward(self, ids):
         x = self.embed(ids)                      # [B, T, D]
         x = self.pe(x)                           # [B, T+1, D] (cls at 0)
+        # 2D-resident blocks (see models/vit.py): pointwise layers run on
+        # the flat [B*T, C] view; only head split/merge touches 3D.
+        b, t, c = x.shape
+        x = x.reshape(b * t, c)
         for i in range(1, self.depth + 1):
             h = getattr(self, f"ln1_{i}")(x)
-            qh = F.split_heads(self._linear3d(f"wq{i}", h), self.heads)
-            kh = F.split_heads(self._linear3d(f"wk{i}", h), self.heads)
-            vh = F.split_heads(self._linear3d(f"wv{i}", h), self.heads)
+            qh = F.split_heads(getattr(self, f"wq{i}")(h).reshape(b, t, c),
+                               self.heads)
+            kh = F.split_heads(getattr(self, f"wk{i}")(h).reshape(b, t, c),
+                               self.heads)
+            vh = F.split_heads(getattr(self, f"wv{i}")(h).reshape(b, t, c),
+                               self.heads)
             attn = getattr(self, f"attn{i}")
             if attn.is_quantized and self.config.fused_attention != "off":
                 o = fused_attention(attn, getattr(self, f"smax{i}"),
@@ -79,16 +81,19 @@ class TextTransformer(Module):
                 s = attn(qh, kh)
                 p = getattr(self, f"smax{i}")(s)
                 o = getattr(self, f"av{i}")(p, vh)
-            o = F.merge_heads(o)
-            o = self._linear3d(f"proj{i}", o)
+            o = F.merge_heads(o).reshape(b * t, c)
+            o = getattr(self, f"proj{i}")(o)
             x = getattr(self, f"add1_{i}")(x, o)
             h = getattr(self, f"ln2_{i}")(x)
-            h = self._linear3d(f"fc1_{i}", h)
-            h = getattr(self, f"gelu{i}")(h)
-            h = self._linear3d(f"fc2_{i}", h)
+            fc1, gelu = getattr(self, f"fc1_{i}"), getattr(self, f"gelu{i}")
+            if fc1.is_quantized and self.config.fuse_linear_act:
+                h = fused_linear_act(fc1, gelu, h)
+            else:
+                h = gelu(fc1(h))
+            h = getattr(self, f"fc2_{i}")(h)
             x = getattr(self, f"add2_{i}")(x, h)
         x = self.ln_f(x)
-        x = F.select_token(x, 0)
+        x = F.select_token(x.reshape(b, t, c), 0)
         return self.head(x)
 
 

@@ -75,8 +75,42 @@ def compute_offset(q_bias: jnp.ndarray, rowsum_w: jnp.ndarray,
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _qgemm_kernel(a_ref, w_ref, oc_ref, mult_ref, out_ref, acc_ref, *,
-                  zp_c: int, relu: bool, n_k: int, round_bias: float = 0.0):
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (|err| < 1.5e-7).
+
+    Mosaic has no erf primitive (``lax.erf`` fails to lower), and 1.5e-7
+    absolute error is far below one u8 code at any calibrated output grid,
+    so the fused-gelu epilogue matches the composed XLA path to +-1 code
+    (only values within ~1e-7 of a truncation boundary can flip)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+# Activation epilogues fusable into the GEMM kernel (same formulas as
+# ops/functional.ACTIVATIONS; gelu via _erf — see its docstring).  Fusing
+# the following QuantAct into the kernel epilogue keeps the accumulator in
+# registers instead of writing u8 codes to HBM and re-reading them for a
+# standalone transcendental pass (ViT-Tiny's 12 gelu passes on
+# u8[25216,768] cost 0.343 ms EACH standalone).
+KERNEL_ACTS = {
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+    "hardsigmoid": lambda x: jnp.clip(x + 3.0, 0.0, 6.0) / 6.0,
+    "hardswish": lambda x: x * (jnp.clip(x + 3.0, 0.0, 6.0) / 6.0),
+    "sigmoid": lambda x: 1.0 / (1.0 + jnp.exp(-x)),
+    "silu": lambda x: x * (1.0 / (1.0 + jnp.exp(-x))),
+    "gelu": lambda x: 0.5 * x * (1.0 + _erf(x * jnp.float32(2 ** -0.5))),
+}
+
+
+def _qgemm_kernel(a_ref, w_ref, oc_ref, mult_ref, ap_ref, out_ref, acc_ref,
+                  *, zp_c: int, relu: bool, n_k: int,
+                  round_bias: float = 0.0, act: str | None = None):
     """One (TM, TN) output tile; grid dim 2 iterates K tiles.
 
     ``mult_ref`` is the per-output-channel requant multiplier
@@ -105,7 +139,20 @@ def _qgemm_kernel(a_ref, w_ref, oc_ref, mult_ref, out_ref, acc_ref, *,
     def _():
         c = acc_ref[:] + oc_ref[:]
         q = c.astype(jnp.float32) * mult_ref[:] + jnp.float32(zp_c)
-        q = jnp.clip(q, 0.0, 255.0) + jnp.float32(round_bias)
+        q = jnp.clip(q, 0.0, 255.0)
+        if round_bias:          # static: emit the add only under 'nearest'
+            q = q + jnp.float32(round_bias)
+        if act is not None:
+            # Fused QuantAct epilogue: replay the composed path's u8 grid
+            # (floor == the C-cast on non-negatives), dequant at this
+            # layer's (scale, zp), apply the activation, requant at the
+            # act layer's calibrated grid — all in registers.
+            codes = jnp.floor(q)
+            x = (codes - jnp.float32(zp_c)) * ap_ref[0]
+            y = KERNEL_ACTS[act](x)
+            q = jnp.clip(y / ap_ref[1] + ap_ref[2], 0.0, 255.0)
+            if round_bias:
+                q = q + jnp.float32(round_bias)
         qi = q.astype(jnp.int32)           # rounds toward zero, like C++
         if relu:
             qi = jnp.maximum(qi, zp_c)     # ReLU at zero_point, fused
@@ -125,36 +172,47 @@ def _mult_vector(scale_a, scale_w, scale_c, n: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("zp_c", "relu", "round_bias"),
+    static_argnames=("zp_c", "relu", "round_bias", "act"),
 )
-def _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, *, zp_c, relu,
-                       round_bias=0.0):
+def _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, ap, *, zp_c, relu,
+                       round_bias=0.0, act=None):
+    """No boundary copies: partial tail blocks are handled by Pallas's
+    masked stores (M and N tails — garbage accumulator rows/columns never
+    escape the kernel), so unaligned M/N cost nothing.  Unaligned K runs
+    as ONE K block (no K grid): splitting an unaligned K would read
+    out-of-bounds activation garbage against out-of-bounds weight garbage
+    inside real output tiles, while a whole-K block keeps every read
+    in bounds (Mosaic masks the lane tail of the dot itself).  Verified
+    bit-exact vs qgemm_xla on a v5e for M25216/K192/N{192,768},
+    M100/K784/N128; the 192-dim case runs 0.033 ms vs the 0.443 ms
+    XLA's unaligned-int8 emitter took inside ViT (13x)."""
     m, k = a_u8.shape
     k2, n = w_s8_kn.shape
     assert k == k2, (a_u8.shape, w_s8_kn.shape)
 
-    m_p, k_p, n_p = _round_up(m, 128), _round_up(k, 128), _round_up(n, 128)
-    if (m_p, k_p) != (m, k):
-        a_u8 = jnp.pad(a_u8, ((0, m_p - m), (0, k_p - k)))
-    if (k_p, n_p) != (k, n):
-        w_s8_kn = jnp.pad(w_s8_kn, ((0, k_p - k), (0, n_p - n)))
-    if n_p != n:
-        oc = jnp.pad(oc, (0, n_p - n))
-        mult = jnp.pad(mult, (0, n_p - n))
-    oc2d = oc.reshape(1, n_p)
-    mult2d = mult.reshape(1, n_p)
+    oc2d = oc.reshape(1, n)
+    mult2d = mult.reshape(1, n)
 
-    tm = _pick_tile(m_p)
-    tn = _pick_tile(n_p)
-    tk = _pick_tile(k_p, (2048, 1024, 512, 256, 128))
-    n_k = k_p // tk
+    # Block shapes are 128-aligned even when the array isn't: a partial
+    # (or over-sized) block reads garbage out of bounds and its stores are
+    # masked, so the silicon runs full tiles either way — but aligned
+    # blocks keep the MXU lanes full (an unaligned tn=10 head block ran
+    # the dot on 10 of 128 lanes; AlexNet b100 lost 9% end-to-end).
+    tm = min(512, _round_up(m, 128))
+    tn = (_round_up(n, 128) if n <= 512
+          else next((c for c in (512, 256) if n % c == 0), 256))
+    if k % 128 == 0:
+        tk = _pick_tile(k, (2048, 1024, 512, 256, 128))
+    else:
+        tk = k                      # single K block; see docstring
+    n_k = pl.cdiv(k, tk)
 
-    grid = (m_p // tm, n_p // tn, n_k)
+    grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), n_k)
     kernel = functools.partial(
         _qgemm_kernel, zp_c=int(zp_c), relu=relu, n_k=n_k,
-        round_bias=round_bias,
+        round_bias=round_bias, act=act,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -162,26 +220,25 @@ def _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, *, zp_c, relu,
             pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_p, n_p), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_p * n_p * k_p,
-            bytes_accessed=m_p * k_p + k_p * n_p + m_p * n_p,
-            transcendentals=0,
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + k * n + m * n,
+            transcendentals=m * n if act in
+            ("sigmoid", "silu", "gelu") else 0,
         ),
-    )(a_u8, w_s8_kn, oc2d, mult2d)
-    if (m_p, n_p) != (m, n):
-        out = out[:m, :n]
-    return out
+    )(a_u8, w_s8_kn, oc2d, mult2d, ap)
 
 
 def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
-                 relu=False, rounding: str = "trunc"):
+                 relu=False, rounding: str = "trunc", act=None):
     """u8[M,K] x s8[K,N] (+oc[N]) -> u8[M,N] requantized to (scale_c, zp_c).
 
     ``w_s8_kn`` is the weight stored [K, N] (transposed once at convert
@@ -194,8 +251,15 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
     on return.
     """
     mult = _mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
-    return _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, zp_c=int(zp_c),
-                              relu=relu,
+    act_name, ap = None, jnp.zeros((3,), jnp.float32)
+    if act is not None:
+        act_name, act_scale, act_zp = act
+        if relu:
+            raise ValueError("act epilogue and fuse_relu are exclusive")
+        ap = jnp.asarray([jnp.float32(scale_c), jnp.float32(act_scale),
+                          jnp.float32(act_zp)], jnp.float32)
+    return _qgemm_pallas_impl(a_u8, w_s8_kn, oc, mult, ap, zp_c=int(zp_c),
+                              relu=relu, act=act_name,
                               round_bias=0.5 if rounding == "nearest"
                               else 0.0)
 
@@ -205,12 +269,14 @@ def qgemm_pallas(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
 # ---------------------------------------------------------------------------
 
 def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
-              relu=False, rounding: str = "trunc"):
+              relu=False, rounding: str = "trunc", act=None):
     """Same contract as :func:`qgemm_pallas`, via lax.dot_general.
 
     ``oc`` here must also carry the recentering term: we subtract 128 before
-    the dot so both backends share one offset vector.
-    """
+    the dot so both backends share one offset vector.  The ``act``
+    epilogue here uses the layer-level ACTIVATIONS table (exact erf gelu),
+    so it is bit-identical to running the composed Linear + QuantAct —
+    the kernel's _erf differs by at most one code (see _erf)."""
     a = (a_u8.astype(jnp.int32) - 128).astype(jnp.int8)
     acc = lax.dot_general(
         a, w_s8_kn,
@@ -224,6 +290,16 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
     if rounding == "nearest":
         q = q + jnp.float32(0.5)
     qi = q.astype(jnp.int32)
+    if act is not None:
+        from .functional import ACTIVATIONS
+        act_name, act_scale, act_zp = act
+        if relu:
+            raise ValueError("act epilogue and fuse_relu are exclusive")
+        x = ((qi.astype(jnp.float32) - jnp.float32(zp_c))
+             * jnp.float32(scale_c))
+        from .quant import quantize_u8
+        return quantize_u8(ACTIVATIONS[act_name](x), act_scale, act_zp,
+                           rounding)
     if relu:
         qi = jnp.maximum(qi, int(zp_c))
     return qi.astype(jnp.uint8)
@@ -232,22 +308,22 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
 def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
     """Dispatch between the Pallas kernel and the XLA path.
 
-    'auto' is shape-aware on TPU.  A pallas_call is a fusion barrier — XLA
-    must materialize padded operands around it — so the kernel only pays
-    when its tiles fit: K 128-aligned AND (N 128-aligned OR a tiny
-    classifier head N < 128, where XLA's s8 dot is poor — forcing the
-    N=10 AlexNet head to XLA cost 7% end-to-end).  Otherwise dot_general
-    wins (measured sweep, ViT-Tiny INT8 b128: all-XLA 7,985 img/s,
-    K-aligned-mixed 6,808, all-Pallas 5,897 — its profile showed 27% of
-    runtime in reshape/copy/pad at kernel boundaries; AlexNet b100:
-    all-Pallas 63.9-64.9k, XLA-head 59.7k)."""
+    'auto' is Pallas on TPU for every shape the kernel supports.  The
+    kernel handles unaligned M/N via masked tail blocks and unaligned K
+    as a single K block (no boundary pad/copies — an earlier version
+    padded explicitly, which made a pallas_call a materialization
+    barrier and lost to XLA on unaligned shapes; see git history for
+    that sweep).  XLA's unaligned-int8 dot emitter is catastrophic
+    in-model (ViT-Tiny's 192-dim Linears: 0.443 ms each, ~1% of MXU
+    peak, vs 0.033 ms for the copy-free kernel).  The single guard:
+    an unaligned K must fit one VMEM block (K <= 4096), else XLA."""
     if a_u8.dtype != jnp.uint8:
         raise TypeError(
             f"qgemm activations must be uint8 codes, got {a_u8.dtype} "
             "(the kernel recenters u8 -> s8 internally)")
     if backend == "auto":
         k, n = w_s8_kn.shape
-        fits = k % 128 == 0 and (n % 128 == 0 or n < 128)
+        fits = k % 128 == 0 or k <= 4096
         backend = ("pallas" if jax.default_backend() == "tpu" and fits
                    else "xla")
     if backend == "pallas":

@@ -48,15 +48,28 @@ def qmatmul_act(a_u8, b_u8, *, scale_a, zp_a, scale_b, zp_b,
     a = (a_u8.astype(jnp.int32) - 128).astype(jnp.int8)
     b = (b_u8.astype(jnp.int32) - 128).astype(jnp.int8)
     batch_dims = tuple(range(nb))
+    ca, cb = 128 - int(zp_a), 128 - int(zp_b)
+    ride_rowsum = cb != 0 and not transpose_b
+    b_dot = b
+    if ride_rowsum:
+        # Ride a's rowsum on the MXU instead of a standalone VPU reduce:
+        # append a ones column to b (s8 value 1), so output column N holds
+        # sum_k a'[m,k].  For P@V the reduce runs over the [B,H,T,T]
+        # probability tensor — the augmented-dot column is ~free while the
+        # reduce pass cost 0.125 ms/layer on ViT-Tiny b128.
+        ones_col = jnp.ones((*b.shape[:-1], 1), jnp.int8)
+        b_dot = jnp.concatenate([b, ones_col], axis=-1)
     if transpose_b:
         dn = (((nb + 1,), (nb + 1,)), (batch_dims, batch_dims))
         b_k_axis = -1
     else:
         dn = (((nb + 1,), (nb,)), (batch_dims, batch_dims))
         b_k_axis = -2
-    acc = lax.dot_general(a, b, dn, preferred_element_type=jnp.int32)
-    ca, cb = 128 - int(zp_a), 128 - int(zp_b)
-    if cb:
+    acc = lax.dot_general(a, b_dot, dn, preferred_element_type=jnp.int32)
+    if ride_rowsum:
+        acc, rowsum_a = acc[..., :-1], acc[..., -1:]
+        acc = acc + cb * rowsum_a
+    elif cb:
         acc = acc + cb * jnp.sum(a.astype(jnp.int32), axis=-1,
                                  keepdims=True)
     if ca:

@@ -85,17 +85,25 @@ def down_scale(
     (bf16 spacing reaches 1-2 ULP near 255); gate via
     ``QuantConfig.epilogue_dtype``.
     """
-    rb = 0.5 if rounding == "nearest" else 0.0
+    # NB: the +0.5 is emitted only under 'nearest' — a literal ``+ 0.0``
+    # is NOT foldable for floats (signed-zero semantics), and an
+    # unconditional add cost a full extra VPU pass inside every conv
+    # epilogue fusion (AlexNet b100 lost ~10% end-to-end).
+    nearest = rounding == "nearest"
     if compute_dtype == jnp.bfloat16:
         mult = (jnp.float32(scale_a) * jnp.asarray(scale_w, jnp.float32)
                 / jnp.float32(scale_c)).astype(jnp.bfloat16)
         q = acc.astype(jnp.bfloat16) * mult + jnp.bfloat16(zp_c)
-        q = jnp.clip(q, 0, 255) + jnp.bfloat16(rb)
+        q = jnp.clip(q, 0, 255)
+        if nearest:
+            q = q + jnp.bfloat16(0.5)
         return q.astype(jnp.uint8)
     s_w = jnp.asarray(scale_w, jnp.float32)
     deq = acc.astype(jnp.float32) * jnp.float32(scale_a) * s_w
     q = deq / jnp.float32(scale_c) + jnp.float32(zp_c)
-    q = jnp.clip(q, 0.0, 255.0) + jnp.float32(rb)
+    q = jnp.clip(q, 0.0, 255.0)
+    if nearest:
+        q = q + jnp.float32(0.5)
     return q.astype(jnp.uint8)
 
 
