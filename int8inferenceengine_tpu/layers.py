@@ -696,26 +696,51 @@ class QuantSoftmax(Layer):
     the VPU, and requantizes to the calibrated output range.  (Keeping
     softmax in float between int8 GEMMs is standard INT8-transformer
     practice; the exp/sum never round-trips HBM thanks to XLA fusion.)
+
+    ``causal=True`` masks score columns above the diagonal with -inf
+    before the softmax (decoder attention).  ``valid_len`` (a traced
+    scalar) masks columns >= valid_len instead — the KV-cache decode path,
+    where scores span the whole static cache but only the first
+    ``valid_len`` positions are live.  Masked positions quantize to
+    exactly the zero_point code, so they contribute exactly zero to the
+    downstream P@V zero-point math (ops/qmatmul.py).
     """
 
-    def __init__(self, config: QuantConfig = DEFAULT_CONFIG):
+    def __init__(self, config: QuantConfig = DEFAULT_CONFIG,
+                 causal: bool = False):
         super().__init__(config)
+        self.causal = causal
 
     def _quantize_weights(self):  # no weights to quantize
         pass
 
-    def __call__(self, x: Tensor) -> Tensor:
+    def _masked(self, f, valid_len):
+        tq, tk = f.shape[-2], f.shape[-1]
+        if self.causal and valid_len is None:
+            if tq != tk:
+                raise ValueError(
+                    f"causal softmax expects square scores, got {f.shape}; "
+                    "pass valid_len for cached decode")
+            row = lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            return jnp.where(col <= row, f, -jnp.inf)
+        if valid_len is not None:
+            col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            return jnp.where(col < valid_len, f, -jnp.inf)
+        return f
+
+    def __call__(self, x: Tensor, valid_len=None) -> Tensor:
         if not x.quantized:
-            out = jax.nn.softmax(x.data, axis=-1)
+            out = jax.nn.softmax(self._masked(x.data, valid_len), axis=-1)
             if self.is_preparing:
                 self._observe(out)
             return Tensor(out)
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
         f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
-        out = quant_ops.quantize_u8(jax.nn.softmax(f, axis=-1),
-                                    self.scale, self.zero_point,
-                                    self.config.rounding)
+        out = quant_ops.quantize_u8(
+            jax.nn.softmax(self._masked(f, valid_len), axis=-1),
+            self.scale, self.zero_point, self.config.rounding)
         return Tensor(out, self.scale, self.zero_point)
 
 
@@ -756,9 +781,10 @@ def fused_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
     """
     if not (attn.is_quantized and smax.is_quantized and av.is_quantized):
         raise RuntimeError("fused_attention requires converted layers")
-    if not attn.transpose_b or av.transpose_b or av.alpha != 1.0:
-        raise ValueError("fused_attention expects attn=QK^T (transpose_b) "
-                         "and a plain P@V")
+    if not attn.transpose_b or av.transpose_b or av.alpha != 1.0 \
+            or smax.causal:
+        raise ValueError("fused_attention expects attn=QK^T (transpose_b), "
+                         "a plain P@V, and non-causal softmax")
     from .ops import attention as attn_ops
     backend = attn.config.fused_attention
     out = attn_ops.attention(
@@ -842,51 +868,72 @@ class QuantPosEmbed(Layer):
     ``weight`` [T+1, C]).  Params stay FP32 (they're tiny and additive);
     the INT8 path dequantizes, adds, and requantizes to the calibrated
     range — one fused VPU pass.
+
+    ``cls=False`` (decoder stem): no class token (``weight`` is
+    [num_tokens, C], no ``bias``), the input may be any T <= num_tokens,
+    and ``start`` (a traced scalar) offsets the table slice — the
+    KV-cache decode path adds position ``start + [0..T)`` embeddings.
     """
 
     def __init__(self, num_tokens: int, dim: int,
-                 config: QuantConfig = DEFAULT_CONFIG):
+                 config: QuantConfig = DEFAULT_CONFIG, cls: bool = True):
         super().__init__(config)
         self.num_tokens = int(num_tokens)   # patch tokens, excluding cls
         self.dim = int(dim)
+        self.cls = cls
+        rows = num_tokens + 1 if cls else num_tokens
         self.params = {
-            "weight": jnp.zeros((num_tokens + 1, dim), jnp.float32),
-            "bias": jnp.zeros((dim,), jnp.float32),
+            "weight": jnp.zeros((rows, dim), jnp.float32),
         }
+        if cls:
+            self.params["bias"] = jnp.zeros((dim,), jnp.float32)
 
     def load_weight(self, w):
+        rows = self.num_tokens + 1 if self.cls else self.num_tokens
         self.params["weight"] = self._load_array(
-            w, (self.num_tokens + 1, self.dim), "load_weight")
+            w, (rows, self.dim), "load_weight")
 
     def load_bias(self, b):
+        if not self.cls:
+            raise ValueError("cls=False QuantPosEmbed has no bias")
         self.params["bias"] = self._load_array(b, (self.dim,), "load_bias")
 
     def _quantize_weights(self):
         # additive FP32 tables stay FP32 (see class docstring).
         pass
 
-    def _apply(self, f):
-        bsz = f.shape[0]
-        cls = jnp.broadcast_to(self._p("bias").reshape(1, 1, self.dim),
-                               (bsz, 1, self.dim))
-        toks = jnp.concatenate([cls, f], axis=1)
-        return toks + self._p("weight")
+    def _apply(self, f, start):
+        if self.cls:
+            bsz = f.shape[0]
+            cls = jnp.broadcast_to(self._p("bias").reshape(1, 1, self.dim),
+                                   (bsz, 1, self.dim))
+            toks = jnp.concatenate([cls, f], axis=1)
+            return toks + self._p("weight")
+        table = lax.dynamic_slice_in_dim(self._p("weight"),
+                                         start, f.shape[1], 0)
+        return f + table
 
-    def __call__(self, x: Tensor) -> Tensor:
-        if len(x.shape) != 3 or x.shape[1] != self.num_tokens \
+    def __call__(self, x: Tensor, start=0) -> Tensor:
+        if self.cls:
+            if len(x.shape) != 3 or x.shape[1] != self.num_tokens \
+                    or x.shape[2] != self.dim:
+                raise ValueError(
+                    f"QuantPosEmbed expects [B, {self.num_tokens}, "
+                    f"{self.dim}] tokens, got {x.shape}")
+        elif len(x.shape) != 3 or x.shape[1] > self.num_tokens \
                 or x.shape[2] != self.dim:
             raise ValueError(
-                f"QuantPosEmbed expects [B, {self.num_tokens}, {self.dim}] "
-                f"tokens, got {x.shape}")
+                f"QuantPosEmbed(cls=False) expects [B, <= "
+                f"{self.num_tokens}, {self.dim}] tokens, got {x.shape}")
         if not x.quantized:
-            out = self._apply(x.data)
+            out = self._apply(x.data, start)
             if self.is_preparing:
                 self._observe(out)
             return Tensor(out)
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
         f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
-        out = quant_ops.quantize_u8(self._apply(f), self.scale,
+        out = quant_ops.quantize_u8(self._apply(f, start), self.scale,
                                     self.zero_point, self.config.rounding)
         return Tensor(out, self.scale, self.zero_point)
 

@@ -1,0 +1,315 @@
+"""TextDecoder: INT8 autoregressive (GPT-style) decoder with a u8 KV cache.
+
+The reference engine is a feed-forward CNN inference engine (SURVEY.md §2.3)
+— this extends the framework to the other modern serving workload:
+causal-attention decoding.  Everything reuses the INT8 transformer
+primitives (QuantEmbed / QuantPosEmbed(cls=False) / QuantMatmul /
+QuantSoftmax(causal=True) / QuantLayerNorm / fused Linear+gelu), plus two
+decode-path capabilities:
+
+* **u8 KV cache**: each layer's wk/wv Linear emits u8 codes at a FIXED
+  calibrated (scale, zp) after convert(), so cached keys/values are plain
+  u8 code arrays — 4x smaller than an f32 cache, appended with
+  ``lax.dynamic_update_slice`` into static [B, H, T_max, D] buffers
+  (static shapes: one compiled decode step serves every position).
+* **exact masked attention over the static cache**: scores span all T_max
+  cached positions; ``QuantSoftmax(valid_len=pos+1)`` masks dead columns
+  to -inf, whose probabilities then quantize to exactly the zero_point
+  code — and (p - zp_p) = 0 contributes exactly zero through
+  ops/qmatmul.py's integer zero-point math, so garbage in unwritten cache
+  rows can never leak into the output.  Cached decode is therefore
+  BIT-IDENTICAL to re-running the full causal forward each step
+  (pinned by tests/test_text_decoder.py).
+
+``generate()`` runs greedy decoding as ONE jitted program: prefill fills
+the cache for the whole prompt in a single causal forward, then a
+``lax.scan`` carries (cache, position, token) through the decode steps —
+TPU-idiomatic (no per-token dispatch, no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import DEFAULT_CONFIG, QuantConfig
+from ..layers import (Linear, QuantAct, QuantAdd, QuantEmbed, QuantLayerNorm,
+                      QuantMatmul, QuantPosEmbed, QuantSoftmax,
+                      fused_linear_act)
+from ..module import Module
+from ..ops import functional as F
+from ..tensor import Tensor
+
+__all__ = ["TextDecoder", "torch_text_decoder"]
+
+
+class TextDecoder(Module):
+    """Causal transformer LM (gpt_tiny defaults: 128 dim / 2 blocks).
+
+    Per block i: ``ln1_{i}`` -> ``wq{i}``/``wk{i}``/``wv{i}`` -> heads ->
+    ``attn{i}`` (QK^T) -> ``smax{i}`` (causal) -> ``av{i}`` -> ``proj{i}``
+    -> ``add1_{i}``; then ``ln2_{i}`` -> ``fc1_{i}`` -> ``gelu{i}`` ->
+    ``fc2_{i}`` -> ``add2_{i}``.  Head: ``ln_f`` -> ``head`` over every
+    position (LM logits [B, T, vocab]).
+    """
+
+    def __init__(self, vocab_size: int = 1000, max_len: int = 64,
+                 dim: int = 128, depth: int = 2, heads: int = 2,
+                 mlp_ratio: int = 4,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        if dim % heads:
+            raise ValueError(f"dim {dim} not divisible by heads {heads}")
+        self.vocab_size, self.max_len = vocab_size, max_len
+        self.dim, self.depth, self.heads = dim, depth, heads
+        self.INPUT_SHAPE = (max_len,)           # token-id sequence
+        self.embed = QuantEmbed(vocab_size, dim, config=config)
+        self.pe = QuantPosEmbed(max_len, dim, config=config, cls=False)
+        for i in range(1, depth + 1):
+            setattr(self, f"ln1_{i}", QuantLayerNorm(dim, config=config))
+            for w in ("wq", "wk", "wv"):
+                setattr(self, f"{w}{i}", Linear(dim, dim, config=config))
+            setattr(self, f"attn{i}", QuantMatmul(
+                alpha=(dim // heads) ** -0.5, transpose_b=True,
+                config=config))
+            setattr(self, f"smax{i}", QuantSoftmax(config=config,
+                                                   causal=True))
+            setattr(self, f"av{i}", QuantMatmul(config=config))
+            setattr(self, f"proj{i}", Linear(dim, dim, config=config))
+            setattr(self, f"add1_{i}", QuantAdd(config=config))
+            setattr(self, f"ln2_{i}", QuantLayerNorm(dim, config=config))
+            setattr(self, f"fc1_{i}", Linear(dim, mlp_ratio * dim,
+                                             config=config))
+            setattr(self, f"gelu{i}", QuantAct("gelu", config=config))
+            setattr(self, f"fc2_{i}", Linear(mlp_ratio * dim, dim,
+                                             config=config))
+            setattr(self, f"add2_{i}", QuantAdd(config=config))
+        self.ln_f = QuantLayerNorm(dim, config=config)
+        self.head = Linear(dim, vocab_size, config=config)
+
+    # -- shared block body ---------------------------------------------------
+    def _block(self, i, x, b, t, capture=None):
+        """One decoder block on the flat [b*t, C] view (causal softmax).
+
+        ``capture``: dict collecting this block's fresh k/v head codes
+        (the prefill path stashes them into the KV cache).
+        """
+        c = self.dim
+        h = getattr(self, f"ln1_{i}")(x)
+        qh = F.split_heads(getattr(self, f"wq{i}")(h).reshape(b, t, c),
+                           self.heads)
+        kh = F.split_heads(getattr(self, f"wk{i}")(h).reshape(b, t, c),
+                           self.heads)
+        vh = F.split_heads(getattr(self, f"wv{i}")(h).reshape(b, t, c),
+                           self.heads)
+        if capture is not None:
+            capture[i] = (kh, vh)
+        s = getattr(self, f"attn{i}")(qh, kh)
+        p = getattr(self, f"smax{i}")(s)
+        o = getattr(self, f"av{i}")(p, vh)
+        o = F.merge_heads(o).reshape(b * t, c)
+        o = getattr(self, f"proj{i}")(o)
+        x = getattr(self, f"add1_{i}")(x, o)
+        h = getattr(self, f"ln2_{i}")(x)
+        fc1, gelu = getattr(self, f"fc1_{i}"), getattr(self, f"gelu{i}")
+        if fc1.is_quantized and self.config.fuse_linear_act:
+            h = fused_linear_act(fc1, gelu, h)
+        else:
+            h = gelu(fc1(h))
+        h = getattr(self, f"fc2_{i}")(h)
+        return getattr(self, f"add2_{i}")(x, h)
+
+    def forward(self, ids):
+        x = self.pe(self.embed(ids))             # [B, T, C]
+        b, t, c = x.shape
+        x = x.reshape(b * t, c)
+        for i in range(1, self.depth + 1):
+            x = self._block(i, x, b, t)
+        x = self.ln_f(x)
+        return self.head(x).reshape(b, t, self.vocab_size)
+
+    # -- KV-cache decoding ----------------------------------------------------
+    def _kv_scales(self, i):
+        wk, wv = getattr(self, f"wk{i}"), getattr(self, f"wv{i}")
+        return (wk.scale, wk.zero_point), (wv.scale, wv.zero_point)
+
+    def _prefill(self, ids):
+        """Full causal forward over the prompt; returns (last-token logits,
+        cache) with each layer's k/v codes written at positions [0, T0)."""
+        b, t0 = ids.data.shape
+        hd = self.dim // self.heads
+        x = self.pe(self.embed(ids))
+        x = x.reshape(b * t0, self.dim)
+        cache = {}
+        for i in range(1, self.depth + 1):
+            cap = {}
+            x = self._block(i, x, b, t0, capture=cap)
+            kh, vh = cap[i]
+            k_buf = jnp.zeros((b, self.heads, self.max_len, hd), jnp.uint8)
+            v_buf = jnp.zeros((b, self.heads, self.max_len, hd), jnp.uint8)
+            cache[i] = (
+                lax.dynamic_update_slice(k_buf, kh.data, (0, 0, 0, 0)),
+                lax.dynamic_update_slice(v_buf, vh.data, (0, 0, 0, 0)),
+            )
+        x = self.ln_f(x)
+        # u8 logit CODES — argmax over codes == argmax over dequantized
+        # logits (one positive scale), so greedy decoding never dequantizes.
+        codes = self.head(x).data.reshape(b, t0, self.vocab_size)
+        return codes[:, -1, :], cache
+
+    def _decode_step(self, cache, pos, tok):
+        """One cached decode step: tok [B] int32 at position ``pos``."""
+        b = tok.shape[0]
+        x = self.embed(Tensor(tok[:, None].astype(jnp.float32)))
+        x = self.pe(x, start=pos)                # [B, 1, C]
+        x = x.reshape(b, self.dim)
+        new_cache = {}
+        for i in range(1, self.depth + 1):
+            cap = {}
+            k_cache, v_cache = cache[i]
+            (ks, kzp), (vs, vzp) = self._kv_scales(i)
+
+            def kv_hook(cap=cap, i=i, k_cache=k_cache, v_cache=v_cache,
+                        ks=ks, kzp=kzp, vs=vs, vzp=vzp):
+                kh, vh = cap[i]
+                kc = lax.dynamic_update_slice(k_cache, kh.data,
+                                              (0, 0, pos, 0))
+                vc = lax.dynamic_update_slice(v_cache, vh.data,
+                                              (0, 0, pos, 0))
+                new_cache[i] = (kc, vc)
+                return (Tensor(kc, ks, kzp), Tensor(vc, vs, vzp))
+
+            x = self._block_decode(i, x, b, pos, cap, kv_hook)
+        x = self.ln_f(x)
+        return self.head(x).data, new_cache      # u8 logit codes [B, V]
+
+    def _block_decode(self, i, x, b, pos, cap, kv_hook):
+        c = self.dim
+        h = getattr(self, f"ln1_{i}")(x)
+        qh = F.split_heads(getattr(self, f"wq{i}")(h).reshape(b, 1, c),
+                           self.heads)
+        cap[i] = (
+            F.split_heads(getattr(self, f"wk{i}")(h).reshape(b, 1, c),
+                          self.heads),
+            F.split_heads(getattr(self, f"wv{i}")(h).reshape(b, 1, c),
+                          self.heads),
+        )
+        kh, vh = kv_hook()
+        s = getattr(self, f"attn{i}")(qh, kh)         # [B, H, 1, T_max]
+        p = getattr(self, f"smax{i}")(s, valid_len=pos + 1)
+        o = getattr(self, f"av{i}")(p, vh)            # [B, H, 1, D]
+        o = F.merge_heads(o).reshape(b, c)
+        o = getattr(self, f"proj{i}")(o)
+        x = getattr(self, f"add1_{i}")(x, o)
+        h = getattr(self, f"ln2_{i}")(x)
+        fc1, gelu = getattr(self, f"fc1_{i}"), getattr(self, f"gelu{i}")
+        if fc1.is_quantized and self.config.fuse_linear_act:
+            h = fused_linear_act(fc1, gelu, h)
+        else:
+            h = gelu(fc1(h))
+        h = getattr(self, f"fc2_{i}")(h)
+        return getattr(self, f"add2_{i}")(x, h)
+
+    def generate(self, ids, steps: int):
+        """Greedy decode ``steps`` tokens after the prompt ``ids`` [B, T0].
+
+        One jitted program: causal prefill + a lax.scan of cached decode
+        steps.  INT8-only (call after convert()).
+        """
+        if not self.is_quant:
+            raise RuntimeError("generate() requires a converted model")
+        ids = np.asarray(ids)
+        b, t0 = ids.shape
+        if t0 + steps > self.max_len:
+            raise ValueError(
+                f"prompt {t0} + steps {steps} exceeds max_len "
+                f"{self.max_len}")
+        key = (b, t0, steps)
+        fn = self._gen_cache.get(key) if hasattr(self, "_gen_cache") else None
+        if fn is None:
+            def run(params, prompt):
+                self._bind(params)
+                try:
+                    logits0, cache = self._prefill(
+                        Tensor(prompt.astype(jnp.float32)))
+                    tok0 = jnp.argmax(logits0, -1).astype(jnp.int32)
+
+                    def body(carry, _):
+                        cache, pos, tok = carry
+                        logits, cache = self._decode_step(cache, pos, tok)
+                        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                        return (cache, pos + 1, nxt), nxt
+
+                    if steps > 1:
+                        _, rest = lax.scan(body, (cache, jnp.int32(t0), tok0),
+                                           None, length=steps - 1)
+                        return jnp.concatenate(
+                            [tok0[:, None], jnp.swapaxes(rest, 0, 1)], 1)
+                    return tok0[:, None]
+                finally:
+                    self._bind(None)
+
+            fn = jax.jit(run)
+            if not hasattr(self, "_gen_cache"):
+                self._gen_cache = {}
+            self._gen_cache[key] = fn
+        return np.asarray(fn(self._gather_params(), jnp.asarray(ids)))
+
+
+def torch_text_decoder(vocab_size: int = 1000, max_len: int = 64,
+                       dim: int = 128, depth: int = 2, heads: int = 2,
+                       mlp_ratio: int = 4, seed: int = 42):
+    """Matching torch oracle (same attribute names -> state_dict loads)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as tF
+
+    torch.manual_seed(seed)
+    hd = dim // heads
+
+    class PE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.weight = nn.Parameter(torch.randn(max_len, dim) * 0.02)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = nn.Embedding(vocab_size, dim)
+            self.pe = PE()
+            for i in range(1, depth + 1):
+                setattr(self, f"ln1_{i}", nn.LayerNorm(dim))
+                for w in ("wq", "wk", "wv"):
+                    setattr(self, f"{w}{i}", nn.Linear(dim, dim))
+                setattr(self, f"proj{i}", nn.Linear(dim, dim))
+                setattr(self, f"ln2_{i}", nn.LayerNorm(dim))
+                setattr(self, f"fc1_{i}", nn.Linear(dim, mlp_ratio * dim))
+                setattr(self, f"fc2_{i}", nn.Linear(mlp_ratio * dim, dim))
+            self.ln_f = nn.LayerNorm(dim)
+            self.head = nn.Linear(dim, vocab_size)
+
+        def forward(self, ids):
+            b, t = ids.shape
+            x = self.embed(ids) + self.pe.weight[:t]
+            mask = torch.triu(torch.full((t, t), float("-inf")), 1)
+            for i in range(1, depth + 1):
+                h = getattr(self, f"ln1_{i}")(x)
+
+                def heads_of(z):
+                    return z.reshape(b, -1, heads, hd).transpose(1, 2)
+                q = heads_of(getattr(self, f"wq{i}")(h))
+                k = heads_of(getattr(self, f"wk{i}")(h))
+                v = heads_of(getattr(self, f"wv{i}")(h))
+                s = (q @ k.transpose(-1, -2)) * hd ** -0.5 + mask
+                p = tF.softmax(s, dim=-1)
+                o = (p @ v).transpose(1, 2).reshape(b, -1, dim)
+                x = x + getattr(self, f"proj{i}")(o)
+                h = getattr(self, f"ln2_{i}")(x)
+                h = getattr(self, f"fc2_{i}")(
+                    tF.gelu(getattr(self, f"fc1_{i}")(h)))
+                x = x + h
+            return self.head(self.ln_f(x))
+
+    return Net()

@@ -227,6 +227,11 @@ def _text_tiny(**kw):
     return TextTransformer(**kw)
 
 
+def _gpt_tiny(**kw):
+    from .text_decoder import TextDecoder
+    return TextDecoder(**kw)
+
+
 def _vit_tiny(**kw):
     from .vit import ViT
     return ViT(**kw)
@@ -271,6 +276,7 @@ MODEL_SPECS = {
     "shufflenet_v2": _shufflenet_v2,
     "vit_tiny": _vit_tiny,
     "text_tiny": _text_tiny,
+    "gpt_tiny": _gpt_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -429,6 +435,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "text_tiny":
         from .text_transformer import torch_text_transformer
         return torch_text_transformer(seed=seed)
+
+    elif name == "gpt_tiny":
+        from .text_decoder import torch_text_decoder
+        return torch_text_decoder(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):
