@@ -212,11 +212,37 @@ class TextDecoder(Module):
         h = getattr(self, f"fc2_{i}")(h)
         return getattr(self, f"add2_{i}")(x, h)
 
-    def generate(self, ids, steps: int):
-        """Greedy decode ``steps`` tokens after the prompt ``ids`` [B, T0].
+    def _head_scale_zp(self):
+        return float(self.head.scale), int(self.head.zero_point)
+
+    def _pick(self, codes, rng_key, temperature: float, top_k):
+        """Next-token choice from u8 logit codes [B, V].
+
+        temperature == 0 -> greedy argmax directly on the codes (the
+        dequant (c - zp) * s is order-preserving, so greedy never
+        dequantizes).  Otherwise sample jax.random.categorical on the
+        dequantized logits / temperature, optionally restricted to the
+        top_k codes (ties at the k-th value keep every tied code —
+        top-k on an 8-bit grid is a threshold, not a sort)."""
+        if temperature == 0:
+            return jnp.argmax(codes, -1).astype(jnp.int32)
+        scale, zp = self._head_scale_zp()
+        logits = (codes.astype(jnp.float32) - jnp.float32(zp)) \
+            * jnp.float32(scale)
+        if top_k is not None:
+            kth = lax.top_k(codes, top_k)[0][:, -1:]
+            logits = jnp.where(codes >= kth, logits, -jnp.inf)
+        return jax.random.categorical(
+            rng_key, logits / jnp.float32(temperature), -1).astype(jnp.int32)
+
+    def generate(self, ids, steps: int, temperature: float = 0.0,
+                 top_k: int | None = None, seed: int = 0):
+        """Decode ``steps`` tokens after the prompt ``ids`` [B, T0].
 
         One jitted program: causal prefill + a lax.scan of cached decode
-        steps.  INT8-only (call after convert()).
+        steps, the PRNG key threaded through the carry.  INT8-only (call
+        after convert()).  temperature=0 (default) is greedy; >0 samples
+        softmax(logits/T), optionally over the top_k codes.
         """
         if not self.is_quant:
             raise RuntimeError("generate() requires a converted model")
@@ -226,25 +252,30 @@ class TextDecoder(Module):
             raise ValueError(
                 f"prompt {t0} + steps {steps} exceeds max_len "
                 f"{self.max_len}")
-        key = (b, t0, steps)
-        fn = self._gen_cache.get(key) if hasattr(self, "_gen_cache") else None
+        key = (b, t0, steps, float(temperature), top_k)
+        if not hasattr(self, "_gen_cache"):
+            self._gen_cache = {}
+        fn = self._gen_cache.get(key)
         if fn is None:
-            def run(params, prompt):
+            def run(params, prompt, rng0):
                 self._bind(params)
                 try:
                     logits0, cache = self._prefill(
                         Tensor(prompt.astype(jnp.float32)))
-                    tok0 = jnp.argmax(logits0, -1).astype(jnp.int32)
+                    k0, rng = jax.random.split(rng0)
+                    tok0 = self._pick(logits0, k0, temperature, top_k)
 
                     def body(carry, _):
-                        cache, pos, tok = carry
+                        cache, pos, tok, rng = carry
                         logits, cache = self._decode_step(cache, pos, tok)
-                        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-                        return (cache, pos + 1, nxt), nxt
+                        k, rng = jax.random.split(rng)
+                        nxt = self._pick(logits, k, temperature, top_k)
+                        return (cache, pos + 1, nxt, rng), nxt
 
                     if steps > 1:
-                        _, rest = lax.scan(body, (cache, jnp.int32(t0), tok0),
-                                           None, length=steps - 1)
+                        _, rest = lax.scan(
+                            body, (cache, jnp.int32(t0), tok0, rng),
+                            None, length=steps - 1)
                         return jnp.concatenate(
                             [tok0[:, None], jnp.swapaxes(rest, 0, 1)], 1)
                     return tok0[:, None]
@@ -252,10 +283,9 @@ class TextDecoder(Module):
                     self._bind(None)
 
             fn = jax.jit(run)
-            if not hasattr(self, "_gen_cache"):
-                self._gen_cache = {}
             self._gen_cache[key] = fn
-        return np.asarray(fn(self._gather_params(), jnp.asarray(ids)))
+        return np.asarray(fn(self._gather_params(), jnp.asarray(ids),
+                             jax.random.PRNGKey(seed)))
 
 
 def torch_text_decoder(vocab_size: int = 1000, max_len: int = 64,

@@ -99,3 +99,29 @@ def test_cache_is_uint8():
     for i, (k, v) in cache.items():
         assert k.dtype == jnp.uint8 and v.dtype == jnp.uint8
         assert k.shape == (2, m.heads, m.max_len, m.dim // m.heads)
+
+
+def test_sampling_modes():
+    """top_k=1 picks a max-code token (ties on the 8-bit grid are sampled
+    uniformly, so it may differ from argmax's first-tie); sampling is
+    seed-deterministic; every sampled token stays within the top_k set."""
+    m, _ = _built()
+    _calibrated(m)
+    prompt = _ids(2, 6, seed=9)
+    s1 = m.generate(prompt, 5, temperature=1.5, top_k=8, seed=3)
+    s2 = m.generate(prompt, 5, temperature=1.5, top_k=8, seed=3)
+    np.testing.assert_array_equal(s1, s2)
+    s3 = m.generate(prompt, 5, temperature=1.5, top_k=8, seed=4)
+    assert not np.array_equal(s1, s3)  # different seed, different draw
+
+    # validity: each sampled token's logit is >= the 8th-highest logit of
+    # that step (recomputed with the full causal forward)
+    topk1 = m.generate(prompt, 5, temperature=0.8, top_k=1)
+    for sample, k in ((s1, 8), (topk1, 1)):
+        seq = prompt.copy()
+        for step in range(sample.shape[1]):
+            logits = m(q.tensor(seq)).numpy()[:, -1]
+            kth = np.sort(logits, -1)[:, -k]
+            chosen = logits[np.arange(len(seq)), sample[:, step]]
+            assert (chosen >= kth).all(), (step, k)
+            seq = np.concatenate([seq, sample[:, step:step + 1]], axis=1)
