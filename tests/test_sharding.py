@@ -163,3 +163,26 @@ def test_shard_before_convert_stays_sharded():
     # quantized params actually live on the mesh
     assert all(len(v.sharding.device_set) == 8
                for v in mm.conv1.params.values())
+
+
+def test_text_models_shard_bit_exact():
+    """DP/TP sharding covers the NLP models too (raw-id passthrough input):
+    sharded forward == unsharded, bit for bit."""
+    import numpy as np
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+
+    for name in ("text_tiny", "gpt_tiny"):
+        m = models.build(name)
+        m.load(models.torch_twin(name).state_dict())
+        t = m.INPUT_SHAPE[0]
+        ids = np.random.default_rng(0).integers(
+            0, 1000, (8, t)).astype(np.int32)
+        m.prepare()
+        m(q.tensor(ids))
+        m.convert()
+        want = m(q.tensor(ids)).numpy()
+        m.shard(make_mesh((2, 4)))
+        got = m(q.tensor(ids)).numpy()
+        np.testing.assert_array_equal(got, want, err_msg=name)
