@@ -55,6 +55,14 @@ _CALIB_SINK: contextvars.ContextVar[list | None] = contextvars.ContextVar(
 _COST_SINK: contextvars.ContextVar[list | None] = contextvars.ContextVar(
     "i8ie_cost_sink", default=None)
 
+# Traced params during Module jit (Module._bind): {id(layer): params_dict}.
+# A ContextVar, NOT a layer attribute — bindings are per-thread/per-context,
+# so two threads may trace the same model concurrently (e.g. a serving
+# engine's scheduler thread compiling its decode step while the main thread
+# runs generate()) without leaking tracers across traces.
+_BOUND: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "i8ie_bound_params", default=None)
+
 
 def _record_cost(layer, flops: int, nbytes: int) -> None:
     sink = _COST_SINK.get()
@@ -68,7 +76,6 @@ class Layer:
     def __init__(self, config: QuantConfig = DEFAULT_CONFIG):
         self.config = config
         self.params: dict = {}
-        self._bound: dict | None = None   # traced params during Module jit
         self.calibrator: Calibrator | None = None
         self.is_preparing = False
         self.is_quantized = False
@@ -133,15 +140,21 @@ class Layer:
             self._in_count = total
 
     # -- param access (traced params win during jit) ------------------------
+    def _src(self):
+        bound = _BOUND.get()
+        if bound is not None:
+            src = bound.get(id(self))
+            if src is not None:
+                return src
+        return self.params
+
     def _p(self, name):
-        src = self._bound if self._bound is not None else self.params
-        return src[name]
+        return self._src()[name]
 
     def _scale_w(self):
         """Weight scale: per-channel lives in params (so it traces/shards),
         per-tensor is a static Python float."""
-        src = self._bound if self._bound is not None else self.params
-        return src.get("w_scale", self.weight_scale)
+        return self._src().get("w_scale", self.weight_scale)
 
     # -- lifecycle (reference: src/layer.cc:28-54) ---------------------------
     def prepare(self):
@@ -909,6 +922,11 @@ class QuantPosEmbed(Layer):
                                    (bsz, 1, self.dim))
             toks = jnp.concatenate([cls, f], axis=1)
             return toks + self._p("weight")
+        if getattr(start, "ndim", 0) == 1:
+            # per-row start offsets (continuous-batching decode: each slot
+            # sits at its own position)
+            idx = start[:, None] + jnp.arange(f.shape[1])
+            return f + jnp.take(self._p("weight"), idx, axis=0)
         table = lax.dynamic_slice_in_dim(self._p("weight"),
                                          start, f.shape[1], 0)
         return f + table

@@ -135,9 +135,11 @@ class TextDecoder(Module):
         wk, wv = getattr(self, f"wk{i}"), getattr(self, f"wv{i}")
         return (wk.scale, wk.zero_point), (wv.scale, wv.zero_point)
 
-    def _prefill(self, ids):
-        """Full causal forward over the prompt; returns (last-token logits,
-        cache) with each layer's k/v codes written at positions [0, T0)."""
+    def _prefill(self, ids, last=None):
+        """Full causal forward over the prompt; returns (last-token logit
+        codes, cache) with each layer's k/v codes written at positions
+        [0, T0).  ``last`` ([B] or scalar, traced): true prompt lengths
+        when ids are right-padded — logits come from row last-1."""
         b, t0 = ids.data.shape
         hd = self.dim // self.heads
         x = self.pe(self.embed(ids))
@@ -157,14 +159,27 @@ class TextDecoder(Module):
         # u8 logit CODES — argmax over codes == argmax over dequantized
         # logits (one positive scale), so greedy decoding never dequantizes.
         codes = self.head(x).data.reshape(b, t0, self.vocab_size)
-        return codes[:, -1, :], cache
+        if last is None:
+            return codes[:, -1, :], cache
+        # right-padded prompt (serving buckets): the causal mask means rows
+        # < last never see the pad garbage, so codes[:, last-1] is exact.
+        return jnp.take_along_axis(
+            codes, (last - 1).reshape(-1, 1, 1).astype(jnp.int32),
+            axis=1)[:, 0, :], cache
 
     def _decode_step(self, cache, pos, tok):
-        """One cached decode step: tok [B] int32 at position ``pos``."""
+        """One cached decode step: tok [B] int32 at position ``pos``.
+
+        ``pos`` may be a scalar (every row at the same position — the
+        single-sequence generate() path) or a [B] vector (per-slot
+        positions — the continuous-batching serving path, where each slot
+        is at a different point in its sequence)."""
         b = tok.shape[0]
+        per_slot = getattr(pos, "ndim", 0) == 1
         x = self.embed(Tensor(tok[:, None].astype(jnp.float32)))
         x = self.pe(x, start=pos)                # [B, 1, C]
         x = x.reshape(b, self.dim)
+        valid = ((pos + 1).reshape(-1, 1, 1, 1) if per_slot else pos + 1)
         new_cache = {}
         for i in range(1, self.depth + 1):
             cap = {}
@@ -174,18 +189,25 @@ class TextDecoder(Module):
             def kv_hook(cap=cap, i=i, k_cache=k_cache, v_cache=v_cache,
                         ks=ks, kzp=kzp, vs=vs, vzp=vzp):
                 kh, vh = cap[i]
-                kc = lax.dynamic_update_slice(k_cache, kh.data,
-                                              (0, 0, pos, 0))
-                vc = lax.dynamic_update_slice(v_cache, vh.data,
-                                              (0, 0, pos, 0))
+                if per_slot:
+                    upd = jax.vmap(
+                        lambda c, u, p: lax.dynamic_update_slice(
+                            c, u, (0, p, 0)))
+                    kc = upd(k_cache, kh.data, pos)
+                    vc = upd(v_cache, vh.data, pos)
+                else:
+                    kc = lax.dynamic_update_slice(k_cache, kh.data,
+                                                  (0, 0, pos, 0))
+                    vc = lax.dynamic_update_slice(v_cache, vh.data,
+                                                  (0, 0, pos, 0))
                 new_cache[i] = (kc, vc)
                 return (Tensor(kc, ks, kzp), Tensor(vc, vs, vzp))
 
-            x = self._block_decode(i, x, b, pos, cap, kv_hook)
+            x = self._block_decode(i, x, b, valid, cap, kv_hook)
         x = self.ln_f(x)
         return self.head(x).data, new_cache      # u8 logit codes [B, V]
 
-    def _block_decode(self, i, x, b, pos, cap, kv_hook):
+    def _block_decode(self, i, x, b, valid, cap, kv_hook):
         c = self.dim
         h = getattr(self, f"ln1_{i}")(x)
         qh = F.split_heads(getattr(self, f"wq{i}")(h).reshape(b, 1, c),
@@ -198,7 +220,7 @@ class TextDecoder(Module):
         )
         kh, vh = kv_hook()
         s = getattr(self, f"attn{i}")(qh, kh)         # [B, H, 1, T_max]
-        p = getattr(self, f"smax{i}")(s, valid_len=pos + 1)
+        p = getattr(self, f"smax{i}")(s, valid_len=valid)
         o = getattr(self, f"av{i}")(p, vh)            # [B, H, 1, D]
         o = F.merge_heads(o).reshape(b, c)
         o = getattr(self, f"proj{i}")(o)

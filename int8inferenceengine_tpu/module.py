@@ -160,8 +160,17 @@ class Module:
         return {name: layer.params for name, layer in self.named_layers()}
 
     def _bind(self, params):
-        for name, layer in self.named_layers():
-            layer._bound = params[name] if params is not None else None
+        """Bind traced params for this thread/context (layers._BOUND).
+
+        Per-context, not a layer attribute: concurrent traces of the same
+        model in different threads (serving engines) must not see each
+        other's tracers."""
+        from .layers import _BOUND
+        if params is None:
+            _BOUND.set(None)
+            return
+        _BOUND.set({id(layer): params[name]
+                    for name, layer in self.named_layers()})
 
     def __call__(self, x):
         t = x if isinstance(x, Tensor) else Tensor(jnp.asarray(

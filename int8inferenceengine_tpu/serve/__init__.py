@@ -1,5 +1,6 @@
 """Serving: continuous-batching inference engine."""
 
 from .engine import EngineStats, InferenceEngine
+from .generation import GenerationEngine
 
-__all__ = ["InferenceEngine", "EngineStats"]
+__all__ = ["InferenceEngine", "EngineStats", "GenerationEngine"]

@@ -1,0 +1,256 @@
+"""GenerationEngine: continuous batching for INT8 autoregressive decoding.
+
+The image ``InferenceEngine`` coalesces independent forwards into one device
+batch; decoding needs the slot-based variant (the vLLM-style scheduler, here
+TPU-native): a FIXED number of slots share one compiled decode step, each
+slot at its own sequence position over its own rows of the shared u8 KV
+cache.  Requests stream in and out of slots without ever retracing:
+
+* **One compiled decode step, ever.**  ``TextDecoder._decode_step`` takes
+  per-slot position vectors; finished/empty slots keep computing (masked
+  out on the host) — static shapes beat dynamic ones on TPU.
+* **Chunked scans.**  The host must see each new token to detect
+  completion, and on this environment a host sync costs a full tunnel
+  round-trip — so the engine scans ``chunk_steps`` decode steps per sync
+  (finished slots may overshoot a few steps; their extra tokens are
+  dropped host-side).
+* **Bucketed prefill.**  Prompts are right-padded to the next power-of-two
+  bucket; the causal mask makes padded prefill exact (rows < T0 never see
+  pad garbage), so there is one prefill compile per bucket, not per length.
+* **Exactness.**  Slots are batch rows — every layer is row-independent —
+  and dead cache rows are masked to exactly zero contribution (see
+  models/text_decoder.py), so each request's tokens are bit-identical to
+  running ``model.generate()`` alone (pinned by tests/test_generation.py).
+
+Greedy decoding (argmax on u8 logit codes); optional ``eos_id`` stops a
+slot early.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..tensor import Tensor
+
+__all__ = ["GenerationEngine"]
+
+
+class _GenRequest:
+    __slots__ = ("prompt", "max_new", "future", "tokens", "limit_pos")
+
+    def __init__(self, prompt: np.ndarray, max_new: int):
+        self.prompt = prompt
+        self.max_new = max_new
+        self.future: Future = Future()
+        self.tokens: list[int] = []
+        self.limit_pos = len(prompt) + max_new
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class GenerationEngine:
+    """Continuous-batching greedy decoding over a converted TextDecoder.
+
+    >>> eng = GenerationEngine(model, slots=4)
+    >>> fut = eng.submit([5, 17, 99], max_new_tokens=32)
+    >>> fut.result()                       # np.ndarray of generated ids
+    """
+
+    def __init__(self, model, slots: int = 8, chunk_steps: int = 8,
+                 eos_id: int | None = None):
+        if not model.is_quant:
+            raise RuntimeError("GenerationEngine requires a converted model")
+        self.model = model
+        self.slots = slots
+        self.chunk_steps = chunk_steps
+        self.eos_id = eos_id
+        self._queue: queue.Queue[_GenRequest | None] = queue.Queue()
+        self._params = model._gather_params()
+        hd = model.dim // model.heads
+        self._caches = {
+            i: (jnp.zeros((slots, model.heads, model.max_len, hd),
+                          jnp.uint8),
+                jnp.zeros((slots, model.heads, model.max_len, hd),
+                          jnp.uint8))
+            for i in range(1, model.depth + 1)
+        }
+        self._pos = jnp.zeros((slots,), jnp.int32)
+        self._tok = jnp.zeros((slots,), jnp.int32)
+        self._active = [None] * slots      # slot -> _GenRequest | None
+        self._prefill_fns: dict[int, object] = {}
+        self._chunk_fn = None
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- public API -----------------------------------------------------------
+    def submit(self, prompt, max_new_tokens: int) -> Future:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if len(prompt) == 0:
+            raise ValueError("empty prompt")
+        if len(prompt) + max_new_tokens > self.model.max_len:
+            raise ValueError(
+                f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
+                f"max_len {self.model.max_len}")
+        req = _GenRequest(prompt, max_new_tokens)
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, prompt, max_new_tokens: int) -> np.ndarray:
+        return self.submit(prompt, max_new_tokens).result()
+
+    def shutdown(self, wait: bool = True) -> None:
+        self._running = False
+        self._queue.put(None)
+        if wait:
+            self._thread.join()
+
+    # -- jitted device programs ------------------------------------------------
+    def _prefill_fn(self, bucket: int):
+        fn = self._prefill_fns.get(bucket)
+        if fn is None:
+            m = self.model
+
+            def run(params, caches, slot, prompt_pad, t0):
+                m._bind(params)
+                try:
+                    codes, cache1 = m._prefill(
+                        Tensor(prompt_pad.astype(jnp.float32)), last=t0)
+                finally:
+                    m._bind(None)
+                out = {}
+                for i, (k1, v1) in cache1.items():
+                    gk, gv = caches[i]
+                    out[i] = (
+                        lax.dynamic_update_slice(gk, k1, (slot, 0, 0, 0)),
+                        lax.dynamic_update_slice(gv, v1, (slot, 0, 0, 0)),
+                    )
+                tok0 = jnp.argmax(codes[0], -1).astype(jnp.int32)
+                return out, tok0
+
+            fn = jax.jit(run)
+            self._prefill_fns[bucket] = fn
+        return fn
+
+    def _chunk(self):
+        if self._chunk_fn is None:
+            m, steps = self.model, self.chunk_steps
+
+            def run(params, caches, pos, tok, active):
+                m._bind(params)
+                try:
+                    def body(carry, _):
+                        caches, pos, tok, act = carry
+                        codes, caches = m._decode_step(caches, pos, tok)
+                        nxt = jnp.argmax(codes, -1).astype(jnp.int32)
+                        nxt = jnp.where(act, nxt, tok)
+                        if self.eos_id is not None:
+                            act = act & (nxt != self.eos_id)
+                        pos = jnp.where(act, pos + 1, pos)
+                        return (caches, pos, nxt, act), nxt
+
+                    (caches, pos, tok, act), toks = lax.scan(
+                        body, (caches, pos, tok, active), None,
+                        length=steps)
+                    return caches, pos, tok, act, jnp.swapaxes(toks, 0, 1)
+                finally:
+                    m._bind(None)
+
+            self._chunk_fn = jax.jit(run)
+        return self._chunk_fn
+
+    # -- scheduler loop ----------------------------------------------------------
+    def _free_slot(self) -> int | None:
+        for s, req in enumerate(self._active):
+            if req is None:
+                return s
+        return None
+
+    def _admit(self, req: _GenRequest, slot: int) -> None:
+        t0 = len(req.prompt)
+        bucket = _bucket(t0)
+        pad = np.zeros((1, bucket), np.int32)
+        pad[0, :t0] = req.prompt
+        self._caches, tok0 = self._prefill_fn(bucket)(
+            self._params, self._caches, jnp.int32(slot),
+            jnp.asarray(pad), jnp.int32(t0))
+        tok0 = int(tok0)
+        self._active[slot] = req
+        req.tokens.append(tok0)
+        self._tok = self._tok.at[slot].set(tok0)
+        self._pos = self._pos.at[slot].set(t0)
+        if self._done(req, tok0):
+            self._finish(slot)
+
+    def _done(self, req: _GenRequest, tok: int) -> bool:
+        return (len(req.tokens) >= req.max_new
+                or (self.eos_id is not None and tok == self.eos_id))
+
+    def _finish(self, slot: int) -> None:
+        req = self._active[slot]
+        self._active[slot] = None
+        req.future.set_result(np.asarray(req.tokens[:req.max_new],
+                                         np.int32))
+
+    def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        except BaseException as e:          # fail pending futures, loudly
+            for s, req in enumerate(self._active):
+                if req is not None and not req.future.done():
+                    req.future.set_exception(e)
+                self._active[s] = None
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None and not req.future.done():
+                    req.future.set_exception(e)
+            raise
+
+    def _loop_inner(self) -> None:
+        while self._running or any(r is not None for r in self._active):
+            # admit as many queued requests as there are free slots
+            while self._running:
+                slot = self._free_slot()
+                if slot is None:
+                    break
+                idle = all(r is None for r in self._active)
+                try:
+                    req = (self._queue.get(timeout=0.1) if idle
+                           else self._queue.get_nowait())
+                except queue.Empty:
+                    break
+                if req is None:          # shutdown: drain active slots
+                    self._running = False
+                    break
+                self._admit(req, slot)
+            if all(r is None for r in self._active):
+                continue
+            # one chunk of decode steps for every active slot
+            active = jnp.asarray(
+                [r is not None for r in self._active], bool)
+            self._caches, self._pos, self._tok, _, toks = self._chunk()(
+                self._params, self._caches, self._pos, self._tok, active)
+            toks = np.asarray(toks)            # [slots, chunk_steps]
+            for s, req in enumerate(self._active):
+                if req is None:
+                    continue
+                for t in toks[s]:
+                    req.tokens.append(int(t))
+                    if self._done(req, int(t)):
+                        self._finish(s)
+                        break
