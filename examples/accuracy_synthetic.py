@@ -97,17 +97,19 @@ def accuracy_report(net, x_test, y_test, calib):
     accs["engine_fp32"] = float(
         (mm(q.tensor(x_test)).numpy().argmax(1) == y_test).mean())
 
-    for tag, cfg, cle in (
-            ("engine_int8", QuantConfig(), False),
-            ("engine_int8_cle", QuantConfig(), True),
+    for tag, cfg, cle, ada in (
+            ("engine_int8", QuantConfig(), False, False),
+            ("engine_int8_cle", QuantConfig(), True, False),
             ("engine_int8_per_channel", QuantConfig(weight_per_channel=True),
+             False, False),
+            ("engine_int8_nearest", QuantConfig(rounding="nearest"), False,
              False),
-            ("engine_int8_nearest", QuantConfig(rounding="nearest"), False),
             ("engine_int8_biascorr", QuantConfig(bias_correction=True),
-             False),
+             False, False),
+            ("engine_int8_adaround", QuantConfig(), False, True),
             ("engine_int8_all_levers",
              QuantConfig(weight_per_channel=True, rounding="nearest",
-                         bias_correction=True), True),
+                         bias_correction=True), True, False),
     ):
         mq = models.build("lenet", config=cfg)
         mq.load(net.state_dict())
@@ -116,6 +118,9 @@ def accuracy_report(net, x_test, y_test, calib):
             cross_layer_equalize(mq, [("conv1", "conv2"), ("fc1", "fc2")])
         mq.prepare()
         mq(q.tensor(calib))
+        if ada:   # data-driven rounding optimization before convert
+            from int8inferenceengine_tpu.utils import adaround
+            adaround(mq, calib, iters=200)
         mq.convert()
         accs[tag] = float(
             (mq(q.tensor(x_test)).numpy().argmax(1) == y_test).mean())

@@ -55,6 +55,13 @@ _CALIB_SINK: contextvars.ContextVar[list | None] = contextvars.ContextVar(
 _COST_SINK: contextvars.ContextVar[list | None] = contextvars.ContextVar(
     "i8ie_cost_sink", default=None)
 
+# Input tap (utils.adaround): when set, Linear/Conv2d FP32 forwards append
+# their (eager) input activations under id(layer) — AdaRound optimizes each
+# layer's weight rounding against the layer's real calibration inputs.
+_INPUT_TAP: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "i8ie_input_tap", default=None)
+
+
 # Traced params during Module jit (Module._bind): {id(layer): params_dict}.
 # A ContextVar, NOT a layer attribute — bindings are per-thread/per-context,
 # so two threads may trace the same model concurrently (e.g. a serving
@@ -231,6 +238,10 @@ class Linear(Layer):
         else:
             q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
                 self.params["weight"], self.params["bias"], rounding=rnd)
+        if getattr(self, "_adaround_qw", None) is not None:
+            # utils.adaround optimized this layer's weight rounding against
+            # its calibration inputs; same scale, better integers.
+            q_w = self._adaround_qw
         if self.config.bias_correction and \
                 getattr(self, "_in_mean", None) is not None:
             # Fold E[(W - s_w*W_q) x] into the bias (config.bias_correction).
@@ -265,6 +276,9 @@ class Linear(Layer):
         if x._tp_sharded:
             from .parallel.sharding import gather_channels
             x = Tensor(gather_channels(x.data, 1), x.scale, x.zero_point)
+        tap = _INPUT_TAP.get()
+        if tap is not None:
+            tap.setdefault(id(self), []).append(x.data)
         out = (
             jnp.dot(x.data, self._p("weight").T,
                     preferred_element_type=jnp.float32)
@@ -373,6 +387,8 @@ class Conv2d(Layer):
         else:
             q_w, q_b, s_w = quant_ops.quantize_weight_joint_scale(
                 self.params["w_hwio"], self.params["bias"], rounding=rnd)
+        if getattr(self, "_adaround_qw", None) is not None:
+            q_w = self._adaround_qw                   # see utils.adaround
         if self.config.bias_correction and self.groups == 1 and \
                 getattr(self, "_in_mean", None) is not None:
             # Fold E[(W - s_w*W_q) x] into the bias (config.bias_correction;
@@ -428,6 +444,9 @@ class Conv2d(Layer):
         if self.is_quantized:
             raise RuntimeError(
                 "layer already converted to INT8 — quantize the input")
+        tap = _INPUT_TAP.get()
+        if tap is not None:
+            tap.setdefault(id(self), []).append(x.as_nhwc_data())
         out = conv_ops.conv2d_fp32(
             x.as_nhwc_data(), self._p("w_hwio"), self._p("bias"),
             self.stride, self.padding, groups=self.groups)

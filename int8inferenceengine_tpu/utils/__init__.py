@@ -1,6 +1,7 @@
 """Utilities: checkpointing, observability."""
 
 from . import checkpoint, equalize, observe, roofline, validate
+from .adaround import adaround
 from .checkpoint import load, read_state_dict, save, state_dict
 from .equalize import cross_layer_equalize
 from .observe import log_quantization_report, quantization_report, trace
@@ -8,7 +9,7 @@ from .observe import log_quantization_report, quantization_report, trace
 __all__ = [
     "checkpoint", "observe",
     "save", "load", "state_dict", "read_state_dict",
-    "equalize", "cross_layer_equalize",
+    "equalize", "cross_layer_equalize", "adaround",
     "quantization_report", "log_quantization_report", "trace",
     "roofline", "validate",
 ]
