@@ -2,6 +2,7 @@
 
 from . import checkpoint, equalize, observe, roofline, validate
 from .adaround import adaround
+from .smooth import smooth, transformer_smooth_pairs
 from .checkpoint import load, read_state_dict, save, state_dict
 from .equalize import cross_layer_equalize
 from .observe import log_quantization_report, quantization_report, trace
@@ -10,6 +11,7 @@ __all__ = [
     "checkpoint", "observe",
     "save", "load", "state_dict", "read_state_dict",
     "equalize", "cross_layer_equalize", "adaround",
+    "smooth", "transformer_smooth_pairs",
     "quantization_report", "log_quantization_report", "trace",
     "roofline", "validate",
 ]
