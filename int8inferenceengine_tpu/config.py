@@ -73,6 +73,14 @@ class QuantConfig:
     #   'xla'    -> force the jnp/dot_general reference path
     kernel_backend: str = "auto"
 
+    # Weight-only quantization (the LLM-serving W8 mode): weights are
+    # stored s8 (4x less HBM traffic — what memory-bound decode is bound
+    # by) but activations stay float end to end: no input quantization, no
+    # calibration needed, no requant glue, accuracy limited only by weight
+    # rounding.  Linear/Conv2d dequantize weights on the fly (XLA fuses
+    # the upcast into the dot/conv); every other layer runs its float path.
+    weight_only: bool = False
+
     # Fuse a Linear's following QuantAct into the GEMM requant epilogue
     # (layers.fused_linear_act / ops/gemm_int8.KERNEL_ACTS): the
     # intermediate u8 grid is replayed in-register instead of a standalone

@@ -181,7 +181,9 @@ class Layer:
             warnings.warn("already quantized")
             return
         if not self.is_preparing:
-            warnings.warn("Not prepared, using default config (scale=1, zp=0)")
+            if not self.config.weight_only:
+                warnings.warn(
+                    "Not prepared, using default config (scale=1, zp=0)")
         else:
             self.scale, self.zero_point = self.calibrator.get_range(
                 self.config.calib_quantile)
@@ -231,6 +233,24 @@ class Linear(Layer):
     def _quantize_weights(self):
         per_channel = self.config.weight_per_channel
         rnd = self.config.rounding
+        if self.config.weight_only:
+            # W8-float serving mode: keep the float forward, store the
+            # weight as s8 + scale (dequantized on the fly; bias stays f32).
+            if per_channel:
+                q_w, _, s_w = quant_ops.quantize_weight_per_channel(
+                    self.params["weight"], self.params["bias"],
+                    channel_axis=0, rounding=rnd)
+            else:
+                q_w, _, s_w = quant_ops.quantize_weight_joint_scale(
+                    self.params["weight"], self.params["bias"],
+                    rounding=rnd)
+            if getattr(self, "_adaround_qw", None) is not None:
+                q_w = self._adaround_qw
+            self.weight_scale = s_w
+            self.params = {"q_weight": q_w, "bias": self.params["bias"]}
+            if per_channel:
+                self.params["w_scale"] = jnp.asarray(s_w, jnp.float32)
+            return
         if per_channel:
             q_w, q_b, s_w = quant_ops.quantize_weight_per_channel(
                 self.params["weight"], self.params["bias"], channel_axis=0,
@@ -268,11 +288,26 @@ class Linear(Layer):
             return self._forward_int8(x)
         return self._forward_fp32(x)
 
+    def _dequant_weight(self):
+        s = self._scale_w()
+        s = (s.reshape(-1, 1) if hasattr(s, "reshape") and getattr(
+            s, "ndim", 0) == 1 else jnp.float32(s))
+        return self._p("q_weight").astype(jnp.float32) * s
+
     def _forward_fp32(self, x: Tensor) -> Tensor:
         if self.is_quantized:
-            raise RuntimeError(
-                "layer already converted to INT8 — quantize the input "
-                "(FP32 weights were freed, as in the reference)")
+            if not self.config.weight_only:
+                raise RuntimeError(
+                    "layer already converted to INT8 — quantize the input "
+                    "(FP32 weights were freed, as in the reference)")
+            out = (jnp.dot(x.data, self._dequant_weight().T,
+                           preferred_element_type=jnp.float32)
+                   + self._p("bias").reshape(1, -1))
+            _record_cost(self, 2 * out.shape[0] * self.in_channels
+                         * self.out_channels,
+                         x.data.size * 4 + out.size * 4
+                         + self.in_channels * self.out_channels)
+            return Tensor(self._maybe_gather(out, 1))
         if x._tp_sharded:
             from .parallel.sharding import gather_channels
             x = Tensor(gather_channels(x.data, 1), x.scale, x.zero_point)
@@ -380,6 +415,22 @@ class Conv2d(Layer):
     def _quantize_weights(self):
         per_channel = self.config.weight_per_channel
         rnd = self.config.rounding
+        if self.config.weight_only:
+            if per_channel:
+                q_w, _, s_w = quant_ops.quantize_weight_per_channel(
+                    self.params["w_hwio"], self.params["bias"],
+                    channel_axis=3, rounding=rnd)
+            else:
+                q_w, _, s_w = quant_ops.quantize_weight_joint_scale(
+                    self.params["w_hwio"], self.params["bias"],
+                    rounding=rnd)
+            if getattr(self, "_adaround_qw", None) is not None:
+                q_w = self._adaround_qw
+            self.weight_scale = s_w
+            self.params = {"q_w_hwio": q_w, "bias": self.params["bias"]}
+            if per_channel:
+                self.params["w_scale"] = jnp.asarray(s_w, jnp.float32)
+            return
         if per_channel:
             q_w, q_b, s_w = quant_ops.quantize_weight_per_channel(
                 self.params["w_hwio"], self.params["bias"], channel_axis=3,
@@ -442,8 +493,22 @@ class Conv2d(Layer):
 
     def _forward_fp32(self, x: Tensor) -> Tensor:
         if self.is_quantized:
-            raise RuntimeError(
-                "layer already converted to INT8 — quantize the input")
+            if not self.config.weight_only:
+                raise RuntimeError(
+                    "layer already converted to INT8 — quantize the input")
+            s = self._scale_w()
+            s = (s.reshape(1, 1, 1, -1)
+                 if hasattr(s, "reshape") and getattr(s, "ndim", 0) == 1
+                 else jnp.float32(s))
+            w = self._p("q_w_hwio").astype(jnp.float32) * s
+            out = conv_ops.conv2d_fp32(
+                x.as_nhwc_data(), w, self._p("bias"),
+                self.stride, self.padding, groups=self.groups)
+            _record_cost(self, 2 * out.size
+                         * (self.in_channels // self.groups)
+                         * self.kernel_size ** 2,
+                         4 * (x.data.size + out.size) + w.size)
+            return Tensor(out, _nhwc=True)
         tap = _INPUT_TAP.get()
         if tap is not None:
             tap.setdefault(id(self), []).append(x.as_nhwc_data())
@@ -789,6 +854,7 @@ def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:
     back to the composed pair when the pair isn't fusable (TP-sharded
     input, custom fn, bf16 glue, LUT backend)."""
     fusable = (linear.is_quantized and act.is_quantized
+               and x.quantized and not linear.config.weight_only
                and act.fn_name in KERNEL_ACTS
                and act.backend == "elementwise"
                and act.config.glue_dtype == "float32"
@@ -1016,6 +1082,11 @@ class QuantEmbed(Layer):
         super().convert()
 
     def _quantize_weights(self):
+        if self.config.weight_only:
+            # W8-float mode: activations (and hence the gathered embedding
+            # rows) stay float.  The table could be stored s8+scale, but
+            # its consumer is this very gather, so keep it simple: float.
+            return
         self.params = {
             "q_weight": quant_ops.quantize_u8(
                 self.params["weight"], self.scale, self.zero_point,
@@ -1031,7 +1102,7 @@ class QuantEmbed(Layer):
         # calibrator with NaN / gather garbage codes silently.  Clamping
         # maps bad ids to row 0 / row V-1 deterministically.
         idx = jnp.clip(ids.data.astype(jnp.int32), 0, self.vocab_size - 1)
-        if not self.is_quantized:
+        if not self.is_quantized or self.config.weight_only:
             out = jnp.take(self._p("weight"), idx, axis=0)
             if self.is_preparing:
                 self._observe(out)

@@ -93,7 +93,8 @@ class ViT(Module):
             vh = F.split_heads(getattr(self, f"wv{i}")(h).reshape(b, t, c),
                                self.heads)
             attn = getattr(self, f"attn{i}")
-            if attn.is_quantized and self.config.fused_attention != "off":
+            if attn.is_quantized and qh.quantized \
+                    and self.config.fused_attention != "off":
                 o = fused_attention(attn, getattr(self, f"smax{i}"),
                                     getattr(self, f"av{i}"), qh, kh, vh)
             else:

@@ -140,6 +140,10 @@ class Module:
                    for _, layer in self.named_layers())
 
     def _run(self, t: Tensor) -> Tensor:
+        if self.config.weight_only:
+            # W8-float mode: activations stay float end to end — no input
+            # quantization, nothing to dequantize at the output.
+            return self.forward(t)
         if self.is_quant and not t.quantized and not self._consumes_ids():
             # Reference behavior: quantize at the configured input
             # (scale, zp) (i8ie/module.py:20).  Already-quantized input

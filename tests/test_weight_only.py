@@ -1,0 +1,72 @@
+"""Weight-only INT8 (QuantConfig(weight_only=True)): s8 weights, float
+activations — no calibration needed, error bounded by weight rounding."""
+
+import numpy as np
+import pytest
+import torch
+
+import int8inferenceengine_tpu as q
+from int8inferenceengine_tpu import QuantConfig, models
+
+
+@pytest.mark.parametrize("name,shape", [
+    ("lenet", (16, 1, 28, 28)),
+    ("simple_conv", (8, 3, 32, 32)),
+])
+def test_weight_only_tracks_fp32(name, shape):
+    """No prepare() required; outputs close to FP32 (weight rounding only)
+    and much closer than full INT8."""
+    tw = models.torch_twin(name)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, shape).astype(np.float32)
+    want = tw(torch.tensor(x)).detach().numpy()
+
+    m = models.build(name, config=QuantConfig(weight_only=True,
+                                              weight_per_channel=True,
+                                              rounding="nearest"))
+    m.load(tw.state_dict())
+    m.convert()                                   # no prepare: W8 only
+    got = m(q.tensor(x)).numpy()
+    assert np.isfinite(got).all()
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.05, rel
+    assert (got.argmax(1) == want.argmax(1)).mean() >= 0.95
+
+    # full INT8 for comparison: weight-only must be strictly closer to FP32
+    m8 = models.build(name, config=QuantConfig())
+    m8.load(tw.state_dict())
+    m8.prepare()
+    m8(q.tensor(x))
+    m8.convert()
+    full = m8(q.tensor(x)).numpy()
+    assert (np.mean((got - want) ** 2)
+            < np.mean((full - want) ** 2) + 1e-12)
+
+
+def test_weight_only_decoder_generate():
+    """The decode stack runs in W8 mode too: float activations, s8 weights,
+    greedy generate() still works (logit codes path bypassed — the head
+    returns float logits)."""
+    m = models.build("gpt_tiny", config=QuantConfig(weight_only=True))
+    m.load(models.torch_twin("gpt_tiny").state_dict())
+    m.convert()
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 1000, (4, 16)).astype(np.int32)
+    out = m(q.tensor(ids)).numpy()
+    assert np.isfinite(out).all() and out.shape == (4, 16, 1000)
+
+    tw = models.torch_twin("gpt_tiny")
+    want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+    agree = (out[:, -1].argmax(-1) == want[:, -1].argmax(-1)).mean()
+    assert agree >= 0.95, agree
+
+
+def test_weight_only_params_are_int8():
+    m = models.build("lenet", config=QuantConfig(weight_only=True))
+    m.load(models.torch_twin("lenet").state_dict())
+    m.convert()
+    import jax.numpy as jnp
+    layers = dict(m.named_layers())
+    assert layers["conv1"].params["q_w_hwio"].dtype == jnp.int8
+    assert layers["fc1"].params["q_weight"].dtype == jnp.int8
+    assert layers["fc1"].params["bias"].dtype == jnp.float32
