@@ -149,8 +149,10 @@ class TextDecoder(Module):
             cap = {}
             x = self._block(i, x, b, t0, capture=cap)
             kh, vh = cap[i]
-            k_buf = jnp.zeros((b, self.heads, self.max_len, hd), jnp.uint8)
-            v_buf = jnp.zeros((b, self.heads, self.max_len, hd), jnp.uint8)
+            # u8 codes in W8A8 mode; float in weight_only (W8-float) mode
+            dt = kh.data.dtype
+            k_buf = jnp.zeros((b, self.heads, self.max_len, hd), dt)
+            v_buf = jnp.zeros((b, self.heads, self.max_len, hd), dt)
             cache[i] = (
                 lax.dynamic_update_slice(k_buf, kh.data, (0, 0, 0, 0)),
                 lax.dynamic_update_slice(v_buf, vh.data, (0, 0, 0, 0)),
@@ -201,6 +203,8 @@ class TextDecoder(Module):
                     vc = lax.dynamic_update_slice(v_cache, vh.data,
                                                   (0, 0, pos, 0))
                 new_cache[i] = (kc, vc)
+                if not kh.quantized:          # weight_only: float cache
+                    return (Tensor(kc), Tensor(vc))
                 return (Tensor(kc, ks, kzp), Tensor(vc, vs, vzp))
 
             x = self._block_decode(i, x, b, valid, cap, kv_hook)
@@ -248,9 +252,12 @@ class TextDecoder(Module):
         top-k on an 8-bit grid is a threshold, not a sort)."""
         if temperature == 0:
             return jnp.argmax(codes, -1).astype(jnp.int32)
-        scale, zp = self._head_scale_zp()
-        logits = (codes.astype(jnp.float32) - jnp.float32(zp)) \
-            * jnp.float32(scale)
+        if codes.dtype == jnp.uint8:
+            scale, zp = self._head_scale_zp()
+            logits = (codes.astype(jnp.float32) - jnp.float32(zp)) \
+                * jnp.float32(scale)
+        else:                                  # weight_only: float logits
+            logits = codes.astype(jnp.float32)
         if top_k is not None:
             kth = lax.top_k(codes, top_k)[0][:, -1:]
             logits = jnp.where(codes >= kth, logits, -jnp.inf)

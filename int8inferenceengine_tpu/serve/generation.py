@@ -79,11 +79,10 @@ class GenerationEngine:
         self._queue: queue.Queue[_GenRequest | None] = queue.Queue()
         self._params = model._gather_params()
         hd = model.dim // model.heads
+        dt = (jnp.float32 if model.config.weight_only else jnp.uint8)
         self._caches = {
-            i: (jnp.zeros((slots, model.heads, model.max_len, hd),
-                          jnp.uint8),
-                jnp.zeros((slots, model.heads, model.max_len, hd),
-                          jnp.uint8))
+            i: (jnp.zeros((slots, model.heads, model.max_len, hd), dt),
+                jnp.zeros((slots, model.heads, model.max_len, hd), dt))
             for i in range(1, model.depth + 1)
         }
         self._pos = jnp.zeros((slots,), jnp.int32)

@@ -70,3 +70,30 @@ def test_weight_only_params_are_int8():
     assert layers["conv1"].params["q_w_hwio"].dtype == jnp.int8
     assert layers["fc1"].params["q_weight"].dtype == jnp.int8
     assert layers["fc1"].params["bias"].dtype == jnp.float32
+
+
+def test_weight_only_cached_decode_bit_identical():
+    """W8-float generate(): the float KV cache path equals full-forward
+    recompute token for token (masked columns contribute exact zeros),
+    and the GenerationEngine agrees too."""
+    m = models.build("gpt_tiny", config=QuantConfig(weight_only=True))
+    m.load(models.torch_twin("gpt_tiny").state_dict())
+    m.convert()
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 1000, (2, 9)).astype(np.int32)
+    got = m.generate(prompt, 7)
+
+    seq = prompt.copy()
+    for s in range(7):
+        logits = m(q.tensor(seq)).numpy()
+        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+        np.testing.assert_array_equal(got[:, s], nxt, f"step {s}")
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+
+    from int8inferenceengine_tpu.serve import GenerationEngine
+    eng = GenerationEngine(m, slots=2, chunk_steps=3)
+    try:
+        fut = eng.submit(prompt[0], 7)
+        np.testing.assert_array_equal(fut.result(timeout=300), got[0])
+    finally:
+        eng.shutdown()
