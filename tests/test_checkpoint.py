@@ -202,3 +202,32 @@ def test_quantized_roundtrip_branching_models(tmp_path):
         fresh = models.build(name)
         utils.load(fresh, path)
         np.testing.assert_array_equal(fresh(q.tensor(x)).numpy(), base)
+
+
+def test_roundtrip_new_families():
+    """Quantized-artifact checkpoints cover the decoder and weight-only
+    modes: reload reproduces outputs bit-for-bit."""
+    import tempfile
+
+    import numpy as np
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import QuantConfig, models, utils
+
+    rng = np.random.default_rng(0)
+    for cfg in (QuantConfig(), QuantConfig(weight_only=True)):
+        m = models.build("gpt_tiny", config=cfg)
+        m.load(models.torch_twin("gpt_tiny").state_dict())
+        ids = rng.integers(0, 1000, (4, 64)).astype(np.int32)
+        if not cfg.weight_only:
+            m.prepare()
+            m(q.tensor(ids))
+        m.convert()
+        want = m(q.tensor(ids)).numpy()
+        gen_want = m.generate(ids[:, :8], 5)
+        with tempfile.TemporaryDirectory() as d:
+            utils.save(m, f"{d}/ck.npz")
+            m2 = models.build("gpt_tiny", config=cfg)
+            utils.load(m2, f"{d}/ck.npz")
+            np.testing.assert_array_equal(m2(q.tensor(ids)).numpy(), want)
+            np.testing.assert_array_equal(m2.generate(ids[:, :8], 5),
+                                          gen_want)
