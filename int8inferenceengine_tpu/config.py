@@ -81,6 +81,15 @@ class QuantConfig:
     # the upcast into the dot/conv); every other layer runs its float path.
     weight_only: bool = False
 
+    # Dynamic activation quantization (requires weight_only=True): each
+    # Linear/Conv2d quantizes its float input on the fly with a symmetric
+    # per-tensor s8 scale (max|x|/127, computed on device per batch) and
+    # runs the s8 x s8 MXU GEMM, dequantizing the s32 accumulator back to
+    # float.  No calibration, no zero-point corrections; the dynamic range
+    # always fits the live batch (torch's "dynamic quantization" mode,
+    # TPU-native).  Glue stays float like plain weight_only.
+    dynamic_act: bool = False
+
     # Fuse a Linear's following QuantAct into the GEMM requant epilogue
     # (layers.fused_linear_act / ops/gemm_int8.KERNEL_ACTS): the
     # intermediate u8 grid is replayed in-register instead of a standalone

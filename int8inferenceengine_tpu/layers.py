@@ -300,9 +300,25 @@ class Linear(Layer):
                 raise RuntimeError(
                     "layer already converted to INT8 — quantize the input "
                     "(FP32 weights were freed, as in the reference)")
-            out = (jnp.dot(x.data, self._dequant_weight().T,
-                           preferred_element_type=jnp.float32)
-                   + self._p("bias").reshape(1, -1))
+            if self.config.dynamic_act:
+                # dynamic W8A8: symmetric per-tensor act scale from the
+                # live batch, s8 x s8 on the MXU, dequant + bias in f32
+                s_a = jnp.maximum(jnp.max(jnp.abs(x.data)), 1e-8) / 127.0
+                a = jnp.clip(jnp.round(x.data / s_a), -127, 127
+                             ).astype(jnp.int8)
+                acc = lax.dot_general(
+                    a, self._p("q_weight").T,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                s_w = self._scale_w()
+                s_w = (s_w.reshape(1, -1) if getattr(s_w, "ndim", 0) == 1
+                       else jnp.float32(s_w))
+                out = (acc.astype(jnp.float32) * (s_a * s_w)
+                       + self._p("bias").reshape(1, -1))
+            else:
+                out = (jnp.dot(x.data, self._dequant_weight().T,
+                               preferred_element_type=jnp.float32)
+                       + self._p("bias").reshape(1, -1))
             _record_cost(self, 2 * out.shape[0] * self.in_channels
                          * self.out_channels,
                          x.data.size * 4 + out.size * 4
@@ -500,14 +516,30 @@ class Conv2d(Layer):
             s = (s.reshape(1, 1, 1, -1)
                  if hasattr(s, "reshape") and getattr(s, "ndim", 0) == 1
                  else jnp.float32(s))
-            w = self._p("q_w_hwio").astype(jnp.float32) * s
-            out = conv_ops.conv2d_fp32(
-                x.as_nhwc_data(), w, self._p("bias"),
-                self.stride, self.padding, groups=self.groups)
+            if self.config.dynamic_act:
+                xn = x.as_nhwc_data()
+                s_a = jnp.maximum(jnp.max(jnp.abs(xn)), 1e-8) / 127.0
+                a = jnp.clip(jnp.round(xn / s_a), -127, 127
+                             ).astype(jnp.int8)
+                acc = lax.conv_general_dilated(
+                    a, self._p("q_w_hwio"),
+                    window_strides=(self.stride, self.stride),
+                    padding=[(self.padding, self.padding)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.groups,
+                    preferred_element_type=jnp.int32)
+                out = (acc.astype(jnp.float32) * (s_a * s)
+                       + self._p("bias").reshape(1, 1, 1, -1))
+            else:
+                w = self._p("q_w_hwio").astype(jnp.float32) * s
+                out = conv_ops.conv2d_fp32(
+                    x.as_nhwc_data(), w, self._p("bias"),
+                    self.stride, self.padding, groups=self.groups)
             _record_cost(self, 2 * out.size
                          * (self.in_channels // self.groups)
                          * self.kernel_size ** 2,
-                         4 * (x.data.size + out.size) + w.size)
+                         4 * (x.data.size + out.size)
+                         + self._p("q_w_hwio").size)
             return Tensor(out, _nhwc=True)
         tap = _INPUT_TAP.get()
         if tap is not None:

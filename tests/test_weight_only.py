@@ -97,3 +97,37 @@ def test_weight_only_cached_decode_bit_identical():
         np.testing.assert_array_equal(fut.result(timeout=300), got[0])
     finally:
         eng.shutdown()
+
+
+def test_dynamic_act_quantization():
+    """weight_only + dynamic_act: s8 x s8 MXU GEMMs with live per-batch
+    activation scales — no calibration, tracks FP32 within quant error,
+    and generate() still works."""
+    for name, shape in (("lenet", (16, 1, 28, 28)),
+                        ("simple_conv", (8, 3, 32, 32))):
+        tw = models.torch_twin(name)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, shape).astype(np.float32)
+        want = tw(torch.tensor(x)).detach().numpy()
+        m = models.build(name, config=QuantConfig(
+            weight_only=True, dynamic_act=True, weight_per_channel=True,
+            rounding="nearest"))
+        m.load(tw.state_dict())
+        m.convert()
+        got = m(q.tensor(x)).numpy()
+        assert np.isfinite(got).all()
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.1, (name, rel)
+        assert (got.argmax(1) == want.argmax(1)).mean() >= 0.9, name
+
+    m = models.build("gpt_tiny", config=QuantConfig(weight_only=True,
+                                                    dynamic_act=True))
+    m.load(models.torch_twin("gpt_tiny").state_dict())
+    m.convert()
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, 1000, (2, 8)).astype(np.int32)
+    toks = m.generate(prompt, 6)
+    assert toks.shape == (2, 6)
+    # cached decode still equals full-forward recompute
+    logits = m(q.tensor(prompt)).numpy()
+    np.testing.assert_array_equal(toks[:, 0], logits[:, -1].argmax(-1))
