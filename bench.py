@@ -177,6 +177,33 @@ def main():
         log(f"INT8 u8-ingest (host s2d): {per*1e3:.2f} ms/batch "
             f"-> {BATCH/per:.0f} img/s")
 
+    # Autoregressive decode leg (gpt2-small-ish, u8 KV cache); opt in.
+    # Documented measurement (one v5e, b8): 3.88 ms/step = 2,064 tokens/s.
+    if os.environ.get("BENCH_DECODE"):
+        db = int(os.environ.get("BENCH_DECODE_BATCH", "8"))
+        dec = models.build("gpt_tiny", vocab_size=50257, max_len=512,
+                           dim=768, depth=12, heads=12)
+        _load_random_weights(dec)
+        dec.prepare()
+        ids = np.random.default_rng(0).integers(
+            0, 50257, size=(db, 64)).astype(np.int32)
+        from int8inferenceengine_tpu import tensor as _tensor
+        dec(_tensor(ids))
+        dec.convert()
+        dtimes = {}
+        for steps in (16, 128):
+            dec.generate(ids, steps)                    # compile
+            best = float("inf")
+            for trial in range(2):
+                p2 = (ids + trial + 1) % 50257
+                t1 = time.perf_counter()
+                dec.generate(p2, steps)
+                best = min(best, time.perf_counter() - t1)
+            dtimes[steps] = best
+        per_step = (dtimes[128] - dtimes[16]) / (128 - 16)
+        log(f"decode (gpt2-small-ish, b{db}): {per_step*1e3:.3f} ms/step "
+            f"-> {db/per_step:.0f} tokens/s")
+
     from int8inferenceengine_tpu.utils import roofline
     rl = roofline.report(m_int8, models.AlexNet.INPUT_SHAPE, BATCH,
                          measured_s=BATCH / int8_img_s)
