@@ -1,6 +1,6 @@
 """Serving: continuous-batching inference engine."""
 
 from .engine import EngineStats, InferenceEngine
-from .generation import GenerationEngine
+from .generation import GenerationEngine, GenerationStats
 
-__all__ = ["InferenceEngine", "EngineStats", "GenerationEngine"]
+__all__ = ["InferenceEngine", "EngineStats", "GenerationEngine", "GenerationStats"]

@@ -28,8 +28,10 @@ slot early.
 
 from __future__ import annotations
 
+import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 import jax
@@ -39,11 +41,34 @@ from jax import lax
 
 from ..tensor import Tensor
 
-__all__ = ["GenerationEngine"]
+__all__ = ["GenerationEngine", "GenerationStats"]
+
+
+@dataclasses.dataclass
+class GenerationStats:
+    requests: int = 0          # completed requests
+    tokens: int = 0            # tokens delivered (prefill + decode)
+    prefills: int = 0
+    chunks: int = 0            # device decode chunks dispatched
+    chunk_slots_active: int = 0   # sum of active slots across chunks
+    latencies_s: list = dataclasses.field(default_factory=list)
+
+    @property
+    def mean_slot_fill(self) -> float:
+        """Average fraction of slots doing useful work per chunk."""
+        return (self.chunk_slots_active / self.chunks if self.chunks
+                else 0.0)
+
+    def latency_percentiles(self, ps=(50, 90, 99)) -> dict:
+        if not self.latencies_s:
+            return {f"p{p}": float("nan") for p in ps}
+        arr = np.asarray(self.latencies_s)
+        return {f"p{p}": float(np.percentile(arr, p) * 1e3) for p in ps}
 
 
 class _GenRequest:
-    __slots__ = ("prompt", "max_new", "future", "tokens", "limit_pos")
+    __slots__ = ("prompt", "max_new", "future", "tokens", "limit_pos",
+                 "t_submit")
 
     def __init__(self, prompt: np.ndarray, max_new: int):
         self.prompt = prompt
@@ -51,6 +76,7 @@ class _GenRequest:
         self.future: Future = Future()
         self.tokens: list[int] = []
         self.limit_pos = len(prompt) + max_new
+        self.t_submit = time.perf_counter()
 
 
 def _bucket(n: int, lo: int = 8) -> int:
@@ -88,6 +114,7 @@ class GenerationEngine:
         self._pos = jnp.zeros((slots,), jnp.int32)
         self._tok = jnp.zeros((slots,), jnp.int32)
         self._active = [None] * slots      # slot -> _GenRequest | None
+        self.stats = GenerationStats()
         self._prefill_fns: dict[int, object] = {}
         self._chunk_fn = None
         self._running = True
@@ -186,6 +213,7 @@ class GenerationEngine:
             self._params, self._caches, jnp.int32(slot),
             jnp.asarray(pad), jnp.int32(t0))
         tok0 = int(tok0)
+        self.stats.prefills += 1
         self._active[slot] = req
         req.tokens.append(tok0)
         self._tok = self._tok.at[slot].set(tok0)
@@ -200,6 +228,11 @@ class GenerationEngine:
     def _finish(self, slot: int) -> None:
         req = self._active[slot]
         self._active[slot] = None
+        self.stats.requests += 1
+        self.stats.tokens += min(len(req.tokens), req.max_new)
+        if len(self.stats.latencies_s) < 10_000:
+            self.stats.latencies_s.append(
+                time.perf_counter() - req.t_submit)
         req.future.set_result(np.asarray(req.tokens[:req.max_new],
                                          np.int32))
 
@@ -242,6 +275,9 @@ class GenerationEngine:
             # one chunk of decode steps for every active slot
             active = jnp.asarray(
                 [r is not None for r in self._active], bool)
+            self.stats.chunks += 1
+            self.stats.chunk_slots_active += int(
+                sum(r is not None for r in self._active))
             self._caches, self._pos, self._tok, _, toks = self._chunk()(
                 self._params, self._caches, self._pos, self._tok, active)
             toks = np.asarray(toks)            # [slots, chunk_steps]

@@ -74,3 +74,21 @@ def test_engine_guards():
             pass
     finally:
         eng.shutdown()
+
+
+def test_engine_stats():
+    m = _model()
+    eng = GenerationEngine(m, slots=2, chunk_steps=4)
+    try:
+        futs = [eng.submit(np.arange(4 + i, dtype=np.int32) % 1000, 5)
+                for i in range(3)]
+        for f in futs:
+            f.result(timeout=120)
+        s = eng.stats
+        assert s.requests == 3 and s.prefills == 3
+        assert s.tokens == 15
+        assert s.chunks >= 1 and 0 < s.mean_slot_fill <= 2.0
+        p = s.latency_percentiles()
+        assert p["p50"] > 0
+    finally:
+        eng.shutdown()
