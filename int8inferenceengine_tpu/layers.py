@@ -92,6 +92,9 @@ class Layer:
         self.zero_point = 0
         self.weight_scale = 1.0
         self.fuse_relu = False
+        # Mixed precision (Module.convert(skip=...)): keep this layer an
+        # FP32 island behind the u8 interface (dequant -> float -> requant).
+        self.quant_fallback = False
         # Observed activation range, stashed at convert() for observability
         # (the reference's only logging is 3 stderr warnings, layer.cc:31-42).
         self.calib_stats: dict | None = None
@@ -231,6 +234,8 @@ class Linear(Layer):
             b, (self.out_channels,), "load_bias")
 
     def _quantize_weights(self):
+        if self.quant_fallback:
+            return                      # FP32 island: weights stay float
         per_channel = self.config.weight_per_channel
         rnd = self.config.rounding
         if self.config.weight_only:
@@ -349,6 +354,18 @@ class Linear(Layer):
     def _forward_int8(self, x: Tensor, act=None) -> Tensor:
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
+        if self.quant_fallback:
+            # FP32 island: u8 in, float matmul, u8 out at the calibrated
+            # range — downstream layers see a normal quantized tensor.
+            f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
+            out = (jnp.dot(f, self._p("weight").T,
+                           preferred_element_type=jnp.float32)
+                   + self._p("bias").reshape(1, -1))
+            qo = quant_ops.quantize_u8(out, self.scale, self.zero_point,
+                                       self.config.rounding)
+            if self.fuse_relu:
+                qo = jnp.maximum(qo, jnp.uint8(self.zero_point))
+            return Tensor(qo, self.scale, self.zero_point)
         pa = self._overlap_axes()
         oc = compute_offset(self._p("q_bias"), self._p("rowsum"),
                             scale_a=x.scale, zp_a=x.zero_point,
@@ -429,6 +446,8 @@ class Conv2d(Layer):
             b, (self.out_channels,), "load_bias")
 
     def _quantize_weights(self):
+        if self.quant_fallback:
+            return                      # FP32 island: weights stay float
         per_channel = self.config.weight_per_channel
         rnd = self.config.rounding
         if self.config.weight_only:
@@ -563,6 +582,19 @@ class Conv2d(Layer):
     def _forward_int8(self, x: Tensor) -> Tensor:
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
+        if self.quant_fallback:
+            # FP32 island (Module.convert(skip=...)): u8 in, float conv,
+            # u8 out at the calibrated range.
+            f = quant_ops.dequantize_u8(x.as_nhwc_data(), x.scale,
+                                        x.zero_point)
+            out = conv_ops.conv2d_fp32(f, self._p("w_hwio"),
+                                       self._p("bias"), self.stride,
+                                       self.padding, groups=self.groups)
+            qo = quant_ops.quantize_u8(out, self.scale, self.zero_point,
+                                       self.config.rounding)
+            if self.fuse_relu:
+                qo = jnp.maximum(qo, jnp.uint8(self.zero_point))
+            return Tensor(qo, self.scale, self.zero_point, _nhwc=True)
         oc = compute_offset(self._p("q_bias"), self._p("rowsum"),
                             scale_a=x.scale, zp_a=x.zero_point,
                             recentered=True)

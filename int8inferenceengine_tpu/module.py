@@ -95,8 +95,20 @@ class Module:
         self._calib_fn = None
         self._calib_meta = {}
 
-    def convert(self):
-        for _, layer in self.named_layers():
+    def convert(self, skip=()):
+        """PTQ-convert every layer.  ``skip``: layer names to keep as FP32
+        fallback islands — they stay u8-in/u8-out (dequant -> FP32 compute
+        -> requant at their calibrated range) so the rest of the graph is
+        unaffected, but their weights and arithmetic stay float.  The
+        standard mixed-precision lever for quantization-sensitive layers
+        (stems / heads / outlier blocks)."""
+        names = {name for name, _ in self.named_layers()}
+        unknown = set(skip) - names
+        if unknown:
+            raise KeyError(f"convert(skip=...): unknown layers {unknown}")
+        for name, layer in self.named_layers():
+            if name in skip:
+                layer.quant_fallback = True
             layer.convert()
         self.is_quant = True
         self._jit_fn = None
