@@ -81,6 +81,13 @@ class QuantConfig:
     # the upcast into the dot/conv); every other layer runs its float path.
     weight_only: bool = False
 
+    # Weight bit width for weight_only mode: 8 (s8, default) or 4 —
+    # W4 grouped weight-only (ops/w4.py): packed nibbles with one symmetric
+    # scale per ``w4_group`` input channels.  Linear layers only; Conv2d
+    # stays W8 (the W4 use case is LLM serving, which is Linear-bound).
+    weight_bits: int = 8
+    w4_group: int = 128
+
     # Dynamic activation quantization (requires weight_only=True): each
     # Linear/Conv2d quantizes its float input on the fly with a symmetric
     # per-tensor s8 scale (max|x|/127, computed on device per batch) and

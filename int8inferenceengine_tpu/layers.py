@@ -39,6 +39,7 @@ from .calibrator import Calibrator
 from .config import DEFAULT_CONFIG, QuantConfig
 from .ops import conv as conv_ops
 from .ops import quant as quant_ops
+from .ops import w4 as w4_ops
 from .ops.gemm_int8 import KERNEL_ACTS, compute_offset, qgemm
 from .tensor import Tensor, _maybe_torch
 
@@ -239,6 +240,17 @@ class Linear(Layer):
         per_channel = self.config.weight_per_channel
         rnd = self.config.rounding
         if self.config.weight_only:
+            if self.config.weight_bits == 4:
+                # W4 grouped weight-only (ops/w4.py): packed nibbles +
+                # per-group scales; bias stays f32.
+                if self.config.dynamic_act:
+                    raise ValueError(
+                        "dynamic_act requires s8 weights (weight_bits=8)")
+                packed, scales = w4_ops.pack_w4(
+                    self.params["weight"], self.config.w4_group)
+                self.params = {"w4_packed": packed, "w4_scales": scales,
+                               "bias": self.params["bias"]}
+                return
             # W8-float serving mode: keep the float forward, store the
             # weight as s8 + scale (dequantized on the fly; bias stays f32).
             if per_channel:
@@ -305,6 +317,16 @@ class Linear(Layer):
                 raise RuntimeError(
                     "layer already converted to INT8 — quantize the input "
                     "(FP32 weights were freed, as in the reference)")
+            if self.config.weight_bits == 4:
+                out = w4_ops.w4_matmul_xla(
+                    x.data, self._p("w4_packed"), self._p("w4_scales"),
+                    self._p("bias"), self.in_channels,
+                    self.config.w4_group)
+                _record_cost(self, 2 * out.shape[0] * self.in_channels
+                             * self.out_channels,
+                             x.data.size * 4 + out.size * 4
+                             + self.in_channels * self.out_channels // 2)
+                return Tensor(self._maybe_gather(out, 1))
             if self.config.dynamic_act:
                 # dynamic W8A8: symmetric per-tensor act scale from the
                 # live batch, s8 x s8 on the MXU, dequant + bias in f32

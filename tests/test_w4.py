@@ -1,0 +1,71 @@
+"""W4 grouped weight-only (QuantConfig(weight_only=True, weight_bits=4)):
+packed nibbles + per-group scales, Linear-only, 8x smaller weights."""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+import int8inferenceengine_tpu as q
+from int8inferenceengine_tpu import QuantConfig, models
+from int8inferenceengine_tpu.ops.w4 import dequant_w4, pack_w4
+
+
+def test_pack_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.1, (48, 256)).astype(np.float32)
+    packed, scales = pack_w4(w, group=64)
+    assert packed.shape == (48, 128) and packed.dtype == jnp.uint8
+    assert scales.shape == (48, 4)
+    back = np.asarray(dequant_w4(packed, scales, 256, group=64))
+    # symmetric 4-bit: error <= scale/2 per weight, scale = groupmax/7
+    gmax = np.abs(w.reshape(48, 4, 64)).max(axis=2, keepdims=True)
+    bound = np.broadcast_to(gmax / 14.0 + 1e-7, (48, 4, 64)).reshape(48, 256)
+    assert (np.abs(back - w) <= bound).all()
+
+
+def test_pack_short_last_group_and_odd_k():
+    rng = np.random.default_rng(1)
+    w = rng.normal(0, 1, (8, 96)).astype(np.float32)   # 96 = 64 + 32 short
+    packed, scales = pack_w4(w, group=64)
+    back = np.asarray(dequant_w4(packed, scales, 96, group=64))
+    assert back.shape == (8, 96)
+    assert np.abs(back - w).max() < np.abs(w).max() / 7 + 1e-6
+    try:
+        pack_w4(w[:, :95], group=64)
+        assert False, "odd K must raise"
+    except ValueError:
+        pass
+
+
+def test_w4_decoder_tracks_fp32():
+    tw = models.torch_twin("gpt_tiny")
+    m = models.build("gpt_tiny", config=QuantConfig(weight_only=True,
+                                                    weight_bits=4,
+                                                    w4_group=64))
+    m.load(tw.state_dict())
+    m.convert()
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 1000, (4, 16)).astype(np.int32)
+    got = m(q.tensor(ids)).numpy()
+    want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+    assert np.isfinite(got).all()
+    agree = (got[:, -1].argmax(-1) == want[:, -1].argmax(-1)).mean()
+    assert agree >= 0.75, agree
+    # weights really are 4-bit packed
+    layers = dict(m.named_layers())
+    assert layers["wq1"].params["w4_packed"].dtype == jnp.uint8
+    assert layers["wq1"].params["w4_packed"].size == 128 * 128 // 2
+    # generate runs on the float KV cache path
+    toks = m.generate(ids[:, :8], 5)
+    assert toks.shape == (4, 5)
+
+
+def test_w4_dynamic_act_rejected():
+    m = models.build("lenet", config=QuantConfig(
+        weight_only=True, weight_bits=4, dynamic_act=True))
+    m.load(models.torch_twin("lenet").state_dict())
+    try:
+        m.convert()
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
