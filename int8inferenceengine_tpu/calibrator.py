@@ -27,7 +27,12 @@ import numpy as np
 
 class Calibrator:
     def __init__(self, exact_minmax: bool = True, reservoir_size: int = 1000,
-                 seed: int = 0):
+                 seed: int = 0, method: str = "minmax"):
+        if method not in ("minmax", "mse"):
+            raise ValueError(f"unknown calibration method {method!r}")
+        self.method = method
+        # MSE search needs raw samples — force the reservoir on.
+        exact_minmax = exact_minmax and method == "minmax"
         self.exact_minmax = exact_minmax
         self.reservoir_size = reservoir_size
         self._min = None   # device scalars; pulled to host at get_range
@@ -84,10 +89,55 @@ class Calibrator:
             "max": float(np.float32(self._max)) if self._max is not None else None,
         }
 
+    @staticmethod
+    def _derive(out_min, out_max):
+        """(min, max) -> (scale, zp), bit-matching calibrator.cc:24-37."""
+        out_min = np.float32(min(out_min, np.float32(0.0)))
+        out_max = np.float32(max(out_max, np.float32(0.0)))
+        zp = int(np.float32(255.0) * (np.float32(0.0) - out_min)
+                 / (out_max - out_min + np.float32(1e-9)))
+        zp = max(0, min(255, zp))
+        if zp == 0:
+            scale = float((out_max - out_min) / np.float32(255.0))
+        else:
+            scale = float((np.float32(0.0) - out_min) / np.float32(zp))
+        if scale == 0.0:
+            scale = 1.0
+        return scale, zp
+
+    def _mse_range(self):
+        """Grid-search the clip range minimizing reconstruction MSE
+        (TensorRT-style objective) over the reservoir PLUS the exactly
+        tracked population extremes — a reservoir alone misses the rare
+        top values whose clipping error dominates, which silently biases
+        the search toward over-clipping.  Honest caveat: at 8-bit
+        resolution minmax is already near-MSE-optimal for most activation
+        distributions (the bulk error at full range is tiny relative to
+        any clipped outlier), so this method is a can-only-help safeguard
+        here; range search pays off as bit width shrinks (see the W4
+        per-group scale optimizer in ops/w4.py)."""
+        filled = self._reservoir[:min(self._count_res, self.reservoir_size)]
+        lo0 = float(min(np.float32(self._min), np.float32(0.0)))
+        hi0 = float(max(np.float32(self._max), np.float32(0.0)))
+        samples = np.concatenate(
+            [filled, np.float32([lo0, hi0])]).astype(np.float32)
+        best = (None, np.inf)
+        for c in np.linspace(0.30, 1.0, 29):
+            scale, zp = self._derive(np.float32(lo0 * c),
+                                     np.float32(hi0 * c))
+            t = np.clip(samples / np.float32(scale) + zp, 0.0, 255.0)
+            deq = (np.trunc(t) - zp) * np.float32(scale)
+            mse = float(np.mean((deq - samples) ** 2))
+            if mse < best[1]:
+                best = ((scale, zp), mse)
+        return best[0]
+
     def get_range(self, quantile: float = 1.0):
         """Derive per-tensor asymmetric-u8 (scale, zero_point)."""
         if self._count == 0:
             return 1.0, 0
+        if self.method == "mse" and self._count_res > 0:
+            return self._mse_range()
         if self.exact_minmax or quantile >= 1.0:
             if self.exact_minmax:
                 out_min = np.float32(self._min)
@@ -102,15 +152,4 @@ class Calibrator:
             cnt = len(filled)
             out_min = np.float32(filled[int((1.0 - quantile) * cnt)])
             out_max = np.float32(filled[int(quantile * (cnt - 1))])
-        out_min = np.float32(min(out_min, np.float32(0.0)))
-        out_max = np.float32(max(out_max, np.float32(0.0)))
-        zp = int(np.float32(255.0) * (np.float32(0.0) - out_min)
-                 / (out_max - out_min + np.float32(1e-9)))  # trunc, like u8_t cast
-        zp = max(0, min(255, zp))
-        if zp == 0:
-            scale = float((out_max - out_min) / np.float32(255.0))
-        else:
-            scale = float((np.float32(0.0) - out_min) / np.float32(zp))
-        if scale == 0.0:
-            scale = 1.0
-        return scale, zp
+        return self._derive(out_min, out_max)

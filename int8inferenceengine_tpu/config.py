@@ -29,6 +29,12 @@ class QuantConfig:
     input_zero_point: int = 127
 
     # Calibration (reference: include/calibrator.h:4, src/layer.cc:44).
+    # Calibration objective: 'minmax' (reference semantics, default) or
+    # 'mse' — grid-search the clip range minimizing reconstruction MSE over
+    # the reservoir samples (TensorRT-style; clips heavy-tailed outliers
+    # instead of wasting the 8-bit grid on them).  'mse' calibrates eagerly
+    # (needs raw samples on the host).
+    calib_method: str = "minmax"
     calib_quantile: float = 1.0
     calib_reservoir_size: int = 1000
     # True  -> exact streaming min/max over every observed activation
@@ -87,6 +93,11 @@ class QuantConfig:
     # stays W8 (the W4 use case is LLM serving, which is Linear-bound).
     weight_bits: int = 8
     w4_group: int = 128
+    # MSE-optimal per-group W4 scales (ops/w4.pack_w4(optimize=True)):
+    # grid-search each group's clip instead of max/7 — at 4 bits this
+    # genuinely cuts reconstruction error (unlike 8-bit, where minmax is
+    # near-optimal).
+    w4_mse_scales: bool = True
 
     # Dynamic activation quantization (requires weight_only=True): each
     # Linear/Conv2d quantizes its float input on the fly with a symmetric

@@ -175,6 +175,7 @@ class Layer:
         self.calibrator = Calibrator(
             exact_minmax=self.config.calib_exact_minmax,
             reservoir_size=self.config.calib_reservoir_size,
+            method=self.config.calib_method,
         )
         self._in_mean = None    # bias correction (config.bias_correction)
         self._in_count = 0
@@ -247,7 +248,8 @@ class Linear(Layer):
                     raise ValueError(
                         "dynamic_act requires s8 weights (weight_bits=8)")
                 packed, scales = w4_ops.pack_w4(
-                    self.params["weight"], self.config.w4_group)
+                    self.params["weight"], self.config.w4_group,
+                    optimize=self.config.w4_mse_scales)
                 self.params = {"w4_packed": packed, "w4_scales": scales,
                                "bias": self.params["bias"]}
                 return

@@ -198,7 +198,8 @@ class Module:
                     "float input while preparing, not a quantized tensor")
             return self._call_quantized(t)
         if self._preparing():
-            if self.config.calib_exact_minmax:
+            if self.config.calib_exact_minmax \
+                    and self.config.calib_method == "minmax":
                 return self._calibrate_jit(t)
             # Reservoir/quantile mode needs raw activation values on the
             # host, so the calibration forward runs eagerly.
