@@ -247,9 +247,16 @@ class Linear(Layer):
                 if self.config.dynamic_act:
                     raise ValueError(
                         "dynamic_act requires s8 weights (weight_bits=8)")
-                packed, scales = w4_ops.pack_w4(
-                    self.params["weight"], self.config.w4_group,
-                    optimize=self.config.w4_mse_scales)
+                if getattr(self, "_adaround_qw", None) is not None:
+                    # utils.adaround optimized the 4-bit codes directly
+                    codes = (self._adaround_qw.astype(jnp.int32) + 8
+                             ).astype(jnp.uint8)
+                    packed = (codes[:, 0::2] << 4) | codes[:, 1::2]
+                    scales = self._adaround_scales
+                else:
+                    packed, scales = w4_ops.pack_w4(
+                        self.params["weight"], self.config.w4_group,
+                        optimize=self.config.w4_mse_scales)
                 self.params = {"w4_packed": packed, "w4_scales": scales,
                                "bias": self.params["bias"]}
                 return

@@ -55,21 +55,32 @@ def _h(v):
 
 
 def _weight_scale(layer):
-    """The scale convert() will use (depends only on weights, so it is
-    known before convert): joint per-tensor or per-channel."""
+    """(weight, broadcastable scale, clip bound, group scales or None):
+    whatever convert() will use — joint per-tensor, per-channel, or the
+    W4 per-group scales (Linear weight_only weight_bits=4, where rounding
+    optimization matters most: the 4-bit grid is coarse)."""
     if isinstance(layer, Linear):
         w, axis = layer.params["weight"], 0
     else:
         w, axis = layer.params["w_hwio"], 3
     b = layer.params["bias"]
-    if layer.config.weight_per_channel:
+    cfg = layer.config
+    if (cfg.weight_only and cfg.weight_bits == 4
+            and isinstance(layer, Linear)):
+        from ..ops.w4 import pack_w4
+        _, scales = pack_w4(w, cfg.w4_group, optimize=cfg.w4_mse_scales)
+        n, k = w.shape
+        g = min(cfg.w4_group, k)
+        s_full = jnp.repeat(scales, g, axis=1)[:, :k]
+        return w, s_full, 7.0, scales
+    if cfg.weight_per_channel:
         _, _, s = quant_ops.quantize_weight_per_channel(w, b,
                                                         channel_axis=axis)
         shape = [1] * w.ndim
         shape[axis] = -1
-        return w, jnp.asarray(s, jnp.float32).reshape(shape)
+        return w, jnp.asarray(s, jnp.float32).reshape(shape), 127.0, None
     _, _, s = quant_ops.quantize_weight_joint_scale(w, b)
-    return w, jnp.float32(s)
+    return w, jnp.float32(s), 127.0, None
 
 
 def _layer_out(layer, w, x):
@@ -84,13 +95,13 @@ def _layer_out(layer, w, x):
         preferred_element_type=jnp.float32)
 
 
-def _make_optimizer(layer, iters, lr, lam):
+def _make_optimizer(layer, iters, lr, lam, bound=127.0):
     import optax
 
     opt = optax.adam(lr)
 
     def loss_fn(v, floor_w, s, x, out_ref, beta):
-        w_soft = s * jnp.clip(floor_w + _h(v), -127.0, 127.0)
+        w_soft = s * jnp.clip(floor_w + _h(v), -bound, bound)
         out = _layer_out(layer, w_soft, x)
         mse = jnp.mean(jnp.square(out - out_ref))
         reg = jnp.sum(1.0 - jnp.abs(2.0 * _h(v) - 1.0) ** beta)
@@ -152,19 +163,22 @@ def adaround(net, x_calib, *, iters: int = 400, lr: float = 1e-2,
             idx = rng.choice(x.shape[0], max_images, replace=False)
             x = x[jnp.asarray(np.sort(idx))]
 
-        w, s = _weight_scale(layer)
+        w, s, bound, group_scales = _weight_scale(layer)
         wf = w / s
         floor_w = jnp.floor(wf)
         frac = jnp.clip(wf - floor_w, 1e-4, 1 - 1e-4)
         # init h(V) = frac -> the optimizer starts at round-to-nearest
         v0 = -jnp.log((_ZETA - _GAMMA) / (frac - _GAMMA) - 1.0)
         out_ref = _layer_out(layer, w, x)
-        v = _make_optimizer(layer, iters, lr, lam)(v0, floor_w, s, x,
-                                                   out_ref)
-        q_w = jnp.clip(floor_w + (_h(v) > 0.5), -127, 127).astype(jnp.int8)
+        v = _make_optimizer(layer, iters, lr, lam, bound)(v0, floor_w, s,
+                                                          x, out_ref)
+        q_w = jnp.clip(floor_w + (_h(v) > 0.5), -bound, bound
+                       ).astype(jnp.int8)
         layer._adaround_qw = q_w
+        if group_scales is not None:
+            layer._adaround_scales = group_scales
         if verbose:
-            nearest = jnp.clip(jnp.round(wf), -127, 127)
+            nearest = jnp.clip(jnp.round(wf), -bound, bound)
             e_near = float(jnp.mean(jnp.square(
                 _layer_out(layer, s * nearest, x) - out_ref)))
             e_ada = float(jnp.mean(jnp.square(

@@ -46,7 +46,7 @@ def test_linear_beats_nearest():
     utils.adaround(Net(), x, iters=300)
     assert getattr(layer, "_adaround_qw", None) is not None
 
-    wj, s = _weight_scale(layer)
+    wj, s, _, _ = _weight_scale(layer)
     nearest = jnp.clip(jnp.round(wj / s), -127, 127).astype(jnp.int8)
     ada = layer._adaround_qw
     assert (np.asarray(ada) != np.asarray(nearest)).sum() > 0  # re-rounded
@@ -104,3 +104,39 @@ def test_h_init_recovers_fraction():
     v = jnp.asarray([-3.0, 0.0, 3.0])
     h = _h(v)
     assert ((h >= 0) & (h <= 1)).all()
+
+
+def test_w4_adaround_beats_default_pack():
+    """AdaRound on the 4-bit grid (weight_only, weight_bits=4): optimized
+    group-scale rounding beats the default MSE-scaled pack on correlated
+    inputs, flowing through convert() into the packed nibbles."""
+    rng = np.random.default_rng(4)
+    k, n_out = 128, 32
+    w = rng.normal(0, 0.1, (n_out, k)).astype(np.float32)
+    b = rng.normal(0, 0.05, n_out).astype(np.float32)
+    x = _correlated_inputs(512, k, rank=4, seed=5)
+    cfg = QuantConfig(weight_only=True, weight_bits=4, w4_group=64)
+
+    outs = {}
+    for use_ada in (False, True):
+        layer = Linear(k, n_out, config=cfg)
+        layer.load_weight(w)
+        layer.load_bias(b)
+
+        class Net:
+            is_quant = False
+
+            def named_layers(self):
+                return [("lin", layer)]
+
+            def forward(self, t):
+                return layer(t)
+
+        if use_ada:
+            utils.adaround(Net(), x, iters=300)
+        layer.convert()
+        outs[use_ada] = layer(q.tensor(x)).numpy()
+
+    ref = x @ w.T + b
+    e = {k2: float(np.mean((v - ref) ** 2)) for k2, v in outs.items()}
+    assert e[True] < e[False] * 0.9, e
