@@ -2,6 +2,7 @@
 
 from . import checkpoint, equalize, observe, roofline, validate
 from .adaround import adaround
+from .gptq import gptq
 from .smooth import smooth, transformer_smooth_pairs
 from .checkpoint import load, read_state_dict, save, state_dict
 from .equalize import cross_layer_equalize
@@ -11,7 +12,7 @@ __all__ = [
     "checkpoint", "observe",
     "save", "load", "state_dict", "read_state_dict",
     "equalize", "cross_layer_equalize", "adaround",
-    "smooth", "transformer_smooth_pairs",
+    "smooth", "transformer_smooth_pairs", "gptq",
     "quantization_report", "log_quantization_report", "trace",
     "roofline", "validate",
 ]
