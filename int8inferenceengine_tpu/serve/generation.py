@@ -123,6 +123,8 @@ class GenerationEngine:
 
     # -- public API -----------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int) -> Future:
+        if not self._running:
+            raise RuntimeError("engine is shut down")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")

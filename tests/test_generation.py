@@ -92,3 +92,14 @@ def test_engine_stats():
         assert p["p50"] > 0
     finally:
         eng.shutdown()
+
+
+def test_submit_after_shutdown_raises():
+    m = _model()
+    eng = GenerationEngine(m, slots=1)
+    eng.shutdown()
+    try:
+        eng.submit([1, 2, 3], 2)
+        assert False, "expected RuntimeError"
+    except RuntimeError:
+        pass
