@@ -321,7 +321,7 @@ class Linear(Layer):
         return self._p("q_weight").astype(jnp.float32) * s
 
     def _forward_fp32(self, x: Tensor) -> Tensor:
-        if self.is_quantized:
+        if self.is_quantized and not self.quant_fallback:
             if not self.config.weight_only:
                 raise RuntimeError(
                     "layer already converted to INT8 — quantize the input "
@@ -558,7 +558,7 @@ class Conv2d(Layer):
         return self._forward_fp32(x)
 
     def _forward_fp32(self, x: Tensor) -> Tensor:
-        if self.is_quantized:
+        if self.is_quantized and not self.quant_fallback:
             if not self.config.weight_only:
                 raise RuntimeError(
                     "layer already converted to INT8 — quantize the input")
@@ -948,9 +948,14 @@ def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:
     touches HBM.  Models gate on ``QuantConfig.fuse_linear_act``; falls
     back to the composed pair when the pair isn't fusable (TP-sharded
     input, custom fn, bf16 glue, LUT backend)."""
+    from .ops.functional import ACTIVATIONS
     fusable = (linear.is_quantized and act.is_quantized
                and x.quantized and not linear.config.weight_only
+               and not linear.quant_fallback
                and act.fn_name in KERNEL_ACTS
+               # a custom callable may share a built-in's __name__; only
+               # fuse the exact registered fn (the kernel replays KERNEL_ACTS)
+               and act.fn is ACTIVATIONS.get(act.fn_name)
                and act.backend == "elementwise"
                and act.config.glue_dtype == "float32"
                and not x._tp_sharded and not linear._tp_sharded)

@@ -102,10 +102,18 @@ class Module:
         unaffected, but their weights and arithmetic stay float.  The
         standard mixed-precision lever for quantization-sensitive layers
         (stems / heads / outlier blocks)."""
-        names = {name for name, _ in self.named_layers()}
-        unknown = set(skip) - names
+        from .layers import Conv2d, Linear
+        by_name = dict(self.named_layers())
+        unknown = set(skip) - set(by_name)
         if unknown:
             raise KeyError(f"convert(skip=...): unknown layers {unknown}")
+        unsupported = {n for n in skip
+                       if not isinstance(by_name[n], (Linear, Conv2d))}
+        if unsupported:
+            raise TypeError(
+                f"convert(skip=...): FP32 fallback islands are implemented "
+                f"for Linear/Conv2d only; {sorted(unsupported)} are "
+                f"{[type(by_name[n]).__name__ for n in sorted(unsupported)]}")
         for name, layer in self.named_layers():
             if name in skip:
                 layer.quant_fallback = True

@@ -208,15 +208,19 @@ class GenerationEngine:
 
     def _admit(self, req: _GenRequest, slot: int) -> None:
         t0 = len(req.prompt)
-        bucket = _bucket(t0)
+        # power-of-two bucket, capped at max_len (t0 <= max_len is
+        # guaranteed by submit(), but the next power of two may not be)
+        bucket = min(_bucket(t0), self.model.max_len)
         pad = np.zeros((1, bucket), np.int32)
         pad[0, :t0] = req.prompt
+        # register BEFORE the device call: if prefill raises, the crash
+        # handler must fail THIS request's future too
+        self._active[slot] = req
         self._caches, tok0 = self._prefill_fn(bucket)(
             self._params, self._caches, jnp.int32(slot),
             jnp.asarray(pad), jnp.int32(t0))
         tok0 = int(tok0)
         self.stats.prefills += 1
-        self._active[slot] = req
         req.tokens.append(tok0)
         self._tok = self._tok.at[slot].set(tok0)
         self._pos = self._pos.at[slot].set(t0)
@@ -256,6 +260,22 @@ class GenerationEngine:
             raise
 
     def _loop_inner(self) -> None:
+        try:
+            self._drain_loop()
+        finally:
+            # shutdown: fail anything still queued — a request that will
+            # never run must not leave its future pending forever
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None and not req.future.done():
+                    req.future.set_exception(
+                        RuntimeError("engine shut down before this "
+                                     "request was scheduled"))
+
+    def _drain_loop(self) -> None:
         while self._running or any(r is not None for r in self._active):
             # admit as many queued requests as there are free slots
             while self._running:

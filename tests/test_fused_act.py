@@ -82,3 +82,49 @@ def test_model_fuse_flag_equivalent():
         m.convert()
         outs[flag] = m(q.tensor(x)).numpy()
     np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_fused_act_respects_quant_fallback_island():
+    """convert(skip=fc1) on a transformer must NOT fuse the gelu into the
+    (now FP32-island) fc1 — the composed path must run, bit-identical to
+    fuse_linear_act=False."""
+    import numpy as np
+    from int8inferenceengine_tpu import models
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 1000, (4, 64)).astype(np.int32)
+    outs = {}
+    for fuse in (False, True):
+        m = models.build("text_tiny",
+                         config=QuantConfig(fuse_linear_act=fuse))
+        m.load(models.torch_twin("text_tiny").state_dict())
+        m.prepare()
+        m(q.tensor(ids))
+        m.convert(skip=("fc1_1",))
+        outs[fuse] = m(q.tensor(ids)).numpy()
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_fused_act_rejects_custom_fn_name_collision():
+    """A custom callable named like a built-in must fall back to the
+    composed pair (the kernel would replay the wrong formula)."""
+    import jax
+    import numpy as np
+    rng = np.random.default_rng(1)
+    w = rng.normal(0, 0.2, (32, 64)).astype(np.float32)
+    x = rng.uniform(-1, 1, (64, 64)).astype(np.float32)
+    lin = Linear(64, 32)
+    lin.load_weight(w)
+    lin.load_bias(np.zeros(32, np.float32))
+    act = QuantAct(lambda z: jax.nn.gelu(z, approximate=True))
+    act.fn_name = "gelu"                  # adversarial name collision
+    for l in (lin, act):
+        l.prepare()
+    act(lin(q.tensor(x)))
+    for l in (lin, act):
+        l.convert()
+    from int8inferenceengine_tpu.ops import functional as F
+    qx = F.quantize(q.tensor(x), 1 / 64.0, 128)
+    want = act(lin(qx))                   # composed (tanh-approx gelu)
+    got = fused_linear_act(lin, act, qx)  # must NOT fuse
+    np.testing.assert_array_equal(np.asarray(got.data),
+                                  np.asarray(want.data))

@@ -103,3 +103,35 @@ def test_submit_after_shutdown_raises():
         assert False, "expected RuntimeError"
     except RuntimeError:
         pass
+
+
+def test_bucket_never_exceeds_max_len():
+    """A prompt whose next power-of-two bucket exceeds max_len must still
+    serve (bucket capped), bit-identical to generate()."""
+    m = _model()                                  # max_len 64
+    eng = GenerationEngine(m, slots=1, chunk_steps=2)
+    try:
+        prompt = (np.arange(40, dtype=np.int32) * 7) % 1000   # bucket->64
+        got = eng.submit(prompt, 4).result(timeout=180)
+        want = m.generate(prompt[None, :], 4)[0]
+        np.testing.assert_array_equal(got, want)
+    finally:
+        eng.shutdown()
+
+
+def test_shutdown_fails_queued_requests():
+    """Queued-but-unadmitted requests must fail loudly at shutdown, not
+    hang their futures forever."""
+    import concurrent.futures
+    m = _model()
+    eng = GenerationEngine(m, slots=1, chunk_steps=2)
+    a = eng.submit(np.arange(5, dtype=np.int32), 30)   # occupies the slot
+    b = eng.submit(np.arange(7, dtype=np.int32), 5)    # queued behind it
+    eng.shutdown(wait=True)
+    assert a.done()
+    assert b.done()
+    try:
+        b.result(timeout=1)
+        # either it got admitted before shutdown drained (fine) ...
+    except RuntimeError:
+        pass                                            # ... or failed loudly

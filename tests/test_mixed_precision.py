@@ -52,3 +52,36 @@ def test_unknown_skip_raises():
         assert False, "expected KeyError"
     except KeyError:
         pass
+
+
+def test_skip_with_weight_only():
+    """FP32 islands compose with weight_only: the skipped layer keeps its
+    float weights and the float forward uses them."""
+    m, x, want = _built()
+    m.config = m.config  # lenet built with default config; rebuild W8-float
+    from int8inferenceengine_tpu import QuantConfig, models
+    tw = models.torch_twin("lenet")
+    mw = models.build("lenet", config=QuantConfig(weight_only=True))
+    mw.load(tw.state_dict())
+    mw.convert(skip=("fc2",))
+    got = mw(q.tensor(x)).numpy()
+    assert np.isfinite(got).all()
+    layers = dict(mw.named_layers())
+    assert "weight" in layers["fc2"].params        # stayed float
+    assert "q_weight" in layers["fc1"].params      # W8 stored
+
+
+def test_skip_unsupported_layer_type_raises():
+    from int8inferenceengine_tpu import QuantConfig, models
+    import numpy as _np
+    m = models.build("gpt_tiny")
+    m.load(models.torch_twin("gpt_tiny").state_dict())
+    m.prepare()
+    ids = _np.random.default_rng(0).integers(0, 1000, (4, 16)).astype(
+        _np.int32)
+    m(q.tensor(ids))
+    try:
+        m.convert(skip=("smax1",))
+        assert False, "expected TypeError for non-Linear/Conv skip"
+    except TypeError:
+        pass
