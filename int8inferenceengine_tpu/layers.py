@@ -337,9 +337,13 @@ class Linear(Layer):
                              + self.in_channels * self.out_channels // 2)
                 return Tensor(self._maybe_gather(out, 1))
             if self.config.dynamic_act:
-                # dynamic W8A8: symmetric per-tensor act scale from the
-                # live batch, s8 x s8 on the MXU, dequant + bias in f32
-                s_a = jnp.maximum(jnp.max(jnp.abs(x.data)), 1e-8) / 127.0
+                # dynamic W8A8, PER-TOKEN scales: each row quantizes with
+                # its own symmetric s8 scale (rows are independent tokens /
+                # requests in batched serving — one hot row must not starve
+                # the others of codes), s8 x s8 on the MXU, per-row dequant
+                # + bias in f32
+                s_a = jnp.maximum(jnp.max(jnp.abs(x.data), axis=1,
+                                          keepdims=True), 1e-8) / 127.0
                 a = jnp.clip(jnp.round(x.data / s_a), -127, 127
                              ).astype(jnp.int8)
                 acc = lax.dot_general(
@@ -567,8 +571,10 @@ class Conv2d(Layer):
                  if hasattr(s, "reshape") and getattr(s, "ndim", 0) == 1
                  else jnp.float32(s))
             if self.config.dynamic_act:
+                # per-image scales (the conv analog of per-token)
                 xn = x.as_nhwc_data()
-                s_a = jnp.maximum(jnp.max(jnp.abs(xn)), 1e-8) / 127.0
+                s_a = jnp.maximum(jnp.max(jnp.abs(xn), axis=(1, 2, 3),
+                                          keepdims=True), 1e-8) / 127.0
                 a = jnp.clip(jnp.round(xn / s_a), -127, 127
                              ).astype(jnp.int8)
                 acc = lax.conv_general_dilated(

@@ -131,3 +131,26 @@ def test_dynamic_act_quantization():
     # cached decode still equals full-forward recompute
     logits = m(q.tensor(prompt)).numpy()
     np.testing.assert_array_equal(toks[:, 0], logits[:, -1].argmax(-1))
+
+
+def test_dynamic_act_per_token_isolation():
+    """Per-token dynamic scales: one hot row must not degrade the other
+    rows' quantization (the per-tensor failure mode)."""
+    import jax.numpy as jnp
+    from int8inferenceengine_tpu.layers import Linear
+    rng = np.random.default_rng(7)
+    w = rng.normal(0, 0.1, (32, 64)).astype(np.float32)
+    lin = Linear(64, 32, config=QuantConfig(weight_only=True,
+                                            dynamic_act=True))
+    lin.load_weight(w)
+    lin.load_bias(np.zeros(32, np.float32))
+    lin.convert()
+    x = rng.normal(0, 1, (16, 64)).astype(np.float32)
+    ref = x @ w.T
+    cold = lin(q.tensor(x)).numpy()
+    x_hot = x.copy()
+    x_hot[0] *= 1000.0                       # one extreme row
+    hot = lin(q.tensor(x_hot)).numpy()
+    # rows 1..15 are bit-identical with and without the hot neighbor
+    np.testing.assert_array_equal(cold[1:], hot[1:])
+    assert np.abs(cold - ref).max() < 0.15
