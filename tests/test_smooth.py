@@ -74,3 +74,24 @@ def test_guards():
         assert False, "expected RuntimeError after prepare()"
     except RuntimeError:
         pass
+
+
+def test_all_levers_compose_on_transformer():
+    """smooth -> prepare/calibrate -> adaround -> convert, with
+    per-channel + nearest + bias correction: the full accuracy stack must
+    compose without interference and still track the model's own FP32."""
+    from int8inferenceengine_tpu import QuantConfig
+    m = models.build("text_tiny", config=QuantConfig(
+        weight_per_channel=True, rounding="nearest", bias_correction=True))
+    m.load(models.torch_twin("text_tiny").state_dict())
+    ids_c, ids_t = _ids(8, 64, 11), _ids(8, 64, 12)
+    want = m(q.tensor(ids_t)).numpy()
+    utils.smooth(m, utils.transformer_smooth_pairs(m), ids_c)
+    m.prepare()
+    m(q.tensor(ids_c))
+    utils.adaround(m, ids_c, iters=60)
+    m.convert()
+    got = m(q.tensor(ids_t)).numpy()
+    assert np.isfinite(got).all()
+    agree = (got[:, -1].argmax(-1) == want[:, -1].argmax(-1)).mean()
+    assert agree >= 0.75, agree
