@@ -27,10 +27,13 @@ import numpy as np
 
 class Calibrator:
     def __init__(self, exact_minmax: bool = True, reservoir_size: int = 1000,
-                 seed: int = 0, method: str = "minmax"):
+                 seed: int = 0, method: str = "minmax",
+                 rounding: str = "trunc"):
         if method not in ("minmax", "mse"):
             raise ValueError(f"unknown calibration method {method!r}")
         self.method = method
+        self.rounding = rounding   # the engine's float->code cast, so the
+        #                            MSE objective simulates what runs
         # MSE search needs raw samples — force the reservoir on.
         exact_minmax = exact_minmax and method == "minmax"
         self.exact_minmax = exact_minmax
@@ -122,11 +125,12 @@ class Calibrator:
         samples = np.concatenate(
             [filled, np.float32([lo0, hi0])]).astype(np.float32)
         best = (None, np.inf)
+        rb = 0.5 if self.rounding == "nearest" else 0.0
         for c in np.linspace(0.30, 1.0, 29):
             scale, zp = self._derive(np.float32(lo0 * c),
                                      np.float32(hi0 * c))
             t = np.clip(samples / np.float32(scale) + zp, 0.0, 255.0)
-            deq = (np.trunc(t) - zp) * np.float32(scale)
+            deq = (np.trunc(t + rb) - zp) * np.float32(scale)
             mse = float(np.mean((deq - samples) ** 2))
             if mse < best[1]:
                 best = ((scale, zp), mse)
@@ -137,6 +141,10 @@ class Calibrator:
         if self._count == 0:
             return 1.0, 0
         if self.method == "mse" and self._count_res > 0:
+            if quantile < 1.0:
+                raise ValueError(
+                    "calib_quantile < 1 and calib_method='mse' are "
+                    "mutually exclusive range policies — pick one")
             return self._mse_range()
         if self.exact_minmax or quantile >= 1.0:
             if self.exact_minmax:

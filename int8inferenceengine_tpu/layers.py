@@ -176,6 +176,7 @@ class Layer:
             exact_minmax=self.config.calib_exact_minmax,
             reservoir_size=self.config.calib_reservoir_size,
             method=self.config.calib_method,
+            rounding=self.config.rounding,
         )
         self._in_mean = None    # bias correction (config.bias_correction)
         self._in_count = 0
@@ -392,6 +393,10 @@ class Linear(Layer):
         if self.quant_fallback:
             # FP32 island: u8 in, float matmul, u8 out at the calibrated
             # range — downstream layers see a normal quantized tensor.
+            if x._tp_sharded:
+                from .parallel.sharding import gather_channels
+                x = Tensor(gather_channels(x.data, 1), x.scale,
+                           x.zero_point)
             f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
             out = (jnp.dot(f, self._p("weight").T,
                            preferred_element_type=jnp.float32)
@@ -400,7 +405,8 @@ class Linear(Layer):
                                        self.config.rounding)
             if self.fuse_relu:
                 qo = jnp.maximum(qo, jnp.uint8(self.zero_point))
-            return Tensor(qo, self.scale, self.zero_point)
+            return Tensor(self._maybe_gather(qo, 1), self.scale,
+                          self.zero_point)
         pa = self._overlap_axes()
         oc = compute_offset(self._p("q_bias"), self._p("rowsum"),
                             scale_a=x.scale, zp_a=x.zero_point,
@@ -631,7 +637,8 @@ class Conv2d(Layer):
                                        self.config.rounding)
             if self.fuse_relu:
                 qo = jnp.maximum(qo, jnp.uint8(self.zero_point))
-            return Tensor(qo, self.scale, self.zero_point, _nhwc=True)
+            return Tensor(self._maybe_gather(qo, 3), self.scale,
+                          self.zero_point, _nhwc=True)
         oc = compute_offset(self._p("q_bias"), self._p("rowsum"),
                             scale_a=x.scale, zp_a=x.zero_point,
                             recentered=True)
@@ -914,17 +921,20 @@ class QuantSoftmax(Layer):
 
     def _masked(self, f, valid_len):
         tq, tk = f.shape[-2], f.shape[-1]
-        if self.causal and valid_len is None:
+        if self.causal and tq > 1:
+            # causal applies whenever there are multiple query rows; a
+            # valid_len on top of it (right-padded prefill) masks columns
+            # too — the masks compose, neither replaces the other
             if tq != tk:
                 raise ValueError(
                     f"causal softmax expects square scores, got {f.shape}; "
-                    "pass valid_len for cached decode")
+                    "single-row cached decode passes valid_len instead")
             row = lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            return jnp.where(col <= row, f, -jnp.inf)
+            f = jnp.where(col <= row, f, -jnp.inf)
         if valid_len is not None:
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            return jnp.where(col < valid_len, f, -jnp.inf)
+            f = jnp.where(col < valid_len, f, -jnp.inf)
         return f
 
     def __call__(self, x: Tensor, valid_len=None) -> Tensor:
@@ -940,6 +950,37 @@ class QuantSoftmax(Layer):
             jax.nn.softmax(self._masked(f, valid_len), axis=-1),
             self.scale, self.zero_point, self.config.rounding)
         return Tensor(out, self.scale, self.zero_point)
+
+
+def weight_quant_spec(layer):
+    """(weight, broadcastable scale, clip bound, group scales or None):
+    the scale policy ``convert()`` will apply to this layer's weights —
+    THE single source of truth for pre-convert optimizers (utils.adaround,
+    utils.gptq).  Must mirror Linear/Conv2d._quantize_weights; keeping it
+    here (next to that code) is what prevents the two from drifting.
+    """
+    if isinstance(layer, Linear):
+        w, axis = layer.params["weight"], 0
+    else:
+        w, axis = layer.params["w_hwio"], 3
+    b = layer.params["bias"]
+    cfg = layer.config
+    if (cfg.weight_only and cfg.weight_bits == 4
+            and isinstance(layer, Linear)):
+        from .ops.w4 import pack_w4
+        _, scales = pack_w4(w, cfg.w4_group, optimize=cfg.w4_mse_scales)
+        n, k = w.shape
+        g = min(cfg.w4_group, k)
+        s_full = jnp.repeat(scales, g, axis=1)[:, :k]
+        return w, s_full, 7.0, scales
+    if cfg.weight_per_channel:
+        _, _, sc = quant_ops.quantize_weight_per_channel(w, b,
+                                                         channel_axis=axis)
+        shape = [1] * w.ndim
+        shape[axis] = -1
+        return w, jnp.asarray(sc, jnp.float32).reshape(shape), 127.0, None
+    _, _, sc = quant_ops.quantize_weight_joint_scale(w, b)
+    return w, jnp.float32(sc), 127.0, None
 
 
 def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:

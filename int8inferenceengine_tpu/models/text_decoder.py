@@ -277,6 +277,8 @@ class TextDecoder(Module):
             raise RuntimeError("generate() requires a converted model")
         ids = np.asarray(ids)
         b, t0 = ids.shape
+        if steps < 1:
+            raise ValueError(f"steps must be >= 1, got {steps}")
         if t0 + steps > self.max_len:
             raise ValueError(
                 f"prompt {t0} + steps {steps} exceeds max_len "

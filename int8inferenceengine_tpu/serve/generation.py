@@ -67,15 +67,13 @@ class GenerationStats:
 
 
 class _GenRequest:
-    __slots__ = ("prompt", "max_new", "future", "tokens", "limit_pos",
-                 "t_submit")
+    __slots__ = ("prompt", "max_new", "future", "tokens", "t_submit")
 
     def __init__(self, prompt: np.ndarray, max_new: int):
         self.prompt = prompt
         self.max_new = max_new
         self.future: Future = Future()
         self.tokens: list[int] = []
-        self.limit_pos = len(prompt) + max_new
         self.t_submit = time.perf_counter()
 
 
@@ -168,7 +166,10 @@ class GenerationEngine:
                 tok0 = jnp.argmax(codes[0], -1).astype(jnp.int32)
                 return out, tok0
 
-            fn = jax.jit(run)
+            # donate the cache: it is dead after the call (rebound to
+            # the result) and copying the whole multi-layer KV cache per
+            # prefill would be pure HBM overhead
+            fn = jax.jit(run, donate_argnums=(1,))
             self._prefill_fns[bucket] = fn
         return fn
 
@@ -196,7 +197,7 @@ class GenerationEngine:
                 finally:
                     m._bind(None)
 
-            self._chunk_fn = jax.jit(run)
+            self._chunk_fn = jax.jit(run, donate_argnums=(1, 2, 3))
         return self._chunk_fn
 
     # -- scheduler loop ----------------------------------------------------------

@@ -42,7 +42,6 @@ import numpy as np
 from jax import lax
 
 from ..layers import _INPUT_TAP, Conv2d, Linear
-from ..ops import quant as quant_ops
 from ..tensor import Tensor
 
 __all__ = ["adaround"]
@@ -54,33 +53,9 @@ def _h(v):
     return jnp.clip(jax.nn.sigmoid(v) * (_ZETA - _GAMMA) + _GAMMA, 0.0, 1.0)
 
 
-def _weight_scale(layer):
-    """(weight, broadcastable scale, clip bound, group scales or None):
-    whatever convert() will use — joint per-tensor, per-channel, or the
-    W4 per-group scales (Linear weight_only weight_bits=4, where rounding
-    optimization matters most: the 4-bit grid is coarse)."""
-    if isinstance(layer, Linear):
-        w, axis = layer.params["weight"], 0
-    else:
-        w, axis = layer.params["w_hwio"], 3
-    b = layer.params["bias"]
-    cfg = layer.config
-    if (cfg.weight_only and cfg.weight_bits == 4
-            and isinstance(layer, Linear)):
-        from ..ops.w4 import pack_w4
-        _, scales = pack_w4(w, cfg.w4_group, optimize=cfg.w4_mse_scales)
-        n, k = w.shape
-        g = min(cfg.w4_group, k)
-        s_full = jnp.repeat(scales, g, axis=1)[:, :k]
-        return w, s_full, 7.0, scales
-    if cfg.weight_per_channel:
-        _, _, s = quant_ops.quantize_weight_per_channel(w, b,
-                                                        channel_axis=axis)
-        shape = [1] * w.ndim
-        shape[axis] = -1
-        return w, jnp.asarray(s, jnp.float32).reshape(shape), 127.0, None
-    _, _, s = quant_ops.quantize_weight_joint_scale(w, b)
-    return w, jnp.float32(s), 127.0, None
+# Single source of truth for "the scale convert() will use" — shared with
+# utils.gptq and kept next to _quantize_weights in layers.py.
+from ..layers import weight_quant_spec as _weight_scale  # noqa: E402
 
 
 def _layer_out(layer, w, x):
@@ -140,12 +115,20 @@ def adaround(net, x_calib, *, iters: int = 400, lr: float = 1e-2,
     if net.is_quant:
         raise RuntimeError("adaround must run before convert()")
     # Tap every target layer's input with one eager FP32 forward.
+    # Observation is suspended for the tap: x_calib was already calibrated
+    # by the user's prepare-phase forward, and re-observing it here would
+    # double-inject the batch into quantile/mse reservoirs.
     tap: dict = {}
     token = _INPUT_TAP.set(tap)
+    was_preparing = {id(l): l.is_preparing for _, l in net.named_layers()}
     try:
+        for _, l in net.named_layers():
+            l.is_preparing = False
         data = jnp.asarray(np.asarray(x_calib), jnp.float32)
         net.forward(Tensor(data))
     finally:
+        for _, l in net.named_layers():
+            l.is_preparing = was_preparing[id(l)]
         _INPUT_TAP.reset(token)
 
     rng = np.random.default_rng(0)

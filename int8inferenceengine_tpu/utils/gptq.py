@@ -32,21 +32,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..layers import _INPUT_TAP, Linear
-from ..ops import quant as quant_ops
 from ..tensor import Tensor
 
 __all__ = ["gptq"]
 
 
 def _layer_scale_s8(layer):
-    """The fixed s8 scale convert() will use, broadcast to [N, 1]."""
-    w, b = layer.params["weight"], layer.params["bias"]
-    if layer.config.weight_per_channel:
-        _, _, s = quant_ops.quantize_weight_per_channel(w, b,
-                                                        channel_axis=0)
-        return np.asarray(s, np.float32).reshape(-1, 1)
-    _, _, s = quant_ops.quantize_weight_joint_scale(w, b)
-    return np.float32(s) * np.ones((w.shape[0], 1), np.float32)
+    """The fixed s8 scale convert() will use, broadcast to [N, 1]
+    (from the shared layers.weight_quant_spec policy)."""
+    from ..layers import weight_quant_spec
+    w, s, bound, _ = weight_quant_spec(layer)
+    assert bound == 127.0
+    return np.broadcast_to(np.asarray(s, np.float32).reshape(-1, 1)
+                           if getattr(s, "ndim", 0) else
+                           np.float32(s) * np.ones((1, 1), np.float32),
+                           (w.shape[0], 1)).copy()
 
 
 def _gptq_layer(layer, x, damp: float):
@@ -59,15 +59,14 @@ def _gptq_layer(layer, x, damp: float):
 
     w4 = cfg.weight_only and cfg.weight_bits == 4
     if w4:
-        from ..ops.w4 import pack_w4
+        from ..layers import weight_quant_spec
         g = min(cfg.w4_group, k)
         # group scales precomputed MSE-optimally from the ORIGINAL weights
         # (measured better than live scales from the compensated sweep:
         # the compensation drift inflates live group maxima)
-        _, scales_j = pack_w4(layer.params["weight"], cfg.w4_group,
-                              optimize=cfg.w4_mse_scales)
+        _, _, bound, scales_j = weight_quant_spec(layer)
+        assert bound == 7.0
         scales = np.asarray(scales_j, np.float32)
-        bound = 7.0
     else:
         s_all = _layer_scale_s8(layer)                       # [N, 1]
         bound = 127.0
