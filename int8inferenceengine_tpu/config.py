@@ -98,6 +98,9 @@ class QuantConfig:
     # genuinely cuts reconstruction error (unlike 8-bit, where minmax is
     # near-optimal).
     w4_mse_scales: bool = True
+    # W4 matmul backend: 'auto' (XLA; the VMEM-unpacking Pallas kernel is
+    # interpret-validated but unmeasured on-chip), 'pallas', 'xla'.
+    w4_kernel: str = "auto"
 
     # Dynamic activation quantization (requires weight_only=True): each
     # Linear/Conv2d quantizes its float input on the fly with a symmetric

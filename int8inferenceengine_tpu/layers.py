@@ -328,10 +328,10 @@ class Linear(Layer):
                     "layer already converted to INT8 — quantize the input "
                     "(FP32 weights were freed, as in the reference)")
             if self.config.weight_bits == 4:
-                out = w4_ops.w4_matmul_xla(
+                out = w4_ops.w4_matmul(
                     x.data, self._p("w4_packed"), self._p("w4_scales"),
                     self._p("bias"), self.in_channels,
-                    self.config.w4_group)
+                    self.config.w4_group, backend=self.config.w4_kernel)
                 _record_cost(self, 2 * out.shape[0] * self.in_channels
                              * self.out_channels,
                              x.data.size * 4 + out.size * 4

@@ -20,10 +20,17 @@ that unpacks in VMEM next to the MXU is the round-2 fast path.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pack_w4", "dequant_w4", "w4_matmul_xla"]
+__all__ = ["pack_w4", "dequant_w4", "w4_matmul_xla", "w4_matmul_pallas",
+           "w4_matmul"]
 
 
 def pack_w4(w, group: int = 128, optimize: bool = False):
@@ -78,3 +85,110 @@ def w4_matmul_xla(x, packed, scales, bias, k: int, group: int = 128):
     w = dequant_w4(packed, scales, k, group)
     return (jnp.dot(x, w.T, preferred_element_type=jnp.float32)
             + bias.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: unpack the nibbles in VMEM, next to the MXU
+# ---------------------------------------------------------------------------
+#
+# The XLA path materializes the dequantized f32 weight in HBM every call,
+# which forfeits the 8x bandwidth win W4 exists for.  This kernel streams
+# the PACKED bytes into VMEM and unpacks there.  Layout choices are driven
+# by the known Mosaic v5e hazards (no interleaving shape casts, no strided
+# in-kernel loads): the caller pre-splits x into even/odd columns (so the
+# nibble halves contract against contiguous activations), and group scales
+# apply per-group via a static Python loop of small dots — no in-kernel
+# repeat/reshape of the scale vector.
+#
+#     out[m, n] = sum_G s[n, G] * ( x_even_G @ hi_G^T + x_odd_G @ lo_G^T )
+#
+# OPT-IN (QuantConfig.w4_kernel='pallas'): written and interpret-validated
+# during the 2026-08-18 TPU outage; on-chip lowering and perf are
+# unverified, so 'auto' dispatches XLA until it is measured.
+
+
+def _w4_kernel(xe_ref, xo_ref, pk_ref, sc_ref, b_ref, out_ref, *,
+               n_groups: int, half_g: int):
+    hi = (pk_ref[:] >> 4).astype(jnp.int32) - 8          # [tn, K/2]
+    lo = (pk_ref[:] & jnp.uint8(0x0F)).astype(jnp.int32) - 8
+    acc = None
+    for g in range(n_groups):                            # static unroll
+        c0 = g * half_g
+        part = (
+            lax.dot_general(xe_ref[:, c0:c0 + half_g],
+                            hi[:, c0:c0 + half_g].astype(jnp.float32),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+            + lax.dot_general(xo_ref[:, c0:c0 + half_g],
+                              lo[:, c0:c0 + half_g].astype(jnp.float32),
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        )                                                # [M, tn]
+        part = part * sc_ref[:, g].reshape(1, -1)
+        acc = part if acc is None else acc + part
+    out_ref[:] = acc + b_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def _w4_pallas_impl(xe, xo, packed, scales, bias, *, group: int,
+                    interpret: bool = False):
+    m, kh = xe.shape
+    n = packed.shape[0]
+    half_g = group // 2
+    n_groups = scales.shape[1]
+    tn = n if n <= 512 else next(
+        (c for c in (512, 256) if n % c == 0), 256)
+    kernel = functools.partial(_w4_kernel, n_groups=n_groups,
+                               half_g=half_g)
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, tn),),
+        in_specs=[
+            pl.BlockSpec((m, kh), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, kh), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, kh), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, n_groups), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, tn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * kh * 2,
+            bytes_accessed=n * kh + m * kh * 8 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, packed, scales, bias.reshape(1, -1))
+
+
+def w4_matmul_pallas(x, packed, scales, bias, k: int, group: int = 128,
+                     interpret: bool = False):
+    """Same contract as :func:`w4_matmul_xla`, packed bytes never leave
+    u8 until VMEM.  Requires K % group == 0 and group even."""
+    if k % group or group % 2:
+        raise ValueError(f"w4_matmul_pallas needs K % group == 0 and an "
+                         f"even group, got K={k} group={group}")
+    xe, xo = x[:, 0::2], x[:, 1::2]
+    return _w4_pallas_impl(xe, xo, packed, scales, bias, group=group,
+                           interpret=interpret)
+
+
+def w4_matmul(x, packed, scales, bias, k: int, group: int = 128,
+              backend: str = "auto"):
+    """Dispatch.  'auto' -> XLA: the kernel is interpret-validated but its
+    on-chip lowering/perf are unmeasured (written during a TPU outage);
+    flip to 'pallas' per-call or via QuantConfig.w4_kernel once measured.
+    'pallas' falls back to XLA for shapes the kernel doesn't take
+    (K % group != 0)."""
+    if backend == "pallas" and k % group == 0 and group % 2 == 0:
+        return w4_matmul_pallas(x, packed, scales, bias, k, group)
+    return w4_matmul_xla(x, packed, scales, bias, k, group)

@@ -82,3 +82,39 @@ def test_mse_group_scales_cut_error():
         back = np.asarray(dequant_w4(packed, scales, 512, group=128))
         errs[opt] = float(np.mean((back - w) ** 2))
     assert errs[True] < errs[False] * 0.92, errs
+
+
+def test_pallas_w4_matmul_matches_xla():
+    """The VMEM-unpacking kernel (interpret mode) == the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from int8inferenceengine_tpu.ops.w4 import (w4_matmul_pallas,
+                                                w4_matmul_xla)
+    rng = np.random.default_rng(6)
+    m, k, n, g = 8, 256, 96, 64
+    w = rng.normal(0, 0.1, (n, k)).astype(np.float32)
+    x = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, n).astype(np.float32))
+    packed, scales = pack_w4(w, group=g)
+    want = np.asarray(w4_matmul_xla(x, packed, scales, bias, k, g))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(w4_matmul_pallas(x, packed, scales, bias, k, g))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_w4_pallas_backend_via_config():
+    """QuantConfig(w4_kernel='pallas') serves the decoder identically to
+    the XLA backend (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+    tw = models.torch_twin("gpt_tiny")
+    outs = {}
+    ids = np.random.default_rng(7).integers(0, 1000, (2, 16)).astype(
+        np.int32)
+    for be in ("xla", "pallas"):
+        m = models.build("gpt_tiny", config=QuantConfig(
+            weight_only=True, weight_bits=4, w4_kernel=be))
+        m.load(tw.state_dict())
+        m.convert()
+        with pltpu.force_tpu_interpret_mode():
+            outs[be] = m(q.tensor(ids)).numpy()
+    np.testing.assert_allclose(outs["xla"], outs["pallas"],
+                               rtol=2e-4, atol=2e-4)
