@@ -200,17 +200,30 @@ class InferenceEngine:
         """Scheduler: coalesce -> pad -> dispatch.  Materialization happens
         in the collector thread, so the next batch is being assembled and
         dispatched while the device executes the current one."""
-        while True:
-            reqs = self._take_batch()
-            if reqs is None:
-                return
-            if not reqs:
-                continue
-            try:
-                self._dispatch(reqs)
-            except Exception as e:  # propagate to all waiters
-                for r in reqs:
-                    self._resolve(r, exc=e)
+        try:
+            while True:
+                reqs = self._take_batch()
+                if reqs is None:
+                    return
+                if not reqs:
+                    continue
+                try:
+                    self._dispatch(reqs)
+                except Exception as e:  # propagate to all waiters
+                    for r in reqs:
+                        self._resolve(r, exc=e)
+        finally:
+            # a submit() racing shutdown() can enqueue after the sentinel;
+            # fail anything left so no future hangs forever
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None:
+                    self._resolve(req, exc=RuntimeError(
+                        "engine shut down before this request was "
+                        "scheduled"))
 
     def _dispatch(self, reqs: list[_Request]) -> None:
         reqs = [r for r in reqs if not r.future.cancelled()]
