@@ -117,6 +117,14 @@ class QuantConfig:
     # dequant->fn->requant HBM pass over the GEMM output.
     fuse_linear_act: bool = True
 
+    # Merged QKV projection (ops/gemm_int8.qgemm_multi): run the three
+    # attention projections sharing one input as ONE GEMM over
+    # [K, Nq+Nk+Nv] with a per-column zero-point epilogue.  Bit-identical
+    # to the separate calls; cuts kernel-launch count 3x (the fixed
+    # pallas_call cost dominates small-M decode steps).  OPT-IN until
+    # measured on chip: 'off' (default), 'auto', 'pallas', 'xla'.
+    fuse_qkv: str = "off"
+
     # Fused INT8 attention (ops/attention.py): run the converted
     # QK^T -> softmax -> P@V chain through one op with intermediate
     # quantization replayed bit-compatibly.

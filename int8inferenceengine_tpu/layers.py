@@ -983,6 +983,43 @@ def weight_quant_spec(layer):
     return w, jnp.float32(sc), 127.0, None
 
 
+def fused_qkv(wq: "Linear", wk: "Linear", wv: "Linear",
+              x: Tensor) -> tuple:
+    """One GEMM for the three attention projections sharing input ``x``
+    (ops/gemm_int8.qgemm_multi): bit-identical to calling each Linear,
+    one kernel launch instead of three.  Models gate on
+    ``QuantConfig.fuse_qkv``; falls back composed when not applicable
+    (unconverted, float input, TP-sharded, fuse_relu)."""
+    heads = (wq, wk, wv)
+    fusable = (x.quantized
+               and all(l.is_quantized and not l.quant_fallback
+                       and not l.fuse_relu and not l._tp_sharded
+                       for l in heads)
+               and not x._tp_sharded
+               and not wq.config.weight_only)
+    if not fusable:
+        return wq(x), wk(x), wv(x)
+    from .ops.gemm_int8 import qgemm_multi
+    parts = []
+    for l in heads:
+        oc = compute_offset(l._p("q_bias"), l._p("rowsum"),
+                            scale_a=x.scale, zp_a=x.zero_point,
+                            recentered=True)
+        parts.append(dict(w_s8_kn=l._p("qw_kn"), oc=oc,
+                          scale_w=l._scale_w(), scale_c=l.scale,
+                          zp_c=l.zero_point))
+    mode = wq.config.fuse_qkv
+    outs = qgemm_multi(x.data, parts, scale_a=x.scale, zp_a=x.zero_point,
+                       rounding=wq.config.rounding,
+                       backend="auto" if mode in ("auto", "off") else mode)
+    for l, o in zip(heads, outs):
+        _record_cost(l, 2 * o.shape[0] * l.in_channels * l.out_channels,
+                     x.data.size + o.size
+                     + l.in_channels * l.out_channels)
+    return tuple(Tensor(o, l.scale, l.zero_point)
+                 for l, o in zip(heads, outs))
+
+
 def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:
     """Run a converted ``Linear`` -> ``QuantAct`` pair as one GEMM with the
     activation folded into the requant epilogue (ops/gemm_int8.KERNEL_ACTS).

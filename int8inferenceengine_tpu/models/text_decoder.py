@@ -37,7 +37,7 @@ from jax import lax
 from ..config import DEFAULT_CONFIG, QuantConfig
 from ..layers import (Linear, QuantAct, QuantAdd, QuantEmbed, QuantLayerNorm,
                       QuantMatmul, QuantPosEmbed, QuantSoftmax,
-                      fused_linear_act)
+                      fused_linear_act, fused_qkv)
 from ..module import Module
 from ..ops import functional as F
 from ..tensor import Tensor
@@ -98,12 +98,10 @@ class TextDecoder(Module):
         """
         c = self.dim
         h = getattr(self, f"ln1_{i}")(x)
-        qh = F.split_heads(getattr(self, f"wq{i}")(h).reshape(b, t, c),
-                           self.heads)
-        kh = F.split_heads(getattr(self, f"wk{i}")(h).reshape(b, t, c),
-                           self.heads)
-        vh = F.split_heads(getattr(self, f"wv{i}")(h).reshape(b, t, c),
-                           self.heads)
+        q2, k2, v2 = self._qkv(i, h)
+        qh = F.split_heads(q2.reshape(b, t, c), self.heads)
+        kh = F.split_heads(k2.reshape(b, t, c), self.heads)
+        vh = F.split_heads(v2.reshape(b, t, c), self.heads)
         if capture is not None:
             capture[i] = (kh, vh)
         s = getattr(self, f"attn{i}")(qh, kh)
@@ -211,16 +209,22 @@ class TextDecoder(Module):
         x = self.ln_f(x)
         return self.head(x).data, new_cache      # u8 logit codes [B, V]
 
+    def _qkv(self, i, h):
+        if self.config.fuse_qkv != "off":
+            return fused_qkv(getattr(self, f"wq{i}"),
+                             getattr(self, f"wk{i}"),
+                             getattr(self, f"wv{i}"), h)
+        return (getattr(self, f"wq{i}")(h), getattr(self, f"wk{i}")(h),
+                getattr(self, f"wv{i}")(h))
+
     def _block_decode(self, i, x, b, valid, cap, kv_hook):
         c = self.dim
         h = getattr(self, f"ln1_{i}")(x)
-        qh = F.split_heads(getattr(self, f"wq{i}")(h).reshape(b, 1, c),
-                           self.heads)
+        q2, k2, v2 = self._qkv(i, h)
+        qh = F.split_heads(q2.reshape(b, 1, c), self.heads)
         cap[i] = (
-            F.split_heads(getattr(self, f"wk{i}")(h).reshape(b, 1, c),
-                          self.heads),
-            F.split_heads(getattr(self, f"wv{i}")(h).reshape(b, 1, c),
-                          self.heads),
+            F.split_heads(k2.reshape(b, 1, c), self.heads),
+            F.split_heads(v2.reshape(b, 1, c), self.heads),
         )
         kh, vh = kv_hook()
         s = getattr(self, f"attn{i}")(qh, kh)         # [B, H, 1, T_max]

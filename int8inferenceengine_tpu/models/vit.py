@@ -21,7 +21,7 @@ from __future__ import annotations
 from ..config import DEFAULT_CONFIG, QuantConfig
 from ..layers import (Conv2d, Linear, QuantAct, QuantAdd, QuantLayerNorm,
                       QuantMatmul, QuantPosEmbed, QuantSoftmax,
-                      fused_attention, fused_linear_act)
+                      fused_attention, fused_linear_act, fused_qkv)
 from ..module import Module
 from ..ops import functional as F
 
@@ -86,12 +86,17 @@ class ViT(Module):
         x = x.reshape(b * t, c)
         for i in range(1, self.depth + 1):
             h = getattr(self, f"ln1_{i}")(x)
-            qh = F.split_heads(getattr(self, f"wq{i}")(h).reshape(b, t, c),
-                               self.heads)
-            kh = F.split_heads(getattr(self, f"wk{i}")(h).reshape(b, t, c),
-                               self.heads)
-            vh = F.split_heads(getattr(self, f"wv{i}")(h).reshape(b, t, c),
-                               self.heads)
+            if self.config.fuse_qkv != "off":
+                q2, k2, v2 = fused_qkv(getattr(self, f"wq{i}"),
+                                       getattr(self, f"wk{i}"),
+                                       getattr(self, f"wv{i}"), h)
+            else:
+                q2 = getattr(self, f"wq{i}")(h)
+                k2 = getattr(self, f"wk{i}")(h)
+                v2 = getattr(self, f"wv{i}")(h)
+            qh = F.split_heads(q2.reshape(b, t, c), self.heads)
+            kh = F.split_heads(k2.reshape(b, t, c), self.heads)
+            vh = F.split_heads(v2.reshape(b, t, c), self.heads)
             attn = getattr(self, f"attn{i}")
             if attn.is_quantized and qh.quantized \
                     and self.config.fused_attention != "off":

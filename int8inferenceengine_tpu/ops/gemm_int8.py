@@ -329,3 +329,134 @@ def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
     if backend == "pallas":
         return qgemm_pallas(a_u8, w_s8_kn, oc, **kw)
     return qgemm_xla(a_u8, w_s8_kn, oc, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head GEMM: several weight heads sharing one input, one kernel call
+# ---------------------------------------------------------------------------
+#
+# Attention computes wq/wk/wv (and a transformer block ~6 GEMMs) on the
+# SAME activations; at decode batch sizes each pallas_call's fixed cost
+# dominates, so fusing the three into one [K, Nq+Nk+Nv] GEMM cuts launch
+# count 3x.  Each head keeps its own calibrated (scale, zp): the requant
+# multiplier was always a per-column vector, and the vector-zero-point
+# kernel below makes zp per-column data too.  OPT-IN until measured on
+# chip (QuantConfig.fuse_qkv; written during the 2026-08-18 TPU outage) —
+# outputs are bit-identical to the separate calls by construction.
+
+
+def _qgemm_kernel_vzp(a_ref, w_ref, oc_ref, mult_ref, zp_ref, out_ref,
+                      acc_ref, *, n_k: int, round_bias: float = 0.0):
+    """_qgemm_kernel with the zero point as a [1, TN] f32 row (heads with
+    different calibrated zps share one tile); no relu/act epilogue."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a = pltpu.bitcast(a_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+    acc_ref[:] += lax.dot_general(
+        a, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        c = acc_ref[:] + oc_ref[:]
+        q = c.astype(jnp.float32) * mult_ref[:] + zp_ref[:]
+        q = jnp.clip(q, 0.0, 255.0)
+        if round_bias:
+            q = q + jnp.float32(round_bias)
+        qi = q.astype(jnp.int32)
+        out_ref[:] = pltpu.bitcast((qi - 128).astype(jnp.int8),
+                                   jnp.uint8) ^ jnp.uint8(0x80)
+
+
+@functools.partial(jax.jit, static_argnames=("round_bias",))
+def _qgemm_pallas_vzp(a_u8, w_s8_kn, oc, mult, zp, *, round_bias=0.0):
+    m, k = a_u8.shape
+    k2, n = w_s8_kn.shape
+    assert k == k2
+    tm = min(512, _round_up(m, 128))
+    tn = (_round_up(n, 128) if n <= 512
+          else next((c for c in (512, 256) if n % c == 0), 256))
+    tk = (_pick_tile(k, (2048, 1024, 512, 256, 128)) if k % 128 == 0
+          else k)
+    n_k = pl.cdiv(k, tk)
+    kernel = functools.partial(_qgemm_kernel_vzp, n_k=n_k,
+                               round_bias=round_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(m, tm), pl.cdiv(n, tn), n_k),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + k * n + m * n,
+            transcendentals=0,
+        ),
+    )(a_u8, w_s8_kn, oc.reshape(1, -1), mult.reshape(1, -1),
+      zp.reshape(1, -1))
+
+
+def qgemm_multi(a_u8, parts, *, scale_a, zp_a, rounding: str = "trunc",
+                backend: str = "auto"):
+    """One GEMM over several heads sharing input ``a_u8``.
+
+    ``parts``: list of dicts with keys ``w_s8_kn`` ([K, N_i] s8), ``oc``
+    ([N_i] s32, recentered), ``scale_w`` (float or [N_i]), ``scale_c``,
+    ``zp_c``.  Returns one u8 array per part, bit-identical to calling
+    :func:`qgemm` per part (same per-column epilogue math)."""
+    if a_u8.dtype != jnp.uint8:
+        raise TypeError("qgemm_multi activations must be uint8 codes")
+    w = jnp.concatenate([p["w_s8_kn"] for p in parts], axis=1)
+    oc = jnp.concatenate([p["oc"] for p in parts])
+    mult = jnp.concatenate([
+        _mult_vector(scale_a, p["scale_w"], p["scale_c"],
+                     p["w_s8_kn"].shape[1]) for p in parts])
+    zp = jnp.concatenate([
+        jnp.full((p["w_s8_kn"].shape[1],), jnp.float32(p["zp_c"]))
+        for p in parts])
+    rb = 0.5 if rounding == "nearest" else 0.0
+    k, n = w.shape
+    if backend == "auto":
+        fits = k % 128 == 0 or k <= 4096
+        backend = ("pallas" if jax.default_backend() == "tpu" and fits
+                   else "xla")
+    if backend == "pallas":
+        out = _qgemm_pallas_vzp(a_u8, w, oc, mult, zp, round_bias=rb)
+    else:
+        a = (a_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+        acc = lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        q = (acc + oc.reshape(1, -1)).astype(jnp.float32) \
+            * mult.reshape(1, -1) + zp.reshape(1, -1)
+        q = jnp.clip(q, 0.0, 255.0)
+        if rounding == "nearest":
+            q = q + jnp.float32(0.5)
+        out = q.astype(jnp.int32).astype(jnp.uint8)
+    outs, c0 = [], 0
+    for p in parts:
+        n_i = p["w_s8_kn"].shape[1]
+        outs.append(out[:, c0:c0 + n_i])
+        c0 += n_i
+    return outs
