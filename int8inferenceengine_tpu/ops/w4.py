@@ -102,15 +102,23 @@ def w4_matmul_xla(x, packed, scales, bias, k: int, group: int = 128):
 #
 #     out[m, n] = sum_G s[n, G] * ( x_even_G @ hi_G^T + x_odd_G @ lo_G^T )
 #
-# OPT-IN (QuantConfig.w4_kernel='pallas'): written and interpret-validated
-# during the 2026-08-18 TPU outage; on-chip lowering and perf are
-# unverified, so 'auto' dispatches XLA until it is measured.
+# OPT-IN (QuantConfig.w4_kernel='pallas'): Mosaic-verified on a v5e
+# (2026-08-19) — lowers and runs after widening the nibble extraction to
+# i32 (u8 vector shifts fail to legalize).  On chip it is NOT bit-identical
+# to the XLA path (both are f32 dots through bf16 MXU passes with different
+# accumulation orders; measured op-level divergence 9e-3 against a 1e-2
+# f64-oracle error for either), and slightly MORE accurate than XLA.
+# 'auto' still dispatches XLA pending a decode-shape perf win.
 
 
 def _w4_kernel(xe_ref, xo_ref, pk_ref, sc_ref, b_ref, out_ref, *,
                n_groups: int, half_g: int):
-    hi = (pk_ref[:] >> 4).astype(jnp.int32) - 8          # [tn, K/2]
-    lo = (pk_ref[:] & jnp.uint8(0x0F)).astype(jnp.int32) - 8
+    # Nibble extraction happens in i32: Mosaic v5e cannot lower u8 vector
+    # shifts (arith.shrui on vector<i8> fails to legalize) — widen first,
+    # then shift/mask in the 32-bit domain.
+    pk = pk_ref[:].astype(jnp.int32)                     # [tn, K/2]
+    hi = (pk >> 4) - 8
+    lo = (pk & 0x0F) - 8
     acc = None
     for g in range(n_groups):                            # static unroll
         c0 = g * half_g
@@ -184,11 +192,11 @@ def w4_matmul_pallas(x, packed, scales, bias, k: int, group: int = 128,
 
 def w4_matmul(x, packed, scales, bias, k: int, group: int = 128,
               backend: str = "auto"):
-    """Dispatch.  'auto' -> XLA: the kernel is interpret-validated but its
-    on-chip lowering/perf are unmeasured (written during a TPU outage);
-    flip to 'pallas' per-call or via QuantConfig.w4_kernel once measured.
-    'pallas' falls back to XLA for shapes the kernel doesn't take
-    (K % group != 0)."""
+    """Dispatch.  'auto' -> XLA; the Pallas kernel is on-chip-verified
+    (v5e, 2026-08-19: lowers, runs, numerically equivalent at MXU f32
+    precision) but 'auto' keeps XLA until the kernel shows a decode-shape
+    perf win.  Flip per-call or via QuantConfig.w4_kernel.  'pallas' falls
+    back to XLA for shapes the kernel doesn't take (K % group != 0)."""
     if backend == "pallas" and k % group == 0 and group % 2 == 0:
         return w4_matmul_pallas(x, packed, scales, bias, k, group)
     return w4_matmul_xla(x, packed, scales, bias, k, group)
