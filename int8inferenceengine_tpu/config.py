@@ -135,6 +135,16 @@ class QuantConfig:
     #   'off'    -> per-layer composed path (QuantMatmul/QuantSoftmax)
     fused_attention: str = "auto"
 
+    # Cached-decode attention (ops/attention.decode_attention): the M=1
+    # query against the full static KV cache inside generate()'s scan.
+    #   'auto'   -> Pallas kernel on TPU (the composed path's in-scan XLA
+    #               lowering widens the whole cache to i32 in a kLoop
+    #               fusion laid out for the cache WRITE — measured 240us
+    #               per layer per step vs the kernel's MXU dots), XLA
+    #               composed elsewhere
+    #   'pallas' / 'xla' -> force; 'off' -> per-layer composed path
+    decode_attention: str = "auto"
+
     # Computation dtype for the FP32 (pre-convert) path. float32 matches the
     # reference oracle; bfloat16 doubles MXU throughput at slight accuracy
     # cost.

@@ -1086,6 +1086,40 @@ def fused_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
     return Tensor(out, av.scale, av.zero_point)
 
 
+def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
+                           av: "QuantMatmul", qh: Tensor, kh: Tensor,
+                           vh: Tensor, valid) -> Tensor:
+    """Cached-decode twin of :func:`fused_attention`: one query row
+    against the full KV cache with ``valid`` live positions.
+
+    Drop-in for ``av(smax(attn(qh, kh), valid_len=valid), vh)`` after
+    convert(); models gate on ``QuantConfig.decode_attention``.
+    """
+    if not (attn.is_quantized and smax.is_quantized and av.is_quantized):
+        raise RuntimeError("fused_decode_attention requires converted "
+                           "layers")
+    if not attn.transpose_b or av.transpose_b or av.alpha != 1.0:
+        raise ValueError("fused_decode_attention expects attn=QK^T "
+                         "(transpose_b) and a plain P@V")
+    from .ops import attention as attn_ops
+    backend = attn.config.decode_attention
+    out = attn_ops.decode_attention(
+        qh.data, kh.data, vh.data, valid,
+        backend="auto" if backend in ("auto", "off") else backend,
+        scale_q=qh.scale, zp_q=qh.zero_point,
+        scale_k=kh.scale, zp_k=kh.zero_point,
+        scale_v=vh.scale, zp_v=vh.zero_point,
+        scale_s=attn.scale, zp_s=attn.zero_point,
+        scale_p=smax.scale, zp_p=smax.zero_point,
+        scale_c=av.scale, zp_c=av.zero_point,
+        alpha=attn.alpha, rounding=attn.config.rounding)
+    t = kh.data.shape[-2]
+    _record_cost(attn, 2 * qh.data.size * t,
+                 qh.data.size + kh.data.size)
+    _record_cost(av, 2 * out.size * t, vh.data.size + out.size)
+    return Tensor(out, av.scale, av.zero_point)
+
+
 class QuantLayerNorm(Layer):
     """LayerNorm over the last axis with calibrated u8 output.
 

@@ -37,7 +37,8 @@ from jax import lax
 from ..config import DEFAULT_CONFIG, QuantConfig
 from ..layers import (Linear, QuantAct, QuantAdd, QuantEmbed, QuantLayerNorm,
                       QuantMatmul, QuantPosEmbed, QuantSoftmax,
-                      fused_linear_act, fused_qkv)
+                      fused_decode_attention, fused_linear_act,
+                      fused_qkv)
 from ..module import Module
 from ..ops import functional as F
 from ..tensor import Tensor
@@ -227,9 +228,18 @@ class TextDecoder(Module):
             F.split_heads(v2.reshape(b, 1, c), self.heads),
         )
         kh, vh = kv_hook()
-        s = getattr(self, f"attn{i}")(qh, kh)         # [B, H, 1, T_max]
-        p = getattr(self, f"smax{i}")(s, valid_len=valid)
-        o = getattr(self, f"av{i}")(p, vh)            # [B, H, 1, D]
+        attn, smax, av = (getattr(self, f"attn{i}"),
+                          getattr(self, f"smax{i}"),
+                          getattr(self, f"av{i}"))
+        if (self.config.decode_attention != "off" and attn.is_quantized
+                and kh.quantized):
+            # one fused op per layer: the composed triple's in-scan XLA
+            # lowering is the measured decode bottleneck (ops/attention.py)
+            o = fused_decode_attention(attn, smax, av, qh, kh, vh, valid)
+        else:
+            s = attn(qh, kh)                          # [B, H, 1, T_max]
+            p = smax(s, valid_len=valid)
+            o = av(p, vh)                             # [B, H, 1, D]
         o = F.merge_heads(o).reshape(b, c)
         o = getattr(self, f"proj{i}")(o)
         x = getattr(self, f"add1_{i}")(x, o)

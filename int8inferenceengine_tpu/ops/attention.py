@@ -232,3 +232,206 @@ def attention(q_u8, k_u8, v_u8, *, backend: str = "auto", **kw):
     if backend == "pallas":
         return attention_pallas(q_u8, k_u8, v_u8, **kw)
     return attention_xla(q_u8, k_u8, v_u8, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Cached-decode attention (M = 1 over a static KV cache)
+# ---------------------------------------------------------------------------
+#
+# The decode step's attention is q [B, H, 1, D] against the full cache
+# k/v [B, H, T_max, D] with only the first ``valid`` positions live.  Run
+# through the composed layers (QuantMatmul -> QuantSoftmax(valid_len) ->
+# QuantMatmul) inside the generate() scan, XLA lowers the M=1 batched s8
+# dot as a kLoop multiply+reduce fusion over the i32-widened cache, with
+# the cache laid out for the dynamic-update-slice WRITE (T majormost)
+# rather than the read — measured 240us per layer per step on a v5e
+# (est. 105k cycles in the HLO backend_config) against a ~4us HBM bound;
+# 12 layers of that were 70% of the gpt2-small decode step.  The same op
+# compiled standalone runs in 7us — it is the in-loop layout choice, not
+# the math, that kills it.
+#
+# The Pallas kernel takes the layout back: grid over B, each step holding
+# one batch row's [H, T, D] cache slices in VMEM (canonical (T, D)
+# tiling), with a static loop over heads doing s8 MXU dots.  ALL integer
+# arithmetic is i32 (dots exact on the MXU, corrections as i32 scalar
+# multiplies), so the accumulators are bit-identical to qmatmul_act's;
+# the f32 segments (requant epilogues, softmax) replay the composed op
+# order exactly (same mult construction, division by s_p, trunc-vs-
+# nearest ordering).  Masked positions quantize to exactly zp_p and
+# contribute exactly zero through the P@V zero-point correction — the
+# u8-KV-cache invariant the composed path documents.
+#
+# ``valid`` is an SMEM i32 vector [B]: generate() broadcasts its scalar
+# position, the serving engine passes per-slot positions.
+
+# iparams layout (i32 SMEM vector): the integer zero-point offsets
+_I_CQ, _I_CK, _I_CP, _I_CV = range(4)
+
+
+def _decode_attn_kernel(valid_ref, fp_ref, ip_ref, q_ref, k_ref, v_ref,
+                        o_ref, *, n_heads: int, t: int, d: int):
+    f32, i32, s8 = jnp.float32, jnp.int32, jnp.int8
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    rb = fp_ref[_RB]
+    c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
+    c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
+
+    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)       # [H, D]
+    ones_1d = jnp.ones((1, d), f32)
+    ones_1t = jnp.ones((1, t), f32)
+    colio = lax.broadcasted_iota(i32, (1, t), 1)
+
+    # Mosaic's in-kernel dot can't accumulate M=1 products in i32
+    # (NotImplementedError: preferred_element_type=int32), so the dots run
+    # in f32 and cast back — EXACT here: s8-valued operands are integers
+    # <= 128 (exactly representable even after a bf16 MXU pass-split) and
+    # every accumulator stays below 2^24 (|prod| <= 2^14, <= 512 terms),
+    # so the i32 cast recovers the composed path's integer accumulator
+    # bit-for-bit.
+    def dot_t(x, y):                                 # x [M,K] . y [N,K]^T
+        return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32).astype(i32)
+
+    def dot_n(x, y):                                 # x [M,K] . y [K,N]
+        return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32).astype(i32)
+
+    af = a8.astype(f32)                              # [H, D] exact ints
+    ones_td = jnp.ones((t, d), f32)
+    rows = []
+    for hh in range(n_heads):                        # static unroll
+        a_row = af[hh:hh + 1, :]                     # [1, D]
+        kf = pltpu.bitcast(k_ref[0, hh] ^ jnp.uint8(0x80), s8) \
+            .astype(f32)                             # [T, D]
+        # exact i32 accumulator == qmatmul_act's (recenter + corrections)
+        acc = (dot_t(a_row, kf)
+               + c_k * dot_t(a_row, ones_1d)         # (128-zp_k)*rowsum_q'
+               + c_q * dot_t(ones_1d, kf)            # (128-zp_q)*colsum_k'
+               + i32(d) * c_q * c_k)                 # [1, T]
+        codes = jnp.clip(acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
+                         0.0, 255.0)
+        codes = jnp.floor(codes + rb)
+        x = (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
+        x = jnp.where(colio < valid, x, -jnp.inf)
+        m = jnp.max(x, axis=1, keepdims=True)
+        e = jnp.exp(x - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
+        pcodes = jnp.floor(pcodes + rb)
+        p8 = pcodes - 128.0                          # [1, T] exact ints
+        vf = pltpu.bitcast(v_ref[0, hh] ^ jnp.uint8(0x80), s8) \
+            .astype(f32)                             # [T, D]
+        acc2 = (dot_n(p8, vf)
+                + c_v * dot_n(p8, ones_td)           # rowsum_p' per col
+                + c_p * dot_n(ones_1t, vf)           # colsum_v'
+                + i32(t) * c_p * c_v)                # [1, D]
+        qo = jnp.clip(acc2.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
+                      0.0, 255.0)
+        qo = (qo + rb).astype(i32)
+        rows.append(pltpu.bitcast((qo - 128).astype(s8), jnp.uint8)
+                    ^ jnp.uint8(0x80))
+    o_ref[0] = jnp.concatenate(rows, axis=0)         # [H, D]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attn_pallas_impl(q3, k4, v4, valid, fparams, iparams, *,
+                             interpret: bool = False):
+    bsz, n_heads, t, d = k4.shape
+    kernel = functools.partial(_decode_attn_kernel, n_heads=n_heads,
+                               t=t, d=d)
+    kv_spec = pl.BlockSpec((1, n_heads, t, d), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, n_heads, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # valid [B]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # iparams
+            q_spec, kv_spec, kv_spec,
+        ],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_heads, d), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_heads * t * d * 2,
+            bytes_accessed=2 * bsz * n_heads * t * d,
+            transcendentals=bsz * n_heads * t,
+        ),
+        interpret=interpret,
+    )(valid, fparams, iparams, q3, k4, v4)
+
+
+def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,
+                         scale_k, zp_k, scale_v, zp_v, scale_s, zp_s,
+                         scale_p, zp_p, scale_c, zp_c, alpha: float,
+                         rounding: str = "trunc"):
+    """Composed decode attention (the oracle): literally QuantMatmul ->
+    QuantSoftmax(valid_len) -> QuantMatmul on [B, H, 1, T] scores.
+
+    ``valid`` broadcasts against the score columns: a scalar (generate's
+    single position) or [B, 1, 1, 1] (per-slot serving positions).
+    """
+    s = qmatmul_act(q_u8, k_u8, scale_a=scale_q, zp_a=zp_q,
+                    scale_b=scale_k, zp_b=zp_k, scale_c=scale_s, zp_c=zp_s,
+                    alpha=alpha, transpose_b=True, rounding=rounding)
+    f = quant_ops.dequantize_u8(s, scale_s, zp_s)
+    tq, tk = f.shape[-2], f.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    f = jnp.where(col < valid, f, -jnp.inf)
+    p = quant_ops.quantize_u8(jax.nn.softmax(f, axis=-1), scale_p, zp_p,
+                              rounding)
+    return qmatmul_act(p, v_u8, scale_a=scale_p, zp_a=zp_p,
+                       scale_b=scale_v, zp_b=zp_v, scale_c=scale_c,
+                       zp_c=zp_c, rounding=rounding)
+
+
+def decode_attention(q_u8, k_u8, v_u8, valid, *, backend: str = "auto",
+                     interpret: bool = False, **kw):
+    """Cached-decode attention dispatch.
+
+    q [B, H, 1, D] u8, k/v [B, H, T, D] u8 caches, ``valid`` the live
+    length (scalar, [B], or [B,1,1,1]) -> u8 [B, H, 1, D].
+
+    'auto' -> the Pallas kernel on TPU (the composed path's in-scan
+    lowering is the measured decode bottleneck, see the section comment);
+    elsewhere the composed XLA path.
+    """
+    bsz, n_heads, one, d = q_u8.shape
+    if one != 1:
+        raise ValueError(f"decode_attention expects one query row, got "
+                         f"{q_u8.shape}")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    v_arr = jnp.asarray(valid, jnp.int32)
+    if backend != "pallas":
+        return decode_attention_xla(
+            q_u8, k_u8, v_u8,
+            v_arr.reshape(bsz, 1, 1, 1) if v_arr.ndim else v_arr, **kw)
+    valid_b = (jnp.broadcast_to(v_arr.reshape(-1), (bsz,))
+               if v_arr.ndim <= 1 else v_arr.reshape(bsz))
+    rounding = kw.pop("rounding", "trunc")
+    alpha = kw.pop("alpha")
+    mult_s = (jnp.float32(kw["scale_q"]) * jnp.float32(kw["scale_k"])
+              * jnp.float32(alpha) / jnp.float32(kw["scale_s"]))
+    mult_o = (jnp.float32(kw["scale_p"]) * jnp.float32(kw["scale_v"])
+              / jnp.float32(kw["scale_c"]))
+    rb = 0.5 if rounding == "nearest" else 0.0
+    fparams = jnp.stack([
+        mult_s, jnp.float32(kw["zp_s"]), jnp.float32(kw["scale_s"]),
+        jnp.float32(kw["scale_p"]), jnp.float32(kw["zp_p"]), mult_o,
+        jnp.float32(kw["zp_c"]), jnp.float32(rb),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ])
+    iparams = jnp.asarray([128 - int(kw["zp_q"]), 128 - int(kw["zp_k"]),
+                           128 - int(kw["zp_p"]), 128 - int(kw["zp_v"])],
+                          jnp.int32)
+    out = _decode_attn_pallas_impl(q_u8.reshape(bsz, n_heads, d),
+                                   k_u8, v_u8, valid_b, fparams, iparams,
+                                   interpret=interpret)
+    return out.reshape(bsz, n_heads, 1, d)

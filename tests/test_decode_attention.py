@@ -1,0 +1,152 @@
+"""Cached-decode fused attention (ops/attention.decode_attention): the
+op must be bit-identical to the composed QuantMatmul -> QuantSoftmax
+(valid_len) -> QuantMatmul chain, for scalar and per-slot valid lengths,
+both roundings, XLA and (interpret-mode) Pallas backends — and the model
+decode path through it must keep generate() bit-identical to the
+composed path and to full-forward recompute."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from int8inferenceengine_tpu import models, tensor
+from int8inferenceengine_tpu.config import QuantConfig
+from int8inferenceengine_tpu.ops import attention as attn_ops
+from int8inferenceengine_tpu.ops import quant as quant_ops
+from int8inferenceengine_tpu.ops.qmatmul import qmatmul_act
+
+B, H, T, D = 2, 3, 64, 16
+PARAMS = dict(scale_q=0.021, zp_q=117, scale_k=0.034, zp_k=131,
+              scale_v=0.027, zp_v=125, scale_s=0.19, zp_s=140,
+              scale_p=0.0039, zp_p=0, scale_c=0.05, zp_c=128,
+              alpha=D ** -0.5)
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).integers(0, 256, shape),
+                       jnp.uint8)
+
+
+def _composed(q, k, v, valid, rounding):
+    """Literal layer math: qmatmul -> dequant/mask/softmax/requant ->
+    qmatmul (what TextDecoder._block_decode runs with the fusion off)."""
+    import jax
+    from jax import lax
+    p = PARAMS
+    s = qmatmul_act(q, k, scale_a=p["scale_q"], zp_a=p["zp_q"],
+                    scale_b=p["scale_k"], zp_b=p["zp_k"],
+                    scale_c=p["scale_s"], zp_c=p["zp_s"],
+                    alpha=p["alpha"], transpose_b=True, rounding=rounding)
+    f = quant_ops.dequantize_u8(s, p["scale_s"], p["zp_s"])
+    col = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    f = jnp.where(col < valid, f, -jnp.inf)
+    pr = quant_ops.quantize_u8(jax.nn.softmax(f, axis=-1),
+                               p["scale_p"], p["zp_p"], rounding)
+    return qmatmul_act(pr, v, scale_a=p["scale_p"], zp_a=p["zp_p"],
+                       scale_b=p["scale_v"], zp_b=p["zp_v"],
+                       scale_c=p["scale_c"], zp_c=p["zp_c"],
+                       rounding=rounding)
+
+
+@pytest.mark.parametrize("rounding", ["trunc", "nearest"])
+@pytest.mark.parametrize("valid", [1, 7, T])
+def test_xla_matches_composed_scalar_valid(rounding, valid):
+    q, k, v = _rand((B, H, 1, D), 0), _rand((B, H, T, D), 1), \
+        _rand((B, H, T, D), 2)
+    want = np.asarray(_composed(q, k, v, jnp.int32(valid), rounding))
+    got = np.asarray(attn_ops.decode_attention(
+        q, k, v, jnp.int32(valid), backend="xla", rounding=rounding,
+        **PARAMS))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("rounding", ["trunc", "nearest"])
+def test_pallas_interpret_matches_xla(rounding):
+    q, k, v = _rand((B, H, 1, D), 3), _rand((B, H, T, D), 4), \
+        _rand((B, H, T, D), 5)
+    valid = jnp.asarray([3, T], jnp.int32)          # per-slot positions
+    want = np.asarray(attn_ops.decode_attention(
+        q, k, v, valid.reshape(B, 1, 1, 1), backend="xla",
+        rounding=rounding, **PARAMS))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(attn_ops.decode_attention(
+            q, k, v, valid, backend="pallas", rounding=rounding, **PARAMS))
+    assert np.array_equal(got, want)
+
+
+def test_per_slot_valid_matches_rowwise_scalar():
+    q, k, v = _rand((B, H, 1, D), 6), _rand((B, H, T, D), 7), \
+        _rand((B, H, T, D), 8)
+    valid = jnp.asarray([5, 11], jnp.int32)
+    got = np.asarray(attn_ops.decode_attention(
+        q, k, v, valid.reshape(B, 1, 1, 1), backend="xla", **PARAMS))
+    for row in range(B):
+        want = np.asarray(attn_ops.decode_attention(
+            q[row:row + 1], k[row:row + 1], v[row:row + 1],
+            jnp.int32(int(valid[row])), backend="xla", **PARAMS))
+        assert np.array_equal(got[row:row + 1], want)
+
+
+def test_rejects_multi_row_query():
+    q, k, v = _rand((B, H, 2, D), 9), _rand((B, H, T, D), 10), \
+        _rand((B, H, T, D), 11)
+    with pytest.raises(ValueError):
+        attn_ops.decode_attention(q, k, v, jnp.int32(4), backend="xla",
+                                  **PARAMS)
+
+
+def _tiny(cfg):
+    import torch
+    torch.manual_seed(0)
+    tw = models.torch_twin("gpt_tiny")
+    m = models.build("gpt_tiny", config=cfg)
+    m.load(tw.state_dict())
+    return m
+
+
+def _calibrated(cfg, ids):
+    m = _tiny(cfg)
+    m.prepare()
+    m(tensor(ids))
+    m.convert()
+    return m
+
+
+def test_generate_bit_identical_fused_vs_composed():
+    ids = np.random.default_rng(0).integers(0, 1000, (3, 12)).astype(
+        np.int32)
+    toks_off = _calibrated(QuantConfig(decode_attention="off"),
+                           ids).generate(ids, 10)
+    toks_xla = _calibrated(QuantConfig(decode_attention="xla"),
+                           ids).generate(ids, 10)
+    assert np.array_equal(toks_off, toks_xla)
+    m = _calibrated(QuantConfig(decode_attention="pallas"), ids)
+    with pltpu.force_tpu_interpret_mode():
+        toks_pal = m.generate(ids, 10)
+    assert np.array_equal(toks_off, toks_pal)
+
+
+def test_generate_matches_full_forward_recompute():
+    """The decode-path invariant survives the fused op: cached decode ==
+    argmax over the full forward at each step."""
+    ids = np.random.default_rng(1).integers(0, 1000, (2, 8)).astype(
+        np.int32)
+    m = _calibrated(QuantConfig(decode_attention="xla"), ids)
+    toks = np.asarray(m.generate(ids, 6))
+    cur = ids
+    for s in range(6):
+        logits = m(tensor(cur)).numpy()
+        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+        assert np.array_equal(nxt, toks[:, s]), s
+        cur = np.concatenate([cur, nxt[:, None]], 1)
+
+
+def test_weight_only_decode_unaffected():
+    """Float-KV-cache modes bypass the fused op (u8-only) and still run."""
+    ids = np.random.default_rng(2).integers(0, 1000, (2, 8)).astype(
+        np.int32)
+    m = _tiny(QuantConfig(weight_only=True))
+    m.convert()
+    toks = m.generate(ids, 4)
+    assert toks.shape == (2, 4)
