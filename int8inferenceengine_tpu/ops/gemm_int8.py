@@ -316,7 +316,13 @@ def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
     that sweep).  XLA's unaligned-int8 dot emitter is catastrophic
     in-model (ViT-Tiny's 192-dim Linears: 0.443 ms each, ~1% of MXU
     peak, vs 0.033 ms for the copy-free kernel).  The single guard:
-    an unaligned K must fit one VMEM block (K <= 4096), else XLA."""
+    an unaligned K must fit one VMEM block (K <= 4096), else XLA.
+
+    One measured exception (2026-08-19, v5e): a tiny-M x huge-N GEMM —
+    the decode step's vocab head, [8, 768] x [768, 50257] — runs 240us
+    in the kernel (a ~200-step grid of mostly-padded M=128 blocks) vs
+    54.5us for XLA's emitter (87% of the 47us weight-read SoL), so
+    M <= 16 with N >= 16384 dispatches XLA."""
     if a_u8.dtype != jnp.uint8:
         raise TypeError(
             f"qgemm activations must be uint8 codes, got {a_u8.dtype} "
@@ -324,8 +330,9 @@ def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
     if backend == "auto":
         k, n = w_s8_kn.shape
         fits = k % 128 == 0 or k <= 4096
+        decode_head = a_u8.shape[0] <= 16 and n >= 16384
         backend = ("pallas" if jax.default_backend() == "tpu" and fits
-                   else "xla")
+                   and not decode_head else "xla")
     if backend == "pallas":
         return qgemm_pallas(a_u8, w_s8_kn, oc, **kw)
     return qgemm_xla(a_u8, w_s8_kn, oc, **kw)
