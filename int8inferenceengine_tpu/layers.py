@@ -1103,9 +1103,12 @@ def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
                          "(transpose_b) and a plain P@V")
     from .ops import attention as attn_ops
     backend = attn.config.decode_attention
+    # 'off' = the caller asked for the composed per-layer path: honor it
+    # (decode_attention 'xla' IS that composed triple) instead of
+    # silently coercing to 'auto' (advisor finding, round 1).
     out = attn_ops.decode_attention(
         qh.data, kh.data, vh.data, valid,
-        backend="auto" if backend in ("auto", "off") else backend,
+        backend="xla" if backend == "off" else backend,
         scale_q=qh.scale, zp_q=qh.zero_point,
         scale_k=kh.scale, zp_k=kh.zero_point,
         scale_v=vh.scale, zp_v=vh.zero_point,

@@ -286,7 +286,8 @@ def _decode_attn_kernel(valid_ref, fp_ref, ip_ref, q_ref, k_ref, v_ref,
     # (NotImplementedError: preferred_element_type=int32), so the dots run
     # in f32 and cast back — EXACT here: s8-valued operands are integers
     # <= 128 (exactly representable even after a bf16 MXU pass-split) and
-    # every accumulator stays below 2^24 (|prod| <= 2^14, <= 512 terms),
+    # every accumulator stays below 2^24 (|prod| <= 2^14, <= 1024 terms —
+    # the dispatch in decode_attention() enforces T <= 1024),
     # so the i32 cast recovers the composed path's integer accumulator
     # bit-for-bit.
     def dot_t(x, y):                                 # x [M,K] . y [N,K]^T
@@ -360,7 +361,8 @@ def _decode_attn_pallas_impl(q3, k4, v4, valid, fparams, iparams, *,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * n_heads * t * d * 2,
-            bytes_accessed=2 * bsz * n_heads * t * d,
+            # k + v caches each B*H*T*D bytes, plus the q row and output.
+            bytes_accessed=2 * bsz * n_heads * t * d + 2 * bsz * n_heads * d,
             transcendentals=bsz * n_heads * t,
         ),
         interpret=interpret,
@@ -400,14 +402,25 @@ def decode_attention(q_u8, k_u8, v_u8, valid, *, backend: str = "auto",
 
     'auto' -> the Pallas kernel on TPU (the composed path's in-scan
     lowering is the measured decode bottleneck, see the section comment);
-    elsewhere the composed XLA path.
+    elsewhere the composed XLA path.  The kernel's f32 dots match the
+    composed i32 accumulator bit-for-bit only while T <= 1024 (the 2^24
+    exact-integer bound, see the kernel comment), so 'auto' falls back
+    to XLA for longer caches; an explicit backend='pallas' with T > 1024
+    raises rather than silently break the cached==full-forward invariant.
     """
     bsz, n_heads, one, d = q_u8.shape
     if one != 1:
         raise ValueError(f"decode_attention expects one query row, got "
                          f"{q_u8.shape}")
+    t_cache = k_u8.shape[-2]
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and t_cache <= 1024 else "xla")
+    elif backend == "pallas" and t_cache > 1024:
+        raise ValueError(
+            f"decode_attention backend='pallas' requires cache length "
+            f"<= 1024 for bit-exactness (got T={t_cache}); use 'auto' "
+            f"or 'xla'")
     v_arr = jnp.asarray(valid, jnp.int32)
     if backend != "pallas":
         return decode_attention_xla(
