@@ -58,8 +58,11 @@ def measure_fwd(fwd, params, x0, batch, tag, k_short=K_SHORT, k_long=K_LONG):
     for k in (k_short, k_long):
         loop = make_loop(k)
         float(loop(params, x0))                      # compile + first run
+        float(loop(params, x0 * (1.0 + 1e-7)))       # warm-up pass (the
+        # first post-compile dispatch over the tunnel runs cold: driver
+        # runs measured 8% low until a second warm pass was added)
         best = float("inf")
-        for trial in range(2):
+        for trial in range(4):
             x = x0 * (1.0 + 1e-6 * (trial + 1))      # defeat arg-result caches
             t0 = time.perf_counter()
             float(loop(params, x))                   # scalar fetch forces exec
@@ -177,9 +180,13 @@ def main():
         log(f"INT8 u8-ingest (host s2d): {per*1e3:.2f} ms/batch "
             f"-> {BATCH/per:.0f} img/s")
 
-    # Autoregressive decode leg (gpt2-small-ish, u8 KV cache); opt in.
-    # Documented measurement (one v5e, b8): 3.88 ms/step = 2,064 tokens/s.
-    if os.environ.get("BENCH_DECODE"):
+    # Autoregressive decode leg (gpt2-small-ish, u8 KV cache) — ON by
+    # default (BENCH_DECODE=0 to skip).  History (one v5e, b8):
+    # 3.88 ms/step round 1 -> 1.158 (decode-attention kernel) -> 0.551
+    # (small-M qgemm dispatch + fuse_qkv + block-diagonal kernel).
+    decode_tok_s = None
+    decode_ms_step = None
+    if os.environ.get("BENCH_DECODE", "1") != "0":
         db = int(os.environ.get("BENCH_DECODE_BATCH", "8"))
         dec = models.build("gpt_tiny", vocab_size=50257, max_len=512,
                            dim=768, depth=12, heads=12)
@@ -194,13 +201,15 @@ def main():
         for steps in (16, 128):
             dec.generate(ids, steps)                    # compile
             best = float("inf")
-            for trial in range(2):
+            for trial in range(3):
                 p2 = (ids + trial + 1) % 50257
                 t1 = time.perf_counter()
                 dec.generate(p2, steps)
                 best = min(best, time.perf_counter() - t1)
             dtimes[steps] = best
         per_step = (dtimes[128] - dtimes[16]) / (128 - 16)
+        decode_ms_step = round(per_step * 1e3, 3)
+        decode_tok_s = round(db / per_step, 1)
         log(f"decode (gpt2-small-ish, b{db}): {per_step*1e3:.3f} ms/step "
             f"-> {db/per_step:.0f} tokens/s")
 
@@ -211,12 +220,16 @@ def main():
         f"{rl['achieved_ops']/1e12:.1f} TOP/s = {rl['percent_of_peak']:.1f}% "
         f"of int8 peak ({rl['percent_of_sol']:.0f}% of speed-of-light)")
 
-    print(json.dumps({
+    rec = {
         "metric": "alexnet_cifar10_224_int8_throughput_1chip",
         "value": round(int8_img_s, 1),
         "unit": "images/s",
         "vs_baseline": round(int8_img_s / BASELINE_IMG_S, 2),
-    }))
+    }
+    if decode_tok_s is not None:
+        rec["decode_tokens_per_s_b8"] = decode_tok_s
+        rec["decode_ms_per_step"] = decode_ms_step
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -120,19 +120,24 @@ class QuantConfig:
     # Merged QKV projection (ops/gemm_int8.qgemm_multi): run the three
     # attention projections sharing one input as ONE GEMM over
     # [K, Nq+Nk+Nv] with a per-column zero-point epilogue.  Bit-identical
-    # to the separate calls; cuts kernel-launch count 3x (the fixed
-    # pallas_call cost dominates small-M decode steps).  OPT-IN until
-    # measured on chip: 'off' (default), 'auto', 'pallas', 'xla'.
-    fuse_qkv: str = "off"
+    # to the separate calls (decode tokens verified identical on-chip).
+    # Measured A/B (2026-08-19, v5e, gpt2-small-ish b8 decode):
+    # off 0.828 ms/step, 'auto' (merged XLA at decode shapes) 0.791,
+    # merged Pallas 0.875 — so the default is 'auto'.
+    # 'off' / 'auto' / 'pallas' / 'xla'.
+    fuse_qkv: str = "auto"
 
     # Fused INT8 attention (ops/attention.py): run the converted
     # QK^T -> softmax -> P@V chain through one op with intermediate
     # quantization replayed bit-compatibly.
-    #   'auto'   -> measured best (composed XLA; see ops/attention.py)
-    #   'pallas' -> force the single-kernel Pallas path (scores stay
-    #               in VMEM; loses to XLA's fusions at measured shapes)
+    #   'auto'   -> measured best (composed XLA: beat the since-deleted
+    #               prefill Pallas kernel at every shape — ViT-Tiny
+    #               0.063 vs 0.153 ms/op, GPT-ish 0.074 vs 0.502;
+    #               model-level 8,306 vs 7,576 img/s)
     #   'xla'    -> force the composed path through the fused wrapper
     #   'off'    -> per-layer composed path (QuantMatmul/QuantSoftmax)
+    # ('pallas' raises: the losing kernel was removed in round 2.  The
+    # cached-DECODE kernel below is separate and wins.)
     fused_attention: str = "auto"
 
     # Cached-decode attention (ops/attention.decode_attention): the M=1

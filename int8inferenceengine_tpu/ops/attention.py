@@ -79,137 +79,11 @@ def attention_xla(q_u8, k_u8, v_u8, *, scale_q, zp_q, scale_k, zp_k,
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# fparams layout for the decode kernel (f32 SMEM vector)
 # ---------------------------------------------------------------------------
 
-# fparams layout (f32 SMEM vector)
 _MULT_S, _ZP_S, _S_S, _S_P, _ZP_P, _MULT_O, _ZP_C, _RB, \
     _C_Q, _C_K, _C_P, _C_V = range(12)
-
-
-def _attn_kernel(fp_ref, q_ref, k_ref, v_ref, o_ref, *, t_real: int,
-                 d_real: int):
-    """One (batch*head) slice: q/k/v [1, Tp, Dp] u8 -> out [1, Tp, Dp] u8."""
-    f32, s8 = jnp.float32, jnp.int8
-    a = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)        # [Tp, Dp]
-    b = pltpu.bitcast(k_ref[0] ^ jnp.uint8(0x80), s8)
-    tp, dp = a.shape
-    ones_d = jnp.ones((tp, dp), s8)
-
-    def dot_t(x, y):                                  # x [M,K] . y[N,K]^T
-        return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.int32)
-
-    c_q, c_k = fp_ref[_C_Q], fp_ref[_C_K]
-    acc = (dot_t(a, b).astype(f32)
-           + c_k * dot_t(a, ones_d).astype(f32)       # (128-zp_k) * rowsum_q'
-           + c_q * dot_t(ones_d, b).astype(f32)       # (128-zp_q) * colsum_k'
-           + f32(d_real) * c_q * c_k)
-    codes = jnp.clip(acc * fp_ref[_MULT_S] + fp_ref[_ZP_S], 0.0, 255.0)
-    codes = jnp.floor(codes + fp_ref[_RB])            # trunc (non-negative)
-
-    x = (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]        # dequant at smax input
-    if t_real != tp:             # padded path (unused since the kernel
-        col = lax.broadcasted_iota(jnp.int32, (tp, tp), 1)   # went pad-free;
-        x = jnp.where(col < t_real, x, -jnp.inf)             # kept for the
-    m = jnp.max(x, axis=1, keepdims=True)                    # generic API)
-    e = jnp.exp(x - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)
-
-    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
-    pcodes = jnp.floor(pcodes + fp_ref[_RB])
-    if t_real != tp:
-        pcodes = jnp.where(col < t_real, pcodes, f32(128.0))  # -> p' = 0
-    p8 = (pcodes.astype(jnp.int32) - 128).astype(s8)       # [Tp, Tp]
-
-    v8 = pltpu.bitcast(v_ref[0] ^ jnp.uint8(0x80), s8)     # [Tp, Dp]
-    ones_t = jnp.ones((tp, tp), s8)
-
-    def dot_n(x, y):                                  # x [M,K] . y [K,N]
-        return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
-
-    c_p, c_v = fp_ref[_C_P], fp_ref[_C_V]
-    acc2 = (dot_n(p8, v8).astype(f32)
-            + c_v * dot_n(p8, ones_d).astype(f32)     # (128-zp_v) * rowsum_p'
-            + c_p * dot_n(ones_t, v8).astype(f32)     # (128-zp_p) * colsum_v'
-            + f32(t_real) * c_p * c_v)
-    qo = jnp.clip(acc2 * fp_ref[_MULT_O] + fp_ref[_ZP_C], 0.0, 255.0)
-    qo = (qo + fp_ref[_RB]).astype(jnp.int32)
-    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
-        ^ jnp.uint8(0x80)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("t_real", "d_real", "interpret"))
-def _attn_pallas_impl(q3, k3, v3, fparams, *, t_real: int, d_real: int,
-                      interpret: bool = False):
-    g, tp, dp = q3.shape
-    kernel = functools.partial(_attn_kernel, t_real=t_real, d_real=d_real)
-    spec = pl.BlockSpec((1, tp, dp), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            spec, spec, spec,
-        ],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((g, tp, dp), jnp.uint8),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * g * tp * tp * dp * 2,
-            bytes_accessed=4 * g * tp * dp,
-            transcendentals=g * tp * tp,
-        ),
-        interpret=interpret,
-    )(fparams, q3, k3, v3)
-
-
-def attention_pallas(q_u8, k_u8, v_u8, *, scale_q, zp_q, scale_k, zp_k,
-                     scale_v, zp_v, scale_s, zp_s, scale_p, zp_p,
-                     scale_c, zp_c, alpha: float, rounding: str = "trunc",
-                     interpret: bool = False):
-    """Fused kernel entry: u8 [..., T, D] x3 -> u8 [..., T, D].
-
-    Scales/zero-points are runtime scalars (SMEM) so ONE compiled kernel
-    serves every attention layer of a given shape — TPU compiles through
-    the tunnel cost minutes each; 12 per-layer specializations would be
-    unusable.
-    """
-    *lead, t, d = q_u8.shape
-    g = 1
-    for n in lead:
-        g *= n
-    # Pad-free: Mosaic masks unaligned dims inside the kernel (dots,
-    # reductions and elementwise ops all handle T=197/D=64 natively), so
-    # each grid step reads exactly one real [t, d] slice.  An earlier
-    # version padded T/D up to 128 multiples with code 128 — 2.6x extra
-    # HBM traffic on every operand and 1.7x wasted VPU work; measured
-    # 0.153 ms/op padded vs the pad-free kernel on ViT shapes.
-    q3 = q_u8.reshape(g, t, d)
-    k3 = k_u8.reshape(g, t, d)
-    v3 = v_u8.reshape(g, t, d)
-    # Same f32 op order as the composed path (qmatmul_act / quantize_u8)
-    # so both backends share every rounding.
-    mult_s = (jnp.float32(scale_q) * jnp.float32(scale_k)
-              * jnp.float32(alpha) / jnp.float32(scale_s))
-    mult_o = (jnp.float32(scale_p) * jnp.float32(scale_v)
-              / jnp.float32(scale_c))
-    rb = 0.5 if rounding == "nearest" else 0.0
-    fparams = jnp.stack([
-        mult_s, jnp.float32(zp_s), jnp.float32(scale_s),
-        jnp.float32(scale_p), jnp.float32(zp_p), mult_o,
-        jnp.float32(zp_c), jnp.float32(rb),
-        jnp.float32(128 - int(zp_q)), jnp.float32(128 - int(zp_k)),
-        jnp.float32(128 - int(zp_p)), jnp.float32(128 - int(zp_v)),
-    ])
-    out = _attn_pallas_impl(q3, k3, v3, fparams, t_real=t, d_real=d,
-                            interpret=interpret)
-    return out.reshape(*lead, t, d)
 
 
 def attention(q_u8, k_u8, v_u8, *, backend: str = "auto", **kw):
@@ -223,14 +97,21 @@ def attention(q_u8, k_u8, v_u8, *, backend: str = "auto", **kw):
     slices at full occupancy, while the kernel's per-slice grid
     serializes that VPU work — the score tensors are u8, so the HBM
     round-trips the fusion leaves behind are small.  Same verdict as the
-    conv study (ops/conv_pallas.py): beating XLA's fusion machinery on
-    bandwidth-bound chains needs a Mosaic-emitter-level kernel, not a
-    Pallas grid.  The kernel stays selectable
-    (``QuantConfig.fused_attention='pallas'``) and bit-compatible."""
+    conv kernel study (see conv.py's dispatch note): beating XLA's
+    fusion machinery on bandwidth-bound chains needs a Mosaic-emitter-
+    level kernel, not a Pallas grid.  The losing prefill Pallas kernel
+    was deleted after that measurement (round 2; it lived in this file
+    through commit 4848cb5) — cached DECODE attention is the regime
+    where a kernel wins, and keeps one (``_decode_attn_kernel``)."""
     if backend == "auto":
         backend = "xla"
     if backend == "pallas":
-        return attention_pallas(q_u8, k_u8, v_u8, **kw)
+        raise ValueError(
+            "the prefill fused-attention Pallas kernel was removed: the "
+            "composed XLA path beat it at every measured shape (ViT-Tiny "
+            "0.063 vs 0.153 ms/op, GPT-ish 0.074 vs 0.502; see this "
+            "docstring). Use 'xla'/'off'; the decode-path kernel "
+            "(decode_attention) is unaffected")
     return attention_xla(q_u8, k_u8, v_u8, **kw)
 
 
@@ -277,19 +158,31 @@ def _decode_attn_kernel(valid_ref, fp_ref, ip_ref, q_ref, k_ref, v_ref,
     c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
     c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
 
-    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)       # [H, D]
-    ones_1d = jnp.ones((1, d), f32)
-    ones_1t = jnp.ones((1, t), f32)
-    colio = lax.broadcasted_iota(i32, (1, t), 1)
+    bf16 = jnp.bfloat16
+    h = n_heads
 
-    # Mosaic's in-kernel dot can't accumulate M=1 products in i32
-    # (NotImplementedError: preferred_element_type=int32), so the dots run
-    # in f32 and cast back — EXACT here: s8-valued operands are integers
-    # <= 128 (exactly representable even after a bf16 MXU pass-split) and
-    # every accumulator stays below 2^24 (|prod| <= 2^14, <= 1024 terms —
-    # the dispatch in decode_attention() enforces T <= 1024),
-    # so the i32 cast recovers the composed path's integer accumulator
-    # bit-for-bit.
+    # All heads in TWO MXU dots (three when t > 512) instead of a
+    # per-head loop.  An earlier revision unrolled the heads in Python —
+    # 2 (originally 5) M=1 dots per head x n_heads: the measured 45us/call
+    # was pure MXU-issue LATENCY (~200ns x ~100 tiny dots), 5x off the
+    # 8us KV-read bound.  Here the query heads ride ONE [H, D] x [D, H*T]
+    # cross-head dot (n_heads x wasted FLOPs on an otherwise idle MXU;
+    # the diagonal blocks are extracted on the VPU), and P@V builds the
+    # block-diagonal [H, H*T] probability matrix for one [H, H*T] x
+    # [H*T, D] dot.
+    #
+    # Mosaic's in-kernel dot can't accumulate in i32 for these shapes, so
+    # the dots run with f32 accumulation on bf16 operands and cast back —
+    # EXACT: the zero-point corrections fold INTO the integer operands
+    # (q' = q - zp_q, p' = p - zp_p, both |.| <= 255 and exactly
+    # representable in bf16; k/v recenter by 128 via the XOR bitcast),
+    # products stay <= 255*128 < 2^15, and every accumulator stays
+    # <= 2^24 (the f32 exact-integer bound): 255*128*D for scores and
+    # 255*128*T <= 2^24 for T <= 512.  For 512 < t <= 1024 the p' fold
+    # would overflow that bound, so the kernel keeps p8 = p - 128
+    # (|.| <= 128, 128*128*1024 = 2^24 exactly) and spends one extra
+    # block-diagonal ones dot on the c_p * colsum_v correction.  The
+    # dispatch in decode_attention() enforces t <= 1024.
     def dot_t(x, y):                                 # x [M,K] . y [N,K]^T
         return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
                                preferred_element_type=f32).astype(i32)
@@ -298,41 +191,56 @@ def _decode_attn_kernel(valid_ref, fp_ref, ip_ref, q_ref, k_ref, v_ref,
         return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
                                preferred_element_type=f32).astype(i32)
 
-    af = a8.astype(f32)                              # [H, D] exact ints
-    ones_td = jnp.ones((t, d), f32)
-    rows = []
-    for hh in range(n_heads):                        # static unroll
-        a_row = af[hh:hh + 1, :]                     # [1, D]
-        kf = pltpu.bitcast(k_ref[0, hh] ^ jnp.uint8(0x80), s8) \
-            .astype(f32)                             # [T, D]
-        # exact i32 accumulator == qmatmul_act's (recenter + corrections)
-        acc = (dot_t(a_row, kf)
-               + c_k * dot_t(a_row, ones_1d)         # (128-zp_k)*rowsum_q'
-               + c_q * dot_t(ones_1d, kf)            # (128-zp_q)*colsum_k'
-               + i32(d) * c_q * c_k)                 # [1, T]
-        codes = jnp.clip(acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
-                         0.0, 255.0)
-        codes = jnp.floor(codes + rb)
-        x = (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
-        x = jnp.where(colio < valid, x, -jnp.inf)
-        m = jnp.max(x, axis=1, keepdims=True)
-        e = jnp.exp(x - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
-        pcodes = jnp.floor(pcodes + rb)
-        p8 = pcodes - 128.0                          # [1, T] exact ints
-        vf = pltpu.bitcast(v_ref[0, hh] ^ jnp.uint8(0x80), s8) \
-            .astype(f32)                             # [T, D]
-        acc2 = (dot_n(p8, vf)
-                + c_v * dot_n(p8, ones_td)           # rowsum_p' per col
-                + c_p * dot_n(ones_1t, vf)           # colsum_v'
-                + i32(t) * c_p * c_v)                # [1, D]
-        qo = jnp.clip(acc2.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
-                      0.0, 255.0)
-        qo = (qo + rb).astype(i32)
-        rows.append(pltpu.bitcast((qo - 128).astype(s8), jnp.uint8)
-                    ^ jnp.uint8(0x80))
-    o_ref[0] = jnp.concatenate(rows, axis=0)         # [H, D]
+    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)       # [H, D]
+    aq = (a8.astype(f32) + f32(c_q)).astype(bf16)    # q - zp_q, exact
+    rowsum_aq = jnp.sum(aq.astype(f32), axis=1,
+                        keepdims=True).astype(i32)   # [H, 1]
+    kf = pltpu.bitcast(k_ref[0] ^ jnp.uint8(0x80), s8) \
+        .reshape(h * t, d).astype(bf16)              # [H*T, D] k - 128
+    big = dot_t(aq, kf)                              # [H, H*T] cross-head
+    # diagonal-block extraction: scores[i, t'] = big[i, i*T + t']
+    eye3 = (lax.broadcasted_iota(i32, (h, h, 1), 0)
+            == lax.broadcasted_iota(i32, (h, h, 1), 1))
+    scores = jnp.sum(jnp.where(eye3, big.reshape(h, h, t), 0),
+                     axis=1)                         # [H, T] i32 exact
+    acc = scores + c_k * rowsum_aq                   # [H, T]
+    codes = jnp.clip(acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
+                     0.0, 255.0)
+    codes = jnp.floor(codes + rb)
+    x = (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
+    colio = lax.broadcasted_iota(i32, (h, t), 1)
+    x = jnp.where(colio < valid, x, -jnp.inf)
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
+    pcodes = jnp.floor(pcodes + rb)                  # [H, T]
+    vf = pltpu.bitcast(v_ref[0] ^ jnp.uint8(0x80), s8) \
+        .reshape(h * t, d).astype(bf16)              # [H*T, D] v - 128
+    # block-diagonal P: pbig[i, j] = p'[i, j - i*T] on the diagonal blocks
+    rowio = lax.broadcasted_iota(i32, (h, h * t), 0)
+    blkio = lax.broadcasted_iota(i32, (h, h * t), 1) // t
+    diag = rowio == blkio
+    if t <= 512:
+        # fold c_p into p (p' = p - zp_p): |p'| <= 255, 255*128*512 < 2^24
+        pz = jnp.tile(pcodes + f32(c_p - 128), (1, h))   # p - zp_p tiled
+        pbig = jnp.where(diag, pz, 0.0).astype(bf16)
+        acc2 = dot_n(pbig, vf)                       # [H, D]
+    else:
+        # keep p8 = p - 128 (|.| <= 128: exact to t = 1024) and pay one
+        # extra ones-diagonal dot for the c_p * colsum_v term
+        p8 = jnp.tile(pcodes - 128.0, (1, h))
+        pbig = jnp.where(diag, p8, 0.0).astype(bf16)
+        ones_big = jnp.where(diag, 1.0, 0.0).astype(bf16)
+        acc2 = dot_n(pbig, vf) + c_p * dot_n(ones_big, vf)
+    rowsum_pz = jnp.sum(pcodes + f32(c_p - 128), axis=1,
+                        keepdims=True).astype(i32)   # sum of p - zp_p
+    acc2 = acc2 + c_v * rowsum_pz                    # [H, D]
+    qo = jnp.clip(acc2.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
+                  0.0, 255.0)
+    qo = (qo + rb).astype(i32)
+    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
+        ^ jnp.uint8(0x80)                            # [H, D]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -407,6 +315,15 @@ def decode_attention(q_u8, k_u8, v_u8, valid, *, backend: str = "auto",
     exact-integer bound, see the kernel comment), so 'auto' falls back
     to XLA for longer caches; an explicit backend='pallas' with T > 1024
     raises rather than silently break the cached==full-forward invariant.
+
+    Known tie caveat: the integer accumulators are exact, but the final
+    requant ``acc*mult + zp`` is f32, and whether the compiler emits it
+    as mul+add or a fused FMA differs between backends.  When the true
+    value lands EXACTLY on a rounding boundary (x.5 under 'nearest', an
+    integer under 'trunc'), the two can differ by one output code
+    (observed: 1 element in 512 under 'nearest' in CPU interpret mode;
+    on-TPU trunc runs have always matched).  This is a property of the
+    composed path's own float epilogue, not of this kernel.
     """
     bsz, n_heads, one, d = q_u8.shape
     if one != 1:

@@ -116,10 +116,9 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
     """Quantized conv: recenter -> zp-pad -> (space-to-depth) -> conv.
 
     ``oc`` must include the +128*rowsum recentering term
-    (gemm_int8.compute_offset(..., recentered=True)).  ``backend='pallas'``
-    routes stride-1 convolutions (including strided ones rewritten by
-    space-to-depth) to the Pallas direct conv kernel (conv_pallas.py); the
-    default is XLA's native integer convolution.
+    (gemm_int8.compute_offset(..., recentered=True)).  The backend is
+    XLA's native integer convolution — the measured winner at every
+    shape (``backend='pallas'`` raises with the study numbers).
 
     ``input_pre_s2d``: the input is already zp-padded + space-to-depth'ed
     u8 (host-side ingest pre-layout, s2d_input applied by the DataLoader);
@@ -139,12 +138,18 @@ def conv2d_int8_xla(x_u8_nhwc, qw_hwio, oc, *, stride: int, padding: int,
         if stride > 1 and x.shape[-1] < 32 and groups == 1:
             x, w = _space_to_depth(x, w, stride, pad_value)
             stride = 1
-    if backend == "pallas" and stride == 1 and groups == 1 \
-            and rounding == "trunc":   # nearest not threaded into the kernel
-        from .conv_pallas import conv2d_int8_pallas
-        from .gemm_int8 import _mult_vector
-        mult = _mult_vector(scale_a, scale_w, scale_c, w.shape[-1])
-        return conv2d_int8_pallas(x, w, oc, mult, zp_c=int(zp_c), relu=relu)
+    if backend == "pallas":
+        # The Pallas direct-conv kernels were deleted (round 2) after
+        # losing every measured shape to XLA's native integer conv:
+        # patch-im2col 1.62 ms, accumulate-im2col 1.64, direct conv1
+        # 2.96 vs XLA 0.57 fused / 0.17 bare (AlexNet b100, v5e) — the
+        # losses were VMEM copy traffic; a winning kernel needs Mosaic-
+        # emitter-level register windowing.  They lived in
+        # ops/conv_pallas.py through commit 4848cb5.
+        raise ValueError(
+            "the Pallas conv kernels were removed — every measured "
+            "variant lost to XLA's native integer convolution (see "
+            "dispatch note); use backend='xla'")
     acc = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),

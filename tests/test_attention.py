@@ -1,14 +1,13 @@
-"""Fused INT8 attention (ops/attention.py): the Pallas kernel (interpret
-mode) and the composed-XLA oracle must agree; the oracle must be
-bit-identical to the per-layer QuantMatmul/QuantSoftmax chain; models
-gated by QuantConfig.fused_attention must produce identical results
-either way."""
+"""Fused INT8 attention (ops/attention.py): the composed-XLA oracle
+must be bit-identical to the per-layer QuantMatmul/QuantSoftmax chain;
+models gated by QuantConfig.fused_attention must produce identical
+results either way.  (The prefill Pallas kernel was deleted in round 2
+after losing to composed XLA at every measured shape.)"""
 
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
-from jax.experimental.pallas import tpu as pltpu
 
 import int8inferenceengine_tpu as q
 from int8inferenceengine_tpu import QuantConfig, models
@@ -47,40 +46,6 @@ def test_oracle_matches_layer_chain():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("t,d", [(197, 64), (128, 128), (50, 32)])
-@pytest.mark.parametrize("rounding", ["trunc", "nearest"])
-def test_pallas_interpret_matches_xla(t, d, rounding):
-    """Kernel vs oracle: padding, masking and zero-point math must agree.
-
-    exp() in interpret mode is the same XLA CPU exp as the oracle's, so
-    intermediate codes should be bit-equal; allow +-1 code for float
-    associativity differences in the masked softmax reductions."""
-    b, h = 2, 2
-    qh, kh, vh = (jnp.asarray(_codes((b, h, t, d), s + 3))
-                  for s in range(3))
-    kw = dict(_SCALES, alpha=d ** -0.5, rounding=rounding)
-    want = np.asarray(A.attention_xla(qh, kh, vh, **kw)).astype(np.int32)
-    with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(A.attention_pallas(qh, kh, vh, **kw)
-                         ).astype(np.int32)
-    diff = np.abs(got - want)
-    assert diff.max() <= 1, (diff.max(), (diff > 0).mean())
-    assert (diff == 0).mean() > 0.99
-
-
-def test_pallas_extreme_zero_points():
-    """zp at the grid edges exercises the correction terms hardest."""
-    t, d = 197, 64
-    qh, kh, vh = (jnp.asarray(_codes((1, 2, t, d), s + 9))
-                  for s in range(3))
-    kw = dict(_SCALES, zp_q=0, zp_k=255, zp_v=1, zp_p=3, alpha=0.125)
-    want = np.asarray(A.attention_xla(qh, kh, vh, **kw)).astype(np.int32)
-    with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(A.attention_pallas(qh, kh, vh, **kw)
-                         ).astype(np.int32)
-    assert np.abs(got - want).max() <= 1
-
-
 @pytest.mark.parametrize("name", ["text_tiny"])
 def test_model_fused_flag_equivalent(name):
     """fused_attention='xla' must equal 'off' bit-for-bit on any backend
@@ -98,24 +63,12 @@ def test_model_fused_flag_equivalent(name):
     np.testing.assert_array_equal(outs["off"], outs["xla"])
 
 
-def test_model_fused_pallas_interpret():
-    """Full ViT-shaped model through the interpret-mode kernel."""
-    from int8inferenceengine_tpu.models.vit import torch_vit
-    m = models.build("vit_tiny", config=QuantConfig(
-        fused_attention="pallas"), img_size=32, patch=16, depth=1)
-    mo = models.build("vit_tiny", config=QuantConfig(
-        fused_attention="off"), img_size=32, patch=16, depth=1)
-    tw = torch_vit(img_size=32, patch=16, depth=1)
-    rng = np.random.default_rng(1)
-    x = rng.uniform(-1, 1, size=(4, 3, 32, 32)).astype(np.float32)
-    for mm in (m, mo):
-        mm.load(tw.state_dict())
-        mm.prepare()
-        mm(q.tensor(x))
-        mm.convert()
-    with pltpu.force_tpu_interpret_mode():
-        got = m(q.tensor(x)).numpy()
-    want = mo(q.tensor(x)).numpy()
-    # one fused block; +-1 intermediate code tolerance at the model head
-    assert np.abs(got - want).max() <= np.float32(
-        2 * m.head.scale), (got - want)
+def test_fused_attention_pallas_removed():
+    """The prefill Pallas attention kernel was deleted after losing to
+    the composed XLA path at every measured shape (round 2; see
+    ops/attention.attention's docstring) — forcing it now raises with
+    the citation instead of silently running something else."""
+    qh = jnp.zeros((1, 1, 8, 8), jnp.uint8)
+    with pytest.raises(ValueError, match="removed"):
+        A.attention(qh, qh, qh, backend="pallas",
+                    alpha=1.0, **_SCALES)
