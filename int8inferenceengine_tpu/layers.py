@@ -102,6 +102,14 @@ class Layer:
         # Set by parallel.sharding when this layer's output channels are
         # sharded over the model axis; forward then all-gathers its output.
         self._tp_sharded = False
+        # Transformer TP roles (parallel/sharding.py, Module.tp_roles()):
+        # _tp_local: column-parallel layer whose output STAYS channel-
+        # sharded (consumed by head-local attention / a row-parallel
+        # Linear) instead of being all-gathered.  _tp_row: row-parallel
+        # layer (weights sharded on INPUT channels; partial s32
+        # accumulators psummed before the requant epilogue).
+        self._tp_local = False
+        self._tp_row = False
 
     def _maybe_gather(self, out, channel_axis: int):
         if self._tp_sharded:
@@ -115,6 +123,15 @@ class Layer:
         from .parallel.context import current_axes
         pa = current_axes()
         if pa is not None and pa.overlap and pa.model_size > 1:
+            return pa
+        return None
+
+    @staticmethod
+    def _active_axes():
+        """The active ParallelAxes with a real model axis, else None."""
+        from .parallel.context import current_axes
+        pa = current_axes()
+        if pa is not None and pa.model_size > 1:
             return pa
         return None
 
@@ -365,6 +382,28 @@ class Linear(Layer):
                          x.data.size * 4 + out.size * 4
                          + self.in_channels * self.out_channels)
             return Tensor(self._maybe_gather(out, 1))
+        pa_row = self._active_axes() if self._tp_row else None
+        if pa_row is not None:
+            # Row-parallel FP32: weight is the local [N, K_local] slice;
+            # psum the f32 partial products (allclose to unsharded — f32
+            # addition order differs; the INT8 path is the bit-exact one).
+            w_local = self._p("weight")
+            k_local = w_local.shape[1]
+            if x._tp_sharded:
+                a = x.data
+            else:
+                idx = lax.axis_index(pa_row.model_axis)
+                a = lax.dynamic_slice_in_dim(x.data, idx * k_local,
+                                             k_local, 1)
+            out = lax.psum(
+                jnp.dot(a, w_local.T, preferred_element_type=jnp.float32),
+                pa_row.model_axis) + self._p("bias").reshape(1, -1)
+            if self.is_preparing:
+                self._observe(out)
+            _record_cost(self, 2 * out.shape[0] * self.in_channels
+                         * self.out_channels // pa_row.model_size,
+                         4 * (a.size + out.size))
+            return Tensor(out)
         if x._tp_sharded:
             from .parallel.sharding import gather_channels
             x = Tensor(gather_channels(x.data, 1), x.scale, x.zero_point)
@@ -407,6 +446,15 @@ class Linear(Layer):
                 qo = jnp.maximum(qo, jnp.uint8(self.zero_point))
             return Tensor(self._maybe_gather(qo, 1), self.scale,
                           self.zero_point)
+        if self._tp_row:
+            pa_row = self._active_axes()
+            if pa_row is not None:
+                return self._forward_int8_row(x, pa_row, act)
+            raise RuntimeError(
+                "row-parallel Linear called outside an active TP context "
+                "(its rowsum/weight params are shard-structured); run "
+                "through the sharded forward — module(x) after shard() — "
+                "not a direct eager/jit call")
         pa = self._overlap_axes()
         oc = compute_offset(self._p("q_bias"), self._p("rowsum"),
                             scale_a=x.scale, zp_a=x.zero_point,
@@ -437,10 +485,54 @@ class Linear(Layer):
                      x.data.size + out.size
                      + self.in_channels * self.out_channels)
         if act is not None:
+            if self._tp_sharded and (pa is not None or (
+                    self._tp_local and self._active_axes() is not None)):
+                return Tensor(out, act[1], act[2], _tp_sharded=True)
             return Tensor(out, act[1], act[2])
         if self._tp_sharded and pa is not None:
             return Tensor(out, self.scale, self.zero_point, _tp_sharded=True)
+        if self._tp_sharded and self._tp_local \
+                and self._active_axes() is not None:
+            # column-parallel with a sharded consumer (head-local attention
+            # or a row-parallel Linear): skip the all-gather entirely.
+            return Tensor(out, self.scale, self.zero_point, _tp_sharded=True)
         return Tensor(self._maybe_gather(out, 1), self.scale, self.zero_point)
+
+    def _forward_int8_row(self, x: Tensor, pa, act=None) -> Tensor:
+        """Row-parallel INT8 forward (ops/gemm_int8.qgemm_row_parallel):
+        weights sharded on input channels; consumes the producer's
+        channel shard directly (or slices a replicated input), psums the
+        s32 partial accumulators, and requantizes once — bit-identical
+        to the unsharded layer (integer addition is associative)."""
+        from .ops.gemm_int8 import qgemm_row_parallel
+        w_local = self._p("qw_kn")                       # [K_local, N]
+        k_local = w_local.shape[0]
+        if x._tp_sharded:
+            if x.data.shape[-1] != k_local:
+                raise ValueError(
+                    f"row-parallel Linear expected a [*, {k_local}] input "
+                    f"shard, got {x.data.shape}")
+            a = x.data
+        else:
+            idx = lax.axis_index(pa.model_axis)
+            a = lax.dynamic_slice_in_dim(x.data, idx * k_local, k_local, 1)
+        rs = self._p("rowsum")
+        if rs.ndim == 2:                  # [1, N] slice of the stacked
+            rs = rs[0]                    # per-shard rowsums
+        out = qgemm_row_parallel(
+            a, w_local, rs, self._p("q_bias"),
+            axis_name=pa.model_axis, scale_a=x.scale, zp_a=x.zero_point,
+            scale_w=self._scale_w(), scale_c=self.scale,
+            zp_c=self.zero_point, relu=self.fuse_relu,
+            rounding=self.config.rounding, act=act)
+        _record_cost(self, 2 * out.shape[0] * self.in_channels
+                     * self.out_channels // pa.model_size,
+                     a.size + out.size
+                     + self.in_channels * self.out_channels
+                     // pa.model_size)
+        if act is not None:
+            return Tensor(out, act[1], act[2])
+        return Tensor(out, self.scale, self.zero_point)
 
 
 class Conv2d(Layer):
@@ -873,13 +965,17 @@ class QuantMatmul(Layer):
         if a._nhwc or b._nhwc:
             raise ValueError("QuantMatmul expects token-major tensors "
                              "(no NHWC image layout)")
+        if a._tp_sharded != b._tp_sharded:
+            raise ValueError(
+                "QuantMatmul: operands must agree on head sharding (one "
+                "is a local head shard, the other is replicated)")
         if not a.quantized:
             bd = jnp.swapaxes(b.data, -1, -2) if self.transpose_b else b.data
             out = self.alpha * jnp.matmul(
                 a.data, bd, preferred_element_type=jnp.float32)
             if self.is_preparing:
                 self._observe(out)
-            return Tensor(out)
+            return Tensor(out, _tp_sharded=a._tp_sharded)
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
         from .ops.qmatmul import qmatmul_act
@@ -890,7 +986,10 @@ class QuantMatmul(Layer):
             transpose_b=self.transpose_b, rounding=self.config.rounding)
         _record_cost(self, 2 * out.size * a.data.shape[-1],
                      a.data.size + b.data.size + out.size)
-        return Tensor(out, self.scale, self.zero_point)
+        # head-sharded attention: batched per-(b, h) matmuls are exact on
+        # a local head shard — propagate the flag
+        return Tensor(out, self.scale, self.zero_point,
+                      _tp_sharded=a._tp_sharded)
 
 
 class QuantSoftmax(Layer):
@@ -942,14 +1041,16 @@ class QuantSoftmax(Layer):
             out = jax.nn.softmax(self._masked(x.data, valid_len), axis=-1)
             if self.is_preparing:
                 self._observe(out)
-            return Tensor(out)
+            return Tensor(out, _tp_sharded=x._tp_sharded)
         if not self.is_quantized:
             raise RuntimeError("layer not converted; call convert() first")
         f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
         out = quant_ops.quantize_u8(
             jax.nn.softmax(self._masked(f, valid_len), axis=-1),
             self.scale, self.zero_point, self.config.rounding)
-        return Tensor(out, self.scale, self.zero_point)
+        # softmax rows live within one head: exact on a local head shard
+        return Tensor(out, self.scale, self.zero_point,
+                      _tp_sharded=x._tp_sharded)
 
 
 def weight_quant_spec(layer):

@@ -90,6 +90,24 @@ class TextDecoder(Module):
         self.ln_f = QuantLayerNorm(dim, config=config)
         self.head = Linear(dim, vocab_size, config=config)
 
+    def tp_roles(self, model_size: int) -> dict:
+        """Megatron-style transformer TP plan: QKV column-parallel with
+        head-local attention (outputs stay sharded) when heads divide the
+        model axis, attention out-proj and fc2 row-parallel (s32 partials
+        psummed), fc1 column-parallel feeding the sharded MLP interior.
+        Two collectives per block instead of a gather after every Linear.
+        Covers forward(); generate()'s scan is not shard_mapped (yet)."""
+        roles = {}
+        head_local = self.heads % model_size == 0
+        for i in range(1, self.depth + 1):
+            if head_local:
+                for w in ("wq", "wk", "wv"):
+                    roles[f"{w}{i}"] = "col_local"
+            roles[f"proj{i}"] = "row"
+            roles[f"fc1_{i}"] = "col_local"
+            roles[f"fc2_{i}"] = "row"
+        return roles
+
     # -- shared block body ---------------------------------------------------
     def _block(self, i, x, b, t, capture=None):
         """One decoder block on the flat [b*t, C] view (causal softmax).
@@ -100,15 +118,18 @@ class TextDecoder(Module):
         c = self.dim
         h = getattr(self, f"ln1_{i}")(x)
         q2, k2, v2 = self._qkv(i, h)
-        qh = F.split_heads(q2.reshape(b, t, c), self.heads)
-        kh = F.split_heads(k2.reshape(b, t, c), self.heads)
-        vh = F.split_heads(v2.reshape(b, t, c), self.heads)
+        # -1 widths: under head-parallel TP the projections keep their
+        # LOCAL channel shard (c / model_size) instead of gathering
+        qh = F.split_heads(q2.reshape(b, t, -1), self.heads)
+        kh = F.split_heads(k2.reshape(b, t, -1), self.heads)
+        vh = F.split_heads(v2.reshape(b, t, -1), self.heads)
         if capture is not None:
             capture[i] = (kh, vh)
         s = getattr(self, f"attn{i}")(qh, kh)
         p = getattr(self, f"smax{i}")(s)
         o = getattr(self, f"av{i}")(p, vh)
-        o = F.merge_heads(o).reshape(b * t, c)
+        o = F.merge_heads(o)
+        o = o.reshape(b * t, o.shape[-1])
         o = getattr(self, f"proj{i}")(o)
         x = getattr(self, f"add1_{i}")(x, o)
         h = getattr(self, f"ln2_{i}")(x)

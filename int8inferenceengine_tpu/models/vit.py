@@ -74,6 +74,22 @@ class ViT(Module):
         self.ln_f = QuantLayerNorm(dim, config=config)
         self.head = Linear(dim, num_classes, config=config)
 
+    def tp_roles(self, model_size: int) -> dict:
+        """Megatron-style transformer TP plan (see TextDecoder.tp_roles).
+        ViT-Tiny's 3 heads don't divide a 2-way model axis — then QKV
+        stay plain column-parallel (gathered) and attention runs on full
+        heads, while proj/fc1/fc2 still shard."""
+        roles = {}
+        head_local = self.heads % model_size == 0
+        for i in range(1, self.depth + 1):
+            if head_local:
+                for w in ("wq", "wk", "wv"):
+                    roles[f"{w}{i}"] = "col_local"
+            roles[f"proj{i}"] = "row"
+            roles[f"fc1_{i}"] = "col_local"
+            roles[f"fc2_{i}"] = "row"
+        return roles
+
     def forward(self, x):
         x = F.to_tokens(self.patch(x))
         x = self.pe(x)
@@ -94,11 +110,13 @@ class ViT(Module):
                 q2 = getattr(self, f"wq{i}")(h)
                 k2 = getattr(self, f"wk{i}")(h)
                 v2 = getattr(self, f"wv{i}")(h)
-            qh = F.split_heads(q2.reshape(b, t, c), self.heads)
-            kh = F.split_heads(k2.reshape(b, t, c), self.heads)
-            vh = F.split_heads(v2.reshape(b, t, c), self.heads)
+            # -1 widths: under head-parallel TP the projections keep their
+            # LOCAL channel shard (c / model_size) instead of gathering
+            qh = F.split_heads(q2.reshape(b, t, -1), self.heads)
+            kh = F.split_heads(k2.reshape(b, t, -1), self.heads)
+            vh = F.split_heads(v2.reshape(b, t, -1), self.heads)
             attn = getattr(self, f"attn{i}")
-            if attn.is_quantized and qh.quantized \
+            if attn.is_quantized and qh.quantized and not qh._tp_sharded \
                     and self.config.fused_attention != "off":
                 o = fused_attention(attn, getattr(self, f"smax{i}"),
                                     getattr(self, f"av{i}"), qh, kh, vh)
@@ -106,7 +124,8 @@ class ViT(Module):
                 s = attn(qh, kh)
                 p = getattr(self, f"smax{i}")(s)
                 o = getattr(self, f"av{i}")(p, vh)
-            o = F.merge_heads(o).reshape(b * t, c)
+            o = F.merge_heads(o)
+            o = o.reshape(b * t, o.shape[-1])
             o = getattr(self, f"proj{i}")(o)
             x = getattr(self, f"add1_{i}")(x, o)
             h = getattr(self, f"ln2_{i}")(x)

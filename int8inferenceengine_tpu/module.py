@@ -151,6 +151,16 @@ class Module:
     def forward(self, x: Tensor) -> Tensor:  # overridden by the user
         raise NotImplementedError
 
+    def tp_roles(self, model_size: int) -> dict:
+        """Per-layer tensor-parallel roles for ``shard()`` (overridden by
+        transformer models): layer name -> 'col' (output-channel sharded,
+        output gathered — the default for every unlisted layer),
+        'col_local' (column-parallel, output STAYS sharded for a sharded
+        consumer), or 'row' (row-parallel: input-channel sharded, partial
+        s32 accumulators psummed before one requant).  See
+        parallel/sharding.py."""
+        return {}
+
     def _consumes_ids(self) -> bool:
         """True when the model's stem takes raw token ids
         (layers.QuantEmbed) — input quantization must be skipped.

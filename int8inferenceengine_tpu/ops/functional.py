@@ -190,23 +190,43 @@ def to_tokens(x: Tensor) -> Tensor:
 
 
 def split_heads(x: Tensor, num_heads: int) -> Tensor:
-    """[B, T, C] -> [B, H, T, C/H] (quantization-transparent layout op)."""
+    """[B, T, C] -> [B, H, T, C/H] (quantization-transparent layout op).
+
+    ``num_heads`` is always the model's GLOBAL head count.  On a
+    channel-sharded input (head-parallel attention TP: a column-parallel
+    QKV projection kept its output sharded), the local channels hold
+    ``num_heads / model_size`` whole heads — contiguous output-channel
+    shards align to head boundaries exactly when heads divide the model
+    axis, which parallel/sharding.py enforces before assigning the role.
+    """
     x._no_ingest("split_heads")
-    _no_shard(x, "split_heads")
+    heads = num_heads
+    if x._tp_sharded:
+        from ..parallel.context import current_axes
+        pa = current_axes()
+        if pa is None or pa.model_size <= 1:
+            _no_shard(x, "split_heads")
+        elif num_heads % pa.model_size:
+            raise ValueError(
+                f"split_heads on a channel shard: {num_heads} heads do "
+                f"not divide the model axis ({pa.model_size})")
+        else:
+            heads = num_heads // pa.model_size
     b, t, c = x.data.shape
-    if c % num_heads:
-        raise ValueError(f"dim {c} not divisible by heads {num_heads}")
-    d = x.data.reshape(b, t, num_heads, c // num_heads)
-    return Tensor(jnp.transpose(d, (0, 2, 1, 3)), x.scale, x.zero_point)
+    if c % heads:
+        raise ValueError(f"dim {c} not divisible by heads {heads}")
+    d = x.data.reshape(b, t, heads, c // heads)
+    return Tensor(jnp.transpose(d, (0, 2, 1, 3)), x.scale, x.zero_point,
+                  _tp_sharded=x._tp_sharded)
 
 
 def merge_heads(x: Tensor) -> Tensor:
-    """[B, H, T, D] -> [B, T, H*D] (inverse of split_heads)."""
+    """[B, H, T, D] -> [B, T, H*D] (inverse of split_heads; on a local
+    head shard the merged channels stay a local channel shard)."""
     x._no_ingest("merge_heads")
-    _no_shard(x, "merge_heads")
     b, h, t, d = x.data.shape
     out = jnp.transpose(x.data, (0, 2, 1, 3)).reshape(b, t, h * d)
-    return Tensor(out, x.scale, x.zero_point)
+    return Tensor(out, x.scale, x.zero_point, _tp_sharded=x._tp_sharded)
 
 
 def select_token(x: Tensor, index: int) -> Tensor:

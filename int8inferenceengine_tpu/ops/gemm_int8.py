@@ -284,7 +284,21 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
         preferred_element_type=jnp.int32,
     )
     c = acc + oc.reshape(1, -1)
-    mult = _mult_vector(scale_a, scale_w, scale_c, w_s8_kn.shape[1])
+    return _requant_epilogue(c, scale_a=scale_a, scale_w=scale_w,
+                             scale_c=scale_c, zp_c=zp_c, relu=relu,
+                             rounding=rounding, act=act)
+
+
+def _requant_epilogue(c, *, scale_a, scale_w, scale_c, zp_c, relu=False,
+                      rounding: str = "trunc", act=None):
+    """The ``down_scale`` requant tail on an s32 accumulator that already
+    includes the offset vector (zero-point correction + bias fold).
+
+    Shared by :func:`qgemm_xla` and :func:`qgemm_row_parallel` so the
+    tensor-parallel path can't drift from the single-device float order
+    (reference semantics: quantize_utils.cc:27-36)."""
+    n = c.shape[-1]
+    mult = _mult_vector(scale_a, scale_w, scale_c, n)
     q = c.astype(jnp.float32) * mult.reshape(1, -1) + jnp.float32(zp_c)
     q = jnp.clip(q, 0.0, 255.0)
     if rounding == "nearest":
@@ -305,6 +319,39 @@ def qgemm_xla(a_u8, w_s8_kn, oc, *, scale_a, zp_a, scale_w, scale_c, zp_c,
     return qi.astype(jnp.uint8)
 
 
+def qgemm_row_parallel(a_u8_local, w_s8_kn_local, rowsum_local, q_bias, *,
+                       axis_name, scale_a, zp_a, scale_w, scale_c, zp_c,
+                       relu=False, rounding: str = "trunc", act=None):
+    """Row-parallel (input-channel-sharded) quantized GEMM under shard_map.
+
+    Megatron-style second-GEMM tensor parallelism, INT8-native: each shard
+    holds a contiguous K-slice of the weight ([K_local, N]) and the
+    matching activation slice; partial s32 accumulators (plus each shard's
+    LOCAL recentering correction) are ``psum``med over ``axis_name`` —
+    integer addition is associative, so the summed accumulator is
+    BIT-IDENTICAL to the unsharded one — and the bias fold + requant
+    epilogue run once on the replicated result.
+
+    ``rowsum_local`` is the per-output-channel sum over this shard's K
+    rows only (parallel/sharding.py stacks the per-shard rowsums at
+    placement time); ``q_bias`` is replicated.
+    """
+    a = (a_u8_local.astype(jnp.int32) - 128).astype(jnp.int8)
+    acc = lax.dot_general(
+        a, w_s8_kn_local,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    corr = (128 - int(zp_a)) * rowsum_local           # local K rows only
+    acc = lax.psum(acc + corr.reshape(1, -1), axis_name)
+    bias_term = (q_bias.astype(jnp.float32)
+                 / jnp.float32(scale_a)).astype(jnp.int32)
+    c = acc + bias_term.reshape(1, -1)
+    return _requant_epilogue(c, scale_a=scale_a, scale_w=scale_w,
+                             scale_c=scale_c, zp_c=zp_c, relu=relu,
+                             rounding=rounding, act=act)
+
+
 def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
     """Dispatch between the Pallas kernel and the XLA path.
 
@@ -318,11 +365,23 @@ def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
     peak, vs 0.033 ms for the copy-free kernel).  The single guard:
     an unaligned K must fit one VMEM block (K <= 4096), else XLA.
 
-    One measured exception (2026-08-19, v5e): a tiny-M x huge-N GEMM —
-    the decode step's vocab head, [8, 768] x [768, 50257] — runs 240us
-    in the kernel (a ~200-step grid of mostly-padded M=128 blocks) vs
-    54.5us for XLA's emitter (87% of the 47us weight-read SoL), so
-    M <= 16 with N >= 16384 dispatches XLA."""
+    Two measured exceptions (2026-08-19, v5e):
+
+    * tiny-M x huge-N — the decode step's vocab head, [8, 768] x
+      [768, 50257] — runs 240us in the kernel (a ~200-step grid of
+      mostly-padded M=128 blocks) vs 54.5us for XLA's emitter (87% of
+      the 47us weight-read SoL), so M <= 16 with N >= 16384 dispatches
+      XLA.
+    * small-M on ALIGNED K (K%128==0): XLA's emitter wins every
+      measured gpt2-small decode shape.  Chained-scan sweep, us/call:
+      K=768  N=768:  M=8 3.1/2.3  M=16 4.3/1.2  M=32 5.2/1.9  M=64 4.8/1.8
+      K=768  N=3072: M=8 9.1/5.0  M=16 9.6/5.2  M=32 9.5/4.6  M=64 9.5/5.3
+      K=3072 N=768:  M=8 6.6/5.0  M=16 7.9/4.7  M=32 6.7/5.5  M=64 6.9/5.8
+      (pallas/xla; the kernel pads every M block to 128 so small real M
+      wastes MXU rows).  So M <= 64 with aligned K dispatches XLA.
+      Unaligned K stays Pallas at any M — XLA's unaligned-int8 emitter
+      forces transposed layouts in-model (the ViT 192-dim catastrophe
+      above), a layout property independent of M."""
     if a_u8.dtype != jnp.uint8:
         raise TypeError(
             f"qgemm activations must be uint8 codes, got {a_u8.dtype} "
@@ -331,8 +390,9 @@ def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
         k, n = w_s8_kn.shape
         fits = k % 128 == 0 or k <= 4096
         decode_head = a_u8.shape[0] <= 16 and n >= 16384
+        small_m_aligned = a_u8.shape[0] <= 64 and k % 128 == 0
         backend = ("pallas" if jax.default_backend() == "tpu" and fits
-                   and not decode_head else "xla")
+                   and not decode_head and not small_m_aligned else "xla")
     if backend == "pallas":
         return qgemm_pallas(a_u8, w_s8_kn, oc, **kw)
     return qgemm_xla(a_u8, w_s8_kn, oc, **kw)
@@ -446,9 +506,13 @@ def qgemm_multi(a_u8, parts, *, scale_a, zp_a, rounding: str = "trunc",
     rb = 0.5 if rounding == "nearest" else 0.0
     k, n = w.shape
     if backend == "auto":
+        # Same measured rule as qgemm 'auto': XLA for small-M aligned-K
+        # (decode A/B 2026-08-19, v5e, gpt2-small b8: merged-XLA 0.791
+        # ms/step vs merged-Pallas 0.875 vs composed 0.828).
         fits = k % 128 == 0 or k <= 4096
+        small_m_aligned = a_u8.shape[0] <= 64 and k % 128 == 0
         backend = ("pallas" if jax.default_backend() == "tpu" and fits
-                   else "xla")
+                   and not small_m_aligned else "xla")
     if backend == "pallas":
         out = _qgemm_pallas_vzp(a_u8, w, oc, mult, zp, round_bias=rb)
     else:

@@ -19,15 +19,48 @@ up the active axes from parallel.context and insert their own all-gathers.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..layers import Conv2d, Layer, Linear
 
 
-def layer_param_specs(layer: Layer, model_axis: str, model_size: int) -> dict:
+def layer_param_specs(layer: Layer, model_axis: str, model_size: int,
+                      role: str = "col") -> dict:
     """PartitionSpec per param array; None-spec (replicated) when the layer
-    can't shard evenly over the model axis."""
+    can't shard evenly over the model axis.
+
+    ``role`` (from ``Module.tp_roles``): 'col' — output-channel sharding,
+    output all-gathered (the default); 'col_local' — same sharding but the
+    output STAYS a channel shard (head-local attention / a row-parallel
+    consumer); 'row' — Linear-only input-channel sharding, partial s32
+    accumulators psummed before one requant (layers.Linear
+    ._forward_int8_row).  Roles that don't apply fall back to 'col'.
+    """
+    layer._tp_local = False
+    layer._tp_row = False
+    if role == "row":
+        in_channels = getattr(layer, "in_channels", 0)
+        row_ok = (isinstance(layer, Linear) and model_size > 1
+                  and in_channels % model_size == 0
+                  and not layer.quant_fallback
+                  and not layer.config.weight_only)
+        if row_ok:
+            layer._tp_row = True
+            layer._tp_sharded = False
+            specs = {}
+            for k in layer.params:
+                if k == "qw_kn":               # [K, N] -> K sharded
+                    specs[k] = P(model_axis, None)
+                elif k == "weight":            # [N, K] torch layout
+                    specs[k] = P(None, model_axis)
+                elif k == "rowsum":            # restacked [ms, N]
+                    specs[k] = P(model_axis, None)
+                else:                          # q_bias/bias/w_scale: once
+                    specs[k] = P()
+            return specs
+        role = "col"
     out_channels = getattr(layer, "out_channels", 0)  # weightless layers
     # Grouped convs tie output channels to input-channel groups; with fully
     # gathered activations their channel shards would need per-shard input
@@ -37,6 +70,7 @@ def layer_param_specs(layer: Layer, model_axis: str, model_size: int) -> dict:
     shardable = (out_channels > 0 and out_channels % model_size == 0
                  and model_size > 1 and not grouped)
     layer._tp_sharded = shardable
+    layer._tp_local = shardable and role == "col_local"
     if not shardable:
         return {k: P() for k in layer.params}
     specs = {}
@@ -55,8 +89,11 @@ def layer_param_specs(layer: Layer, model_axis: str, model_size: int) -> dict:
 
 
 def module_param_specs(module, model_axis: str, model_size: int) -> dict:
+    roles = module.tp_roles(model_size) if hasattr(module, "tp_roles") \
+        else {}
     return {
-        name: layer_param_specs(layer, model_axis, model_size)
+        name: layer_param_specs(layer, model_axis, model_size,
+                                role=roles.get(name, "col"))
         for name, layer in module.named_layers()
     }
 
@@ -79,6 +116,18 @@ def shard_module(module, mesh, data_axis: str = "data",
 
     # Move params onto the mesh now (one host->HBM transfer per weight).
     for name, layer in module.named_layers():
+        if layer._tp_row and "rowsum" in layer.params:
+            rs = layer.params["rowsum"]
+            if rs.ndim == 1:
+                # restack the full-K rowsum into per-shard local rowsums
+                # [model_size, N]: shard s's row = sum over its K rows of
+                # qw_kn.  _forward_int8_row's psum of the local
+                # corrections then reproduces the full offset exactly.
+                qw = layer.params["qw_kn"]
+                k, n = qw.shape
+                layer.params["rowsum"] = (
+                    qw.astype(jnp.int32)
+                    .reshape(model_size, k // model_size, n).sum(axis=1))
         layer.params = {
             k: jax.device_put(v, NamedSharding(mesh, specs[name][k]))
             for k, v in layer.params.items()

@@ -100,7 +100,12 @@ class Tensor:
         if len(args) == 1 and isinstance(args[0], (tuple, list)):
             args = tuple(args[0])
         out = jnp.reshape(self.logical_data, args)
-        return Tensor(out, self.scale, self.zero_point)
+        # a reshape keeps the last axis a local channel shard (transformer
+        # TP flattens/unflattens tokens around head ops) — losing the flag
+        # here once made split_heads silently treat a shard as full
+        # channels and split it with the GLOBAL head count
+        return Tensor(out, self.scale, self.zero_point,
+                      _tp_sharded=self._tp_sharded)
 
     def sum(self):
         return self.numpy().sum()

@@ -186,3 +186,76 @@ def test_text_models_shard_bit_exact():
         m.shard(make_mesh((2, 4)))
         got = m(q.tensor(ids)).numpy()
         np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_transformer_tp_decoder_bit_exact(mesh_shape):
+    """Megatron-style transformer TP (Module.tp_roles): head-local
+    attention (QKV column-parallel, outputs stay sharded), row-parallel
+    proj/fc2 (s32 partials psummed before one requant).  Bit-exact vs
+    the unsharded forward — integer addition is associative."""
+    import numpy as np
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+
+    dec = models.build("gpt_tiny", vocab_size=97, max_len=16, dim=128,
+                       depth=2, heads=4)
+    from int8inferenceengine_tpu.models.text_decoder import \
+        torch_text_decoder
+    dec.load(torch_text_decoder(vocab_size=97, max_len=16, dim=128,
+                                depth=2, heads=4).state_dict())
+    ids = np.random.default_rng(0).integers(0, 97, (4, 16)).astype(np.int32)
+    dec.prepare(); dec(q.tensor(ids)); dec.convert()
+    want = dec(q.tensor(ids)).numpy()
+    dec.shard(make_mesh(mesh_shape))
+    # the transformer roles actually engaged
+    assert dec.wq1._tp_local and dec.wq1._tp_sharded
+    assert dec.proj1._tp_row and dec.fc2_1._tp_row
+    assert dec.fc1_1._tp_local
+    got = dec(q.tensor(ids)).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_transformer_tp_vit_bit_exact(mesh_shape):
+    """ViT under the same TP plan (image stem + cls head stay col/replicated)."""
+    import numpy as np
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+
+    vit = models.ViT(img_size=32, patch=8, dim=64, depth=2, heads=4,
+                     num_classes=10)
+    vit.load(models.torch_vit(img_size=32, patch=8, dim=64, depth=2,
+                              heads=4, num_classes=10).state_dict())
+    x = np.random.default_rng(1).uniform(
+        -1, 1, (4, 3, 32, 32)).astype(np.float32)
+    vit.prepare(); vit(q.tensor(x)); vit.convert()
+    want = vit(q.tensor(x)).numpy()
+    vit.shard(make_mesh(mesh_shape))
+    got = vit(q.tensor(x)).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_transformer_tp_head_fallback_bit_exact():
+    """Heads not dividing the model axis: QKV fall back to gathered
+    column-parallel, row-parallel MLP still engages; still bit-exact."""
+    import numpy as np
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+
+    vit = models.ViT(img_size=32, patch=8, dim=66, depth=1, heads=3,
+                     num_classes=10)
+    vit.load(models.torch_vit(img_size=32, patch=8, dim=66, depth=1,
+                              heads=3, num_classes=10).state_dict())
+    x = np.random.default_rng(2).uniform(
+        -1, 1, (4, 3, 32, 32)).astype(np.float32)
+    vit.prepare(); vit(q.tensor(x)); vit.convert()
+    want = vit(q.tensor(x)).numpy()
+    vit.shard(make_mesh((4, 2)))
+    assert not vit.wq1._tp_local          # 3 heads don't divide 2
+    assert vit.fc2_1._tp_row              # 264 % 2 == 0 -> row engaged
+    got = vit(q.tensor(x)).numpy()
+    np.testing.assert_array_equal(got, want)
