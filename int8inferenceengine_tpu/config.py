@@ -98,8 +98,11 @@ class QuantConfig:
     # genuinely cuts reconstruction error (unlike 8-bit, where minmax is
     # near-optimal).
     w4_mse_scales: bool = True
-    # W4 matmul backend: 'auto' (XLA; the VMEM-unpacking Pallas kernel is
-    # interpret-validated but unmeasured on-chip), 'pallas', 'xla'.
+    # W4 matmul backend: 'auto' = the VMEM-unpacking Pallas kernel on TPU
+    # (measured 2026-08-19, v5e, gpt2-small b8 decode: 1.996 ms/step vs
+    # 5.193 through XLA, which re-materializes the unpacked weights in
+    # HBM inside the scan), XLA elsewhere / for shapes the kernel
+    # doesn't take.  'pallas' / 'xla' force.
     w4_kernel: str = "auto"
 
     # Dynamic activation quantization (requires weight_only=True): each
@@ -168,6 +171,13 @@ class QuantConfig:
     # MXU-bound.  'bfloat16' halves their VPU cost at the price of
     # occasional +-1 output codes.  Reduction-based glue (LayerNorm,
     # softmax) always keeps f32 interiors regardless.
+    #
+    # Measured (one v5e, 2026-08-17): EfficientNet-B0 +20% img/s
+    # (11.5k -> 13.8k), MobileNetV3-L +1.5%, ViT-Tiny -13% (its glue is
+    # LN/softmax-bound, which stays f32 anyway — the bf16 casts just add
+    # work).  The default stays 'float32' because it is bit-identical to
+    # the composed f32 reference semantics on every model; flip to
+    # 'bfloat16' for SE/depthwise families where the +20% applies.
     glue_dtype: str = "float32"
 
 

@@ -192,11 +192,22 @@ def w4_matmul_pallas(x, packed, scales, bias, k: int, group: int = 128,
 
 def w4_matmul(x, packed, scales, bias, k: int, group: int = 128,
               backend: str = "auto"):
-    """Dispatch.  'auto' -> XLA; the Pallas kernel is on-chip-verified
-    (v5e, 2026-08-19: lowers, runs, numerically equivalent at MXU f32
-    precision) but 'auto' keeps XLA until the kernel shows a decode-shape
-    perf win.  Flip per-call or via QuantConfig.w4_kernel.  'pallas' falls
-    back to XLA for shapes the kernel doesn't take (K % group != 0)."""
-    if backend == "pallas" and k % group == 0 and group % 2 == 0:
+    """Dispatch.  'auto' -> the Pallas kernel on TPU (packed bytes stay
+    u8 until VMEM), XLA elsewhere / for shapes the kernel doesn't take
+    (K % group != 0, odd group, or M > 512 — the kernel holds the whole
+    unpacked [M, N] f32 block in VMEM and OOMs past ~1k rows).
+
+    Measured (2026-08-19, one v5e, gpt2-small-ish b8 decode): the
+    end-to-end W4 decode step runs 1.996 ms/step through the kernel vs
+    5.193 ms/step through the XLA path — XLA re-materializes the
+    unpacked weights through HBM inside the scan.  (Op-level microbench
+    deltas for XLA are meaningless here: with a loop-invariant weight
+    XLA hoists the unpack out of the timing scan, producing ~0 or even
+    negative deltas.)"""
+    fits = k % group == 0 and group % 2 == 0 and x.shape[0] <= 512
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" and fits \
+            else "xla"
+    if backend == "pallas" and fits:
         return w4_matmul_pallas(x, packed, scales, bias, k, group)
     return w4_matmul_xla(x, packed, scales, bias, k, group)
