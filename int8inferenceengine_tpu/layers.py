@@ -1221,7 +1221,11 @@ def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
     _record_cost(attn, 2 * qh.data.size * t,
                  qh.data.size + kh.data.size)
     _record_cost(av, 2 * out.size * t, vh.data.size + out.size)
-    return Tensor(out, av.scale, av.zero_point)
+    # head-parallel TP: per-(b, h) decode attention is exact on a local
+    # head shard — propagate the flag so the row-parallel out-proj
+    # consumes the shard directly
+    return Tensor(out, av.scale, av.zero_point,
+                  _tp_sharded=qh._tp_sharded)
 
 
 class QuantLayerNorm(Layer):

@@ -169,10 +169,14 @@ class TextDecoder(Module):
             cap = {}
             x = self._block(i, x, b, t0, capture=cap)
             kh, vh = cap[i]
-            # u8 codes in W8A8 mode; float in weight_only (W8-float) mode
+            # u8 codes in W8A8 mode; float in weight_only (W8-float) mode.
+            # Buffer sized from the captured codes: under head-parallel TP
+            # they are a LOCAL head shard, so each device stores only its
+            # heads' cache (1/model_size of the KV HBM per device).
             dt = kh.data.dtype
-            k_buf = jnp.zeros((b, self.heads, self.max_len, hd), dt)
-            v_buf = jnp.zeros((b, self.heads, self.max_len, hd), dt)
+            _, h_loc, _, hd_loc = kh.data.shape
+            k_buf = jnp.zeros((b, h_loc, self.max_len, hd_loc), dt)
+            v_buf = jnp.zeros((b, h_loc, self.max_len, hd_loc), dt)
             cache[i] = (
                 lax.dynamic_update_slice(k_buf, kh.data, (0, 0, 0, 0)),
                 lax.dynamic_update_slice(v_buf, vh.data, (0, 0, 0, 0)),
@@ -240,13 +244,14 @@ class TextDecoder(Module):
                 getattr(self, f"wv{i}")(h))
 
     def _block_decode(self, i, x, b, valid, cap, kv_hook):
-        c = self.dim
         h = getattr(self, f"ln1_{i}")(x)
         q2, k2, v2 = self._qkv(i, h)
-        qh = F.split_heads(q2.reshape(b, 1, c), self.heads)
+        # -1 widths: under head-parallel TP the projections keep their
+        # LOCAL channel shard — the KV cache is then head-sharded too
+        qh = F.split_heads(q2.reshape(b, 1, -1), self.heads)
         cap[i] = (
-            F.split_heads(k2.reshape(b, 1, c), self.heads),
-            F.split_heads(v2.reshape(b, 1, c), self.heads),
+            F.split_heads(k2.reshape(b, 1, -1), self.heads),
+            F.split_heads(v2.reshape(b, 1, -1), self.heads),
         )
         kh, vh = kv_hook()
         attn, smax, av = (getattr(self, f"attn{i}"),
@@ -261,7 +266,8 @@ class TextDecoder(Module):
             s = attn(qh, kh)                          # [B, H, 1, T_max]
             p = smax(s, valid_len=valid)
             o = av(p, vh)                             # [B, H, 1, D]
-        o = F.merge_heads(o).reshape(b, c)
+        o = F.merge_heads(o)
+        o = o.reshape(b, o.shape[-1])
         o = getattr(self, f"proj{i}")(o)
         x = getattr(self, f"add1_{i}")(x, o)
         h = getattr(self, f"ln2_{i}")(x)
@@ -307,6 +313,16 @@ class TextDecoder(Module):
         steps, the PRNG key threaded through the carry.  INT8-only (call
         after convert()).  temperature=0 (default) is greedy; >0 samples
         softmax(logits/T), optionally over the top_k codes.
+
+        After ``shard()`` the whole program runs under ``shard_map`` on
+        the mesh: the batch splits over the data axis and the transformer
+        TP roles apply per step — head-local attention decodes against a
+        HEAD-SHARDED u8 KV cache (each device stores and reads only its
+        heads' cache: 1/model_size the cache HBM per device), row-parallel
+        proj/fc2 psum their s32 partials.  Greedy tokens are BIT-identical
+        to the unsharded run; sampled runs fold the data-shard index into
+        the PRNG key (each shard draws an independent stream — same
+        distribution, different draws than unsharded).
         """
         if not self.is_quant:
             raise RuntimeError("generate() requires a converted model")
@@ -318,7 +334,8 @@ class TextDecoder(Module):
             raise ValueError(
                 f"prompt {t0} + steps {steps} exceeds max_len "
                 f"{self.max_len}")
-        key = (b, t0, steps, float(temperature), top_k)
+        mesh = getattr(self, "_mesh", None)
+        key = (b, t0, steps, float(temperature), top_k, id(mesh))
         if not hasattr(self, "_gen_cache"):
             self._gen_cache = {}
         fn = self._gen_cache.get(key)
@@ -348,10 +365,50 @@ class TextDecoder(Module):
                 finally:
                     self._bind(None)
 
-            fn = jax.jit(run)
+            if mesh is None:
+                fn = jax.jit(run)
+            else:
+                fn = jax.jit(self._sharded_generate_fn(run, b))
             self._gen_cache[key] = fn
         return np.asarray(fn(self._gather_params(), jnp.asarray(ids),
                              jax.random.PRNGKey(seed)))
+
+    def _sharded_generate_fn(self, run, b: int):
+        """Wrap ``run`` in shard_map over the model's mesh: prompt rows
+        split over the data axis, params at their placed specs, the
+        transformer TP context active inside (head-sharded KV cache,
+        row-parallel psums)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.context import axes as axes_ctx
+
+        mesh, pa, specs = self._mesh, self._parallel_axes, self._tp_specs
+        if b % pa.data_size:
+            raise ValueError(
+                f"generate() on a ({pa.data_size}, {pa.model_size}) mesh "
+                f"needs batch % {pa.data_size} == 0, got {b}")
+
+        def sharded(params, prompt, rng0):
+            def local_fn(local_params, local_prompt, rng):
+                self._bind(local_params)
+                try:
+                    with axes_ctx(pa):
+                        # independent sampling stream per data shard
+                        # (unused when temperature == 0)
+                        rng = jax.random.fold_in(
+                            rng, lax.axis_index(pa.data_axis))
+                        return run(local_params, local_prompt, rng)
+                finally:
+                    self._bind(None)
+
+            return jax.shard_map(
+                local_fn, mesh=mesh,
+                in_specs=(specs, P(pa.data_axis), P()),
+                out_specs=P(pa.data_axis),
+                check_vma=False,
+            )(params, prompt, rng0)
+
+        return sharded
 
 
 def torch_text_decoder(vocab_size: int = 1000, max_len: int = 64,

@@ -116,9 +116,11 @@ def shard_module(module, mesh, data_axis: str = "data",
 
     # Move params onto the mesh now (one host->HBM transfer per weight).
     for name, layer in module.named_layers():
-        if layer._tp_row and "rowsum" in layer.params:
-            rs = layer.params["rowsum"]
-            if rs.ndim == 1:
+        rs = layer.params.get("rowsum")
+        if layer._tp_row and rs is not None:
+            if rs.ndim != 2 or rs.shape[0] != model_size:
+                if rs.ndim == 2:        # re-shard onto a different mesh
+                    rs = rs.sum(axis=0)
                 # restack the full-K rowsum into per-shard local rowsums
                 # [model_size, N]: shard s's row = sum over its K rows of
                 # qw_kn.  _forward_int8_row's psum of the local
@@ -126,8 +128,12 @@ def shard_module(module, mesh, data_axis: str = "data",
                 qw = layer.params["qw_kn"]
                 k, n = qw.shape
                 layer.params["rowsum"] = (
-                    qw.astype(jnp.int32)
+                    jnp.asarray(qw).astype(jnp.int32)
                     .reshape(model_size, k // model_size, n).sum(axis=1))
+        elif not layer._tp_row and rs is not None and rs.ndim == 2:
+            # was row-parallel on a previous mesh: collapse the stacked
+            # per-shard rowsums back to the full [N] (exact integer sum)
+            layer.params["rowsum"] = rs.sum(axis=0)
         layer.params = {
             k: jax.device_put(v, NamedSharding(mesh, specs[name][k]))
             for k, v in layer.params.items()

@@ -259,3 +259,31 @@ def test_transformer_tp_head_fallback_bit_exact():
     assert vit.fc2_1._tp_row              # 264 % 2 == 0 -> row engaged
     got = vit(q.tensor(x)).numpy()
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_tp_generate_bit_exact(mesh_shape):
+    """generate() after shard(): the whole prefill+decode scan runs under
+    shard_map — head-SHARDED u8 KV cache (each device holds only its
+    heads' cache), row-parallel proj/fc2 psums inside the scan.  Greedy
+    tokens are bit-identical to the unsharded run."""
+    import numpy as np
+    import int8inferenceengine_tpu as q
+    from int8inferenceengine_tpu import models
+    from int8inferenceengine_tpu.models.text_decoder import \
+        torch_text_decoder
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+
+    dec = models.build("gpt_tiny", vocab_size=97, max_len=48, dim=128,
+                       depth=2, heads=4)
+    dec.load(torch_text_decoder(vocab_size=97, max_len=48, dim=128,
+                                depth=2, heads=4).state_dict())
+    ids = np.random.default_rng(0).integers(0, 97, (4, 16)).astype(np.int32)
+    dec.prepare(); dec(q.tensor(ids)); dec.convert()
+    want = dec.generate(ids, 20)
+    dec.shard(make_mesh(mesh_shape))
+    got = dec.generate(ids, 20)
+    np.testing.assert_array_equal(got, want)
+    # sampling draws a valid independent stream per data shard
+    s = dec.generate(ids, 6, temperature=0.8, top_k=20, seed=7)
+    assert ((s >= 0) & (s < 97)).all()

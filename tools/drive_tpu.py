@@ -134,6 +134,13 @@ def sec_levers():
     out = run(m, ids)
     agree = (out[:, -1].argmax(-1) == tw_out[:, -1].argmax(-1)).mean()
     assert np.isfinite(out).all()
+    # Expected range 0.75-1.00, NOT a GPTQ defect (chased 2026-08-19):
+    # plain W4 on this UNTRAINED toy decoder shows the same agreement
+    # (4-bit weight noise on near-flat logits flips the toy's argmax);
+    # GPTQ actually raises last-token agreement vs plain W4 here
+    # (0.88 vs 0.75 on CPU, bit-deterministic). Trained-model levers are
+    # guarded by tests/test_gptq.py (layer MSE) and the depth-8 labelled
+    # accuracy study.
     print(f"gptq-w4: finite, argmax agree {agree:.2f}", flush=True)
 
 
