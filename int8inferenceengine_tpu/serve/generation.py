@@ -96,6 +96,12 @@ class GenerationEngine:
                  eos_id: int | None = None):
         if not model.is_quant:
             raise RuntimeError("GenerationEngine requires a converted model")
+        if getattr(model, "_mesh", None) is not None:
+            raise NotImplementedError(
+                "GenerationEngine drives an unsharded decoder; for a "
+                "shard()ed model use model.generate() (which runs the "
+                "whole decode under shard_map with a head-sharded KV "
+                "cache) — slot-engine TP is future work")
         self.model = model
         self.slots = slots
         self.chunk_steps = chunk_steps
