@@ -1188,13 +1188,18 @@ def fused_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
 
 
 def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
-                           av: "QuantMatmul", qh: Tensor, kh: Tensor,
-                           vh: Tensor, valid) -> Tensor:
+                           av: "QuantMatmul", q2: Tensor, kc: Tensor,
+                           vc: Tensor, valid, head_dim: int) -> Tensor:
     """Cached-decode twin of :func:`fused_attention`: one query row
-    against the full KV cache with ``valid`` live positions.
+    against the full T-major FLAT KV cache with ``valid`` live positions.
 
-    Drop-in for ``av(smax(attn(qh, kh), valid_len=valid), vh)`` after
-    convert(); models gate on ``QuantConfig.decode_attention``.
+    ``q2`` [B, C] is the un-split query projection row; ``kc``/``vc``
+    [B, T, C] are the flat caches (row t = that position's head-merged
+    codes).  Semantically ``merge(av(smax(attn(split(q), split(k)),
+    valid_len=valid), split(v)))`` after convert(); models gate on
+    ``QuantConfig.decode_attention``.  Under head-parallel TP the inputs
+    are local channel shards and ``C_local / head_dim`` local heads
+    decode independently — exact per head.
     """
     if not (attn.is_quantized and smax.is_quantized and av.is_quantized):
         raise RuntimeError("fused_decode_attention requires converted "
@@ -1204,28 +1209,29 @@ def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
                          "(transpose_b) and a plain P@V")
     from .ops import attention as attn_ops
     backend = attn.config.decode_attention
+    n_heads = q2.data.shape[-1] // head_dim      # local under TP
     # 'off' = the caller asked for the composed per-layer path: honor it
     # (decode_attention 'xla' IS that composed triple) instead of
     # silently coercing to 'auto' (advisor finding, round 1).
-    out = attn_ops.decode_attention(
-        qh.data, kh.data, vh.data, valid,
+    out = attn_ops.decode_attention_flat(
+        q2.data, kc.data, vc.data, valid, n_heads=n_heads,
         backend="xla" if backend == "off" else backend,
-        scale_q=qh.scale, zp_q=qh.zero_point,
-        scale_k=kh.scale, zp_k=kh.zero_point,
-        scale_v=vh.scale, zp_v=vh.zero_point,
+        scale_q=q2.scale, zp_q=q2.zero_point,
+        scale_k=kc.scale, zp_k=kc.zero_point,
+        scale_v=vc.scale, zp_v=vc.zero_point,
         scale_s=attn.scale, zp_s=attn.zero_point,
         scale_p=smax.scale, zp_p=smax.zero_point,
         scale_c=av.scale, zp_c=av.zero_point,
         alpha=attn.alpha, rounding=attn.config.rounding)
-    t = kh.data.shape[-2]
-    _record_cost(attn, 2 * qh.data.size * t,
-                 qh.data.size + kh.data.size)
-    _record_cost(av, 2 * out.size * t, vh.data.size + out.size)
+    t = kc.data.shape[-2]
+    _record_cost(attn, 2 * q2.data.size * t,
+                 q2.data.size + kc.data.size)
+    _record_cost(av, 2 * out.size * t, vc.data.size + out.size)
     # head-parallel TP: per-(b, h) decode attention is exact on a local
     # head shard — propagate the flag so the row-parallel out-proj
     # consumes the shard directly
     return Tensor(out, av.scale, av.zero_point,
-                  _tp_sharded=qh._tp_sharded)
+                  _tp_sharded=q2._tp_sharded)
 
 
 class QuantLayerNorm(Layer):

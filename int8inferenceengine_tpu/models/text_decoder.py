@@ -7,11 +7,15 @@ primitives (QuantEmbed / QuantPosEmbed(cls=False) / QuantMatmul /
 QuantSoftmax(causal=True) / QuantLayerNorm / fused Linear+gelu), plus two
 decode-path capabilities:
 
-* **u8 KV cache**: each layer's wk/wv Linear emits u8 codes at a FIXED
-  calibrated (scale, zp) after convert(), so cached keys/values are plain
-  u8 code arrays — 4x smaller than an f32 cache, appended with
-  ``lax.dynamic_update_slice`` into static [B, H, T_max, D] buffers
-  (static shapes: one compiled decode step serves every position).
+* **u8 KV cache, T-major flat layout**: each layer's wk/wv Linear emits
+  u8 codes at a FIXED calibrated (scale, zp) after convert(), so cached
+  keys/values are plain u8 code arrays — 4x smaller than an f32 cache —
+  stored as static [B, T_max, H*D] buffers: position t's codes are ONE
+  contiguous row, so the per-step append is a contiguous
+  ``lax.dynamic_update_slice`` row write and the decode-attention kernel
+  (ops/attention.py flat path) DMAs only live row blocks (cost scales
+  with the live length, not T_max).  Static shapes: one compiled decode
+  step serves every position.
 * **exact masked attention over the static cache**: scores span all T_max
   cached positions; ``QuantSoftmax(valid_len=pos+1)`` masks dead columns
   to -inf, whose probabilities then quantize to exactly the zero_point
@@ -124,7 +128,9 @@ class TextDecoder(Module):
         kh = F.split_heads(k2.reshape(b, t, -1), self.heads)
         vh = F.split_heads(v2.reshape(b, t, -1), self.heads)
         if capture is not None:
-            capture[i] = (kh, vh)
+            # FLAT rows for the T-major KV cache (ops/attention.py flat
+            # decode path): position t's codes are one contiguous [H*D] row
+            capture[i] = (k2.reshape(b, t, -1), v2.reshape(b, t, -1))
         s = getattr(self, f"attn{i}")(qh, kh)
         p = getattr(self, f"smax{i}")(s)
         o = getattr(self, f"av{i}")(p, vh)
@@ -161,25 +167,25 @@ class TextDecoder(Module):
         [0, T0).  ``last`` ([B] or scalar, traced): true prompt lengths
         when ids are right-padded — logits come from row last-1."""
         b, t0 = ids.data.shape
-        hd = self.dim // self.heads
         x = self.pe(self.embed(ids))
         x = x.reshape(b * t0, self.dim)
         cache = {}
         for i in range(1, self.depth + 1):
             cap = {}
             x = self._block(i, x, b, t0, capture=cap)
-            kh, vh = cap[i]
+            kf, vf = cap[i]                          # FLAT [B, T0, C] rows
             # u8 codes in W8A8 mode; float in weight_only (W8-float) mode.
-            # Buffer sized from the captured codes: under head-parallel TP
-            # they are a LOCAL head shard, so each device stores only its
-            # heads' cache (1/model_size of the KV HBM per device).
-            dt = kh.data.dtype
-            _, h_loc, _, hd_loc = kh.data.shape
-            k_buf = jnp.zeros((b, h_loc, self.max_len, hd_loc), dt)
-            v_buf = jnp.zeros((b, h_loc, self.max_len, hd_loc), dt)
+            # T-major flat buffers [B, T_max, C]: appends are contiguous
+            # row writes and the decode kernel DMAs only live row blocks.
+            # Under head-parallel TP the captured rows are a LOCAL channel
+            # shard, so each device stores only its heads' cache.
+            dt = kf.data.dtype
+            c_loc = kf.data.shape[-1]
+            k_buf = jnp.zeros((b, self.max_len, c_loc), dt)
+            v_buf = jnp.zeros((b, self.max_len, c_loc), dt)
             cache[i] = (
-                lax.dynamic_update_slice(k_buf, kh.data, (0, 0, 0, 0)),
-                lax.dynamic_update_slice(v_buf, vh.data, (0, 0, 0, 0)),
+                lax.dynamic_update_slice(k_buf, kf.data, (0, 0, 0)),
+                lax.dynamic_update_slice(v_buf, vf.data, (0, 0, 0)),
             )
         x = self.ln_f(x)
         # u8 logit CODES — argmax over codes == argmax over dequantized
@@ -214,22 +220,25 @@ class TextDecoder(Module):
 
             def kv_hook(cap=cap, i=i, k_cache=k_cache, v_cache=v_cache,
                         ks=ks, kzp=kzp, vs=vs, vzp=vzp):
-                kh, vh = cap[i]
+                kf, vf = cap[i]                      # FLAT [B, 1, C] rows
                 if per_slot:
                     upd = jax.vmap(
                         lambda c, u, p: lax.dynamic_update_slice(
-                            c, u, (0, p, 0)))
-                    kc = upd(k_cache, kh.data, pos)
-                    vc = upd(v_cache, vh.data, pos)
+                            c, u, (p, 0)))
+                    kc = upd(k_cache, kf.data, pos)
+                    vc = upd(v_cache, vf.data, pos)
                 else:
-                    kc = lax.dynamic_update_slice(k_cache, kh.data,
-                                                  (0, 0, pos, 0))
-                    vc = lax.dynamic_update_slice(v_cache, vh.data,
-                                                  (0, 0, pos, 0))
+                    kc = lax.dynamic_update_slice(k_cache, kf.data,
+                                                  (0, pos, 0))
+                    vc = lax.dynamic_update_slice(v_cache, vf.data,
+                                                  (0, pos, 0))
                 new_cache[i] = (kc, vc)
-                if not kh.quantized:          # weight_only: float cache
-                    return (Tensor(kc), Tensor(vc))
-                return (Tensor(kc, ks, kzp), Tensor(vc, vs, vzp))
+                sharded = kf._tp_sharded
+                if not kf.quantized:          # weight_only: float cache
+                    return (Tensor(kc, _tp_sharded=sharded),
+                            Tensor(vc, _tp_sharded=sharded))
+                return (Tensor(kc, ks, kzp, _tp_sharded=sharded),
+                        Tensor(vc, vs, vzp, _tp_sharded=sharded))
 
             x = self._block_decode(i, x, b, valid, cap, kv_hook)
         x = self.ln_f(x)
@@ -246,28 +255,32 @@ class TextDecoder(Module):
     def _block_decode(self, i, x, b, valid, cap, kv_hook):
         h = getattr(self, f"ln1_{i}")(x)
         q2, k2, v2 = self._qkv(i, h)
-        # -1 widths: under head-parallel TP the projections keep their
-        # LOCAL channel shard — the KV cache is then head-sharded too
-        qh = F.split_heads(q2.reshape(b, 1, -1), self.heads)
-        cap[i] = (
-            F.split_heads(k2.reshape(b, 1, -1), self.heads),
-            F.split_heads(v2.reshape(b, 1, -1), self.heads),
-        )
-        kh, vh = kv_hook()
+        # FLAT [B, 1, C] rows into the T-major cache (local channel
+        # shards under head-parallel TP — the cache is head-sharded too)
+        cap[i] = (k2.reshape(b, 1, -1), v2.reshape(b, 1, -1))
+        kc, vc = kv_hook()                            # [B, T_max, C]
         attn, smax, av = (getattr(self, f"attn{i}"),
                           getattr(self, f"smax{i}"),
                           getattr(self, f"av{i}"))
-        if (self.config.decode_attention != "off" and attn.is_quantized
-                and kh.quantized):
-            # one fused op per layer: the composed triple's in-scan XLA
-            # lowering is the measured decode bottleneck (ops/attention.py)
-            o = fused_decode_attention(attn, smax, av, qh, kh, vh, valid)
+        if (attn.is_quantized and kc.quantized):
+            # one fused op per layer over the flat cache: the composed
+            # triple's in-scan XLA lowering is the measured decode
+            # bottleneck, and the flat kernel's DMA scales with the live
+            # length (ops/attention.py); decode_attention='off' routes
+            # the same op through the composed-XLA oracle
+            o = fused_decode_attention(attn, smax, av, q2, kc, vc, valid,
+                                       self.dim // self.heads)
         else:
+            # float cache (weight_only modes): composed attention on
+            # head-split views of the flat cache
+            qh = F.split_heads(q2.reshape(b, 1, -1), self.heads)
+            kh = F.split_heads(kc, self.heads)
+            vh = F.split_heads(vc, self.heads)
             s = attn(qh, kh)                          # [B, H, 1, T_max]
             p = smax(s, valid_len=valid)
             o = av(p, vh)                             # [B, H, 1, D]
-        o = F.merge_heads(o)
-        o = o.reshape(b, o.shape[-1])
+            o = F.merge_heads(o)
+            o = o.reshape(b, o.shape[-1])
         o = getattr(self, f"proj{i}")(o)
         x = getattr(self, f"add1_{i}")(x, o)
         h = getattr(self, f"ln2_{i}")(x)

@@ -243,23 +243,146 @@ def _decode_attn_kernel(valid_ref, fp_ref, ip_ref, q_ref, k_ref, v_ref,
         ^ jnp.uint8(0x80)                            # [H, D]
 
 
+# Block-skipped variant (the 'auto' choice for T <= 512): the cache is
+# static [T_max] but only ``valid`` positions are live — early in a
+# generation that is a small fraction (prompt 64 in a 512 cache = 12%).
+# The kernel walks the T axis in _DEC_BLK-row blocks and computes ONLY
+# blocks that intersect [0, valid): per-step MXU/VPU work scales with
+# the live length instead of max_len.  (The HBM->VMEM block copy still
+# covers the full cache — Mosaic can't slice the 64-lane D dim of a
+# tiled memref for a partial DMA; a T-major cache layout would unlock
+# that too.)  Exactness is unchanged: score blocks land in a scratch
+# that the (colio < valid) mask fully covers for dead/garbage regions,
+# the softmax then runs over the same masked [H, T] array in the same
+# reduction order as the full kernel, and skipped P@V blocks would have
+# contributed exactly zero anyway (dead probabilities quantize to zp_p,
+# and the fold uses p - zp_p).
+_DEC_BLK = 128
+
+
+def _decode_attn_kernel_blk(valid_ref, fp_ref, ip_ref, q_ref, k_ref, v_ref,
+                            o_ref, s_scr, a2_scr, *,
+                            n_heads: int, t: int, d: int):
+    f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
+    h, blk = n_heads, _DEC_BLK
+    nblk = t // blk
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    rb = fp_ref[_RB]
+    c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
+    c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
+
+    def dot_t(x, y):                                 # x [M,K] . y [N,K]^T
+        return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32).astype(i32)
+
+    def dot_n(x, y):                                 # x [M,K] . y [K,N]
+        return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32).astype(i32)
+
+    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)       # [H, D]
+    aq = (a8.astype(f32) + f32(c_q)).astype(bf16)    # q - zp_q, exact
+    rowsum_aq = jnp.sum(aq.astype(f32), axis=1,
+                        keepdims=True).astype(i32)   # [H, 1]
+    eye3b = (lax.broadcasted_iota(i32, (h, h, 1), 0)
+             == lax.broadcasted_iota(i32, (h, h, 1), 1))
+    rowio = lax.broadcasted_iota(i32, (h, h * blk), 0)
+    blkio = lax.broadcasted_iota(i32, (h, h * blk), 1) // blk
+    diag = rowio == blkio
+
+    for tb in range(nblk):                           # static unroll
+        @pl.when(tb * blk < valid)
+        def _(tb=tb):
+            kb = k_ref[0, :, tb * blk:(tb + 1) * blk, :]     # [H, BLK, D]
+            kf = pltpu.bitcast(kb ^ jnp.uint8(0x80), s8) \
+                .reshape(h * blk, d).astype(bf16)    # [H*BLK, D]
+            big = dot_t(aq, kf)                      # [H, H*BLK]
+            scores = jnp.sum(
+                jnp.where(eye3b, big.reshape(h, h, blk), 0), axis=1)
+            acc = scores + c_k * rowsum_aq           # [H, BLK] i32 exact
+            codes = jnp.clip(
+                acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
+                0.0, 255.0)
+            codes = jnp.floor(codes + rb)
+            s_scr[:, tb * blk:(tb + 1) * blk] = \
+                (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
+        # dead blocks: scratch stays garbage — the mask below covers it
+
+    colio = lax.broadcasted_iota(i32, (h, t), 1)
+    x = jnp.where(colio < valid, s_scr[...], -jnp.inf)
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
+    pcodes = jnp.floor(pcodes + rb)                  # [H, T]
+    pz = pcodes + f32(c_p - 128)                     # p - zp_p (dead -> 0)
+
+    a2_scr[...] = jnp.zeros((h, d), i32)
+    for tb in range(nblk):                           # static unroll
+        @pl.when(tb * blk < valid)
+        def _(tb=tb):
+            vb = v_ref[0, :, tb * blk:(tb + 1) * blk, :]     # [H, BLK, D]
+            vf = pltpu.bitcast(vb ^ jnp.uint8(0x80), s8) \
+                .reshape(h * blk, d).astype(bf16)    # [H*BLK, D]
+            pz_blk = jnp.tile(pz[:, tb * blk:(tb + 1) * blk], (1, h))
+            pbig = jnp.where(diag, pz_blk, 0.0).astype(bf16)
+            a2_scr[...] += dot_n(pbig, vf)           # exact i32 partials
+
+    rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)
+    acc2 = a2_scr[...] + c_v * rowsum_pz             # [H, D]
+    qo = jnp.clip(acc2.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
+                  0.0, 255.0)
+    qo = (qo + rb).astype(i32)
+    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
+        ^ jnp.uint8(0x80)                            # [H, D]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _decode_attn_pallas_impl(q3, k4, v4, valid, fparams, iparams, *,
                              interpret: bool = False):
     bsz, n_heads, t, d = k4.shape
+    q_spec = pl.BlockSpec((1, n_heads, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # The p - zp_p fold needs 255*128*T <= 2^24 (T <= 512); the blockwise
+    # kernel also wants T % _DEC_BLK == 0.  Otherwise the full kernel.
+    if t % _DEC_BLK == 0 and t <= 512:
+        kernel = functools.partial(_decode_attn_kernel_blk,
+                                   n_heads=n_heads, t=t, d=d)
+        kv_spec = pl.BlockSpec((1, n_heads, t, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz,),
+            in_specs=[smem, smem, smem, q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, n_heads, d), jnp.uint8),
+            scratch_shapes=[
+                pltpu.VMEM((n_heads, t), jnp.float32),          # scores
+                pltpu.VMEM((n_heads, d), jnp.int32),            # acc2
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bsz * n_heads * t * d * 2,
+                bytes_accessed=(2 * bsz * n_heads * t * d
+                                + 2 * bsz * n_heads * d),
+                transcendentals=bsz * n_heads * t,
+            ),
+            interpret=interpret,
+        )(valid, fparams, iparams, q3, k4, v4)
     kernel = functools.partial(_decode_attn_kernel, n_heads=n_heads,
                                t=t, d=d)
     kv_spec = pl.BlockSpec((1, n_heads, t, d), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    q_spec = pl.BlockSpec((1, n_heads, d), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # valid [B]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # iparams
+            smem,                                    # valid [B]
+            smem,                                    # fparams
+            smem,                                    # iparams
             q_spec, kv_spec, kv_spec,
         ],
         out_specs=q_spec,
@@ -275,6 +398,252 @@ def _decode_attn_pallas_impl(q3, k4, v4, valid, fparams, iparams, *,
         ),
         interpret=interpret,
     )(valid, fparams, iparams, q3, k4, v4)
+
+
+# ---------------------------------------------------------------------------
+# Flat T-major decode attention: cache [B, T, H*D], DMA and compute ~ valid
+# ---------------------------------------------------------------------------
+#
+# The [B, H, T, D] kernels above must DMA the FULL static cache into VMEM
+# every step (Mosaic cannot partially slice the 64-lane D dim of a tiled
+# memref), so even with dead-block compute skipped the call floors at the
+# max_len cache read (~19 us at T=512 when only 64 rows are live).  The
+# T-major FLAT layout fixes that structurally:
+#
+#   * cache rows are [H*D] — contiguous, 128-aligned — so the kernel
+#     manually DMAs ONLY the live _DEC_BLK-row tiles: HBM traffic per
+#     step scales with the live length, not max_len;
+#   * the per-step cache append is one contiguous [B, 1, H*D] row write;
+#   * the query rides a BLOCK-DIAGONAL [H, H*D] matrix (head h's row
+#     holds q' in its own d-segment, zeros elsewhere), so ONE
+#     [H, C] x [C, BLK] dot yields exact per-head scores directly — no
+#     cross-head waste, no diagonal extraction on the scores;
+#   * P@V accumulates [H, C] per-block dots in i32 and extracts the
+#     per-head diagonal d-segments once at the end ([H, H, D] — 16x
+#     smaller than the score-side extraction the layout removes).
+#
+# Exactness: identical integer math to the composed path.  Corrections
+# fold into the operands (q' = q - zp_q, p' = p - zp_p); every per-block
+# f32 dot stays below 2^24 (255*128*BLK = 4.2M at BLK=128) and the
+# cross-block accumulation is i32 — so unlike the [B, H, T, D] kernels
+# there is NO max_len bound: the flat kernel is exact for any T.
+# Dead positions quantize to exactly zp_p and contribute exactly zero,
+# so skipped blocks are exact skips (the u8-KV-cache invariant).
+
+
+def _dec_blk(t: int) -> int:
+    """Largest u8-sublane-aligned T-block that divides the cache length
+    (0 = unsupported -> XLA fallback)."""
+    for b in (_DEC_BLK, 64, 32):
+        if t % b == 0:
+            return b
+    return 0
+
+
+def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
+                             v_ref, o_ref, buf0, buf1, s_scr, a2_scr,
+                             sem0, sem1, *, n_heads: int, t: int, d: int,
+                             blk: int):
+    f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
+    bufs, sems = (buf0, buf1), (sem0, sem1)
+    h = n_heads
+    c = h * d
+    nblk = t // blk
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    rb = fp_ref[_RB]
+    c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
+    c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
+
+    def dot_t(x, y):                                 # x [M,K] . y [N,K]^T
+        return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32).astype(i32)
+
+    def dot_n(x, y):                                 # x [M,K] . y [K,N]
+        return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32).astype(i32)
+
+    # block-diagonal query: aq_wide[h, h*D + d] = q[h*D + d] - zp_q
+    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)       # [1, C]
+    aqf = a8.astype(f32) + f32(c_q)                  # q - zp_q, exact ints
+    seg = lax.broadcasted_iota(i32, (h, c), 1) // d  # column's head
+    rowh = lax.broadcasted_iota(i32, (h, c), 0)
+    aq_wide = jnp.where(seg == rowh,
+                        jnp.broadcast_to(aqf, (h, c)), 0.0).astype(bf16)
+    rowsum_aq = jnp.sum(jnp.where(seg == rowh,
+                                  jnp.broadcast_to(aqf, (h, c)), 0.0),
+                        axis=1, keepdims=True).astype(i32)   # [H, 1]
+
+    # double-buffered block walk: prefetch block tb+1's rows while
+    # computing on block tb (the serial copy->wait->compute version
+    # measured 2x slower at full valid).  Live blocks are the prefix
+    # [0, ceil(valid/blk)), so block 0 is always live (valid >= 1).
+    def walk(ref, compute):
+        def cp(tb, side):
+            return pltpu.make_async_copy(
+                ref.at[b, pl.ds(tb * blk, blk), :], bufs[side],
+                sems[side])
+
+        cp(0, 0).start()
+        for tb in range(nblk):                       # static unroll
+            if tb + 1 < nblk:
+                @pl.when((tb + 1) * blk < valid)
+                def _(tb=tb):
+                    cp(tb + 1, (tb + 1) % 2).start()
+
+            @pl.when(tb * blk < valid)
+            def _(tb=tb):
+                cp(tb, tb % 2).wait()
+                compute(tb, bufs[tb % 2])
+        # dead blocks: never copied, never computed
+
+    def k_block(tb, buf):
+        kf = pltpu.bitcast(buf[...] ^ jnp.uint8(0x80), s8) \
+            .astype(bf16)                            # [BLK, C] k - 128
+        scores = dot_t(aq_wide, kf)                  # [H, BLK] exact
+        acc = scores + c_k * rowsum_aq
+        codes = jnp.clip(
+            acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
+            0.0, 255.0)
+        codes = jnp.floor(codes + rb)
+        s_scr[:, tb * blk:(tb + 1) * blk] = \
+            (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
+
+    walk(k_ref, k_block)
+    # dead score regions stay garbage — the mask below covers them
+
+    colio = lax.broadcasted_iota(i32, (h, t), 1)
+    x = jnp.where(colio < valid, s_scr[...], -jnp.inf)
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
+    pcodes = jnp.floor(pcodes + rb)                  # [H, T]
+    pz = pcodes + f32(c_p - 128)                     # p - zp_p (dead -> 0)
+
+    a2_scr[...] = jnp.zeros((h, c), i32)
+
+    def v_block(tb, buf):
+        vf = pltpu.bitcast(buf[...] ^ jnp.uint8(0x80), s8) \
+            .astype(bf16)                            # [BLK, C] v - 128
+        pzb = pz[:, tb * blk:(tb + 1) * blk].astype(bf16)
+        a2_scr[...] += dot_n(pzb, vf)                # [H, C] i32 partials
+
+    walk(v_ref, v_block)
+
+    # head h's result lives in columns [h*D, (h+1)*D) of its a2 row —
+    # flattening back to [1, C] is a column-wise row-select with the SAME
+    # (seg == rowh) mask as aq_wide: a sublane reduction, no reshapes
+    # (Mosaic rejects the [H, C] -> [H, H, D] minor-split shape cast)
+    rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)  # [H, 1]
+    corr = jnp.broadcast_to(c_v * rowsum_pz, (h, c))
+    acc2f = jnp.sum(jnp.where(seg == rowh, a2_scr[...] + corr, 0),
+                    axis=0, keepdims=True)           # [1, C] i32 exact
+    qo = jnp.clip(acc2f.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
+                  0.0, 255.0)
+    qo = (qo + rb).astype(i32)
+    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
+        ^ jnp.uint8(0x80)                            # [1, C]
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+def _decode_attn_flat_impl(q2, k3, v3, valid, fparams, iparams, *,
+                           n_heads: int, interpret: bool = False):
+    bsz, t, c = k3.shape
+    d = c // n_heads
+    blk = _dec_blk(t)
+    kernel = functools.partial(_decode_attn_kernel_flat, n_heads=n_heads,
+                               t=t, d=d, blk=blk)
+    # [B, 1, C] with block (1, 1, C): the block's last two dims must be
+    # (8, 128)-divisible or equal the array dims — (1, C) equals
+    row_spec = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[smem, smem, smem, row_spec,
+                  pl.BlockSpec(memory_space=pltpu.ANY),   # k cache (HBM)
+                  pl.BlockSpec(memory_space=pltpu.ANY)],  # v cache (HBM)
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, c), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((blk, c), jnp.uint8),         # tile buffer 0
+            pltpu.VMEM((blk, c), jnp.uint8),         # tile buffer 1
+            pltpu.VMEM((n_heads, t), jnp.float32),   # masked scores
+            pltpu.VMEM((n_heads, c), jnp.int32),     # P@V accumulator
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_heads * t * d * 2,
+            bytes_accessed=2 * bsz * t * c + 2 * bsz * c,
+            transcendentals=bsz * n_heads * t,
+        ),
+        interpret=interpret,
+    )(valid, fparams, iparams, q2.reshape(bsz, 1, c), k3, v3
+      ).reshape(bsz, c)
+
+
+def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
+                          backend: str = "auto", interpret: bool = False,
+                          **kw):
+    """Cached-decode attention on the T-major FLAT cache layout.
+
+    q [B, C] u8 (pre-head-split projection row), k/v caches [B, T, C] u8
+    (row t = that position's [H*D] codes), ``valid`` the live length
+    (scalar or [B]) -> u8 [B, C] (head-merged context row).
+
+    The serving layout: appends are contiguous row writes, and the Pallas
+    kernel DMAs + computes only live _DEC_BLK blocks (cost ~ valid, not
+    max_len).  Exact for any T (see the kernel comment).  The XLA
+    fallback reshapes to [B, H, T, D] and runs the composed oracle.
+    """
+    bsz, t, c = k3_u8.shape
+    if c % n_heads:
+        raise ValueError(f"flat channels {c} not divisible by "
+                         f"{n_heads} heads")
+    d = c // n_heads
+    v_arr = jnp.asarray(valid, jnp.int32)
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and _dec_blk(t) else "xla")
+    elif backend == "pallas" and not _dec_blk(t):
+        raise ValueError(
+            f"decode_attention_flat kernel needs a cache length divisible "
+            f"by 32, got T={t}; use 'auto'/'xla'")
+    if backend != "pallas":
+        def to4(x2):                                  # [B, T, C]->[B,H,T,D]
+            return jnp.transpose(x2.reshape(bsz, -1, n_heads, d),
+                                 (0, 2, 1, 3))
+        out4 = decode_attention_xla(
+            to4(q2_u8.reshape(bsz, 1, c)), to4(k3_u8), to4(v3_u8),
+            v_arr.reshape(bsz, 1, 1, 1) if v_arr.ndim else v_arr, **kw)
+        return jnp.transpose(out4, (0, 2, 1, 3)).reshape(bsz, c)
+    valid_b = (jnp.broadcast_to(v_arr.reshape(-1), (bsz,))
+               if v_arr.ndim <= 1 else v_arr.reshape(bsz))
+    rounding = kw.pop("rounding", "trunc")
+    alpha = kw.pop("alpha")
+    mult_s = (jnp.float32(kw["scale_q"]) * jnp.float32(kw["scale_k"])
+              * jnp.float32(alpha) / jnp.float32(kw["scale_s"]))
+    mult_o = (jnp.float32(kw["scale_p"]) * jnp.float32(kw["scale_v"])
+              / jnp.float32(kw["scale_c"]))
+    rb = 0.5 if rounding == "nearest" else 0.0
+    fparams = jnp.stack([
+        mult_s, jnp.float32(kw["zp_s"]), jnp.float32(kw["scale_s"]),
+        jnp.float32(kw["scale_p"]), jnp.float32(kw["zp_p"]), mult_o,
+        jnp.float32(kw["zp_c"]), jnp.float32(rb),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ])
+    iparams = jnp.asarray([128 - int(kw["zp_q"]), 128 - int(kw["zp_k"]),
+                           128 - int(kw["zp_p"]), 128 - int(kw["zp_v"])],
+                          jnp.int32)
+    return _decode_attn_flat_impl(q2_u8, k3_u8, v3_u8, valid_b,
+                                  fparams, iparams, n_heads=n_heads,
+                                  interpret=interpret)
 
 
 def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,

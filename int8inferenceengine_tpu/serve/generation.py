@@ -108,11 +108,13 @@ class GenerationEngine:
         self.eos_id = eos_id
         self._queue: queue.Queue[_GenRequest | None] = queue.Queue()
         self._params = model._gather_params()
-        hd = model.dim // model.heads
         dt = (jnp.float32 if model.config.weight_only else jnp.uint8)
+        # T-major flat caches [slots, T_max, H*D]: per-slot appends are
+        # contiguous row writes, and the decode kernel's DMA scales with
+        # each slot's live length (ops/attention.py flat decode path).
         self._caches = {
-            i: (jnp.zeros((slots, model.heads, model.max_len, hd), dt),
-                jnp.zeros((slots, model.heads, model.max_len, hd), dt))
+            i: (jnp.zeros((slots, model.max_len, model.dim), dt),
+                jnp.zeros((slots, model.max_len, model.dim), dt))
             for i in range(1, model.depth + 1)
         }
         self._pos = jnp.zeros((slots,), jnp.int32)
@@ -166,8 +168,8 @@ class GenerationEngine:
                 for i, (k1, v1) in cache1.items():
                     gk, gv = caches[i]
                     out[i] = (
-                        lax.dynamic_update_slice(gk, k1, (slot, 0, 0, 0)),
-                        lax.dynamic_update_slice(gv, v1, (slot, 0, 0, 0)),
+                        lax.dynamic_update_slice(gk, k1, (slot, 0, 0)),
+                        lax.dynamic_update_slice(gv, v1, (slot, 0, 0)),
                     )
                 tok0 = jnp.argmax(codes[0], -1).astype(jnp.int32)
                 return out, tok0

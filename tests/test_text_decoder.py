@@ -98,7 +98,8 @@ def test_cache_is_uint8():
         m._bind(None)
     for i, (k, v) in cache.items():
         assert k.dtype == jnp.uint8 and v.dtype == jnp.uint8
-        assert k.shape == (2, m.heads, m.max_len, m.dim // m.heads)
+        # T-major FLAT cache rows (ops/attention.py flat decode path)
+        assert k.shape == (2, m.max_len, m.dim)
 
 
 def test_sampling_modes():
