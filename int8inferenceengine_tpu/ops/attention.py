@@ -102,7 +102,7 @@ def attention(q_u8, k_u8, v_u8, *, backend: str = "auto", **kw):
     level kernel, not a Pallas grid.  The losing prefill Pallas kernel
     was deleted after that measurement (round 2; it lived in this file
     through commit 4848cb5) — cached DECODE attention is the regime
-    where a kernel wins, and keeps one (``_decode_attn_kernel``)."""
+    where a kernel wins, and keeps one (``_decode_attn_kernel_flat``)."""
     if backend == "auto":
         backend = "xla"
     if backend == "pallas":
@@ -131,273 +131,25 @@ def attention(q_u8, k_u8, v_u8, *, backend: str = "auto", **kw):
 # compiled standalone runs in 7us — it is the in-loop layout choice, not
 # the math, that kills it.
 #
-# The Pallas kernel takes the layout back: grid over B, each step holding
-# one batch row's [H, T, D] cache slices in VMEM (canonical (T, D)
-# tiling), with a static loop over heads doing s8 MXU dots.  ALL integer
-# arithmetic is i32 (dots exact on the MXU, corrections as i32 scalar
-# multiplies), so the accumulators are bit-identical to qmatmul_act's;
-# the f32 segments (requant epilogues, softmax) replay the composed op
-# order exactly (same mult construction, division by s_p, trunc-vs-
-# nearest ordering).  Masked positions quantize to exactly zp_p and
-# contribute exactly zero through the P@V zero-point correction — the
-# u8-KV-cache invariant the composed path documents.
+# The Pallas kernel takes the layout back.  Three revisions got here
+# (git history): a per-head static loop (45 us/call — pure MXU issue
+# latency over ~100 tiny M=1 dots), a block-diagonal all-heads version
+# on [B, H, T, D] (21.8 us — floored by the full-max_len VMEM copy:
+# Mosaic cannot partially slice the 64-lane D dim of a tiled memref),
+# and the surviving FLAT T-major kernel below (15 us at decode-typical
+# live lengths, work and DMA proportional to ``valid``).  The integer
+# accumulators are bit-identical to qmatmul_act's throughout; the f32
+# segments (requant epilogues, softmax) replay the composed op order
+# exactly (same mult construction, division by s_p, trunc-vs-nearest
+# ordering).  Masked positions quantize to exactly zp_p and contribute
+# exactly zero through the P@V zero-point correction — the u8-KV-cache
+# invariant the composed path documents.
 #
 # ``valid`` is an SMEM i32 vector [B]: generate() broadcasts its scalar
 # position, the serving engine passes per-slot positions.
 
 # iparams layout (i32 SMEM vector): the integer zero-point offsets
 _I_CQ, _I_CK, _I_CP, _I_CV = range(4)
-
-
-def _decode_attn_kernel(valid_ref, fp_ref, ip_ref, q_ref, k_ref, v_ref,
-                        o_ref, *, n_heads: int, t: int, d: int):
-    f32, i32, s8 = jnp.float32, jnp.int32, jnp.int8
-    b = pl.program_id(0)
-    valid = valid_ref[b]
-    rb = fp_ref[_RB]
-    c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
-    c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
-
-    bf16 = jnp.bfloat16
-    h = n_heads
-
-    # All heads in TWO MXU dots (three when t > 512) instead of a
-    # per-head loop.  An earlier revision unrolled the heads in Python —
-    # 2 (originally 5) M=1 dots per head x n_heads: the measured 45us/call
-    # was pure MXU-issue LATENCY (~200ns x ~100 tiny dots), 5x off the
-    # 8us KV-read bound.  Here the query heads ride ONE [H, D] x [D, H*T]
-    # cross-head dot (n_heads x wasted FLOPs on an otherwise idle MXU;
-    # the diagonal blocks are extracted on the VPU), and P@V builds the
-    # block-diagonal [H, H*T] probability matrix for one [H, H*T] x
-    # [H*T, D] dot.
-    #
-    # Mosaic's in-kernel dot can't accumulate in i32 for these shapes, so
-    # the dots run with f32 accumulation on bf16 operands and cast back —
-    # EXACT: the zero-point corrections fold INTO the integer operands
-    # (q' = q - zp_q, p' = p - zp_p, both |.| <= 255 and exactly
-    # representable in bf16; k/v recenter by 128 via the XOR bitcast),
-    # products stay <= 255*128 < 2^15, and every accumulator stays
-    # <= 2^24 (the f32 exact-integer bound): 255*128*D for scores and
-    # 255*128*T <= 2^24 for T <= 512.  For 512 < t <= 1024 the p' fold
-    # would overflow that bound, so the kernel keeps p8 = p - 128
-    # (|.| <= 128, 128*128*1024 = 2^24 exactly) and spends one extra
-    # block-diagonal ones dot on the c_p * colsum_v correction.  The
-    # dispatch in decode_attention() enforces t <= 1024.
-    def dot_t(x, y):                                 # x [M,K] . y [N,K]^T
-        return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32).astype(i32)
-
-    def dot_n(x, y):                                 # x [M,K] . y [K,N]
-        return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32).astype(i32)
-
-    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)       # [H, D]
-    aq = (a8.astype(f32) + f32(c_q)).astype(bf16)    # q - zp_q, exact
-    rowsum_aq = jnp.sum(aq.astype(f32), axis=1,
-                        keepdims=True).astype(i32)   # [H, 1]
-    kf = pltpu.bitcast(k_ref[0] ^ jnp.uint8(0x80), s8) \
-        .reshape(h * t, d).astype(bf16)              # [H*T, D] k - 128
-    big = dot_t(aq, kf)                              # [H, H*T] cross-head
-    # diagonal-block extraction: scores[i, t'] = big[i, i*T + t']
-    eye3 = (lax.broadcasted_iota(i32, (h, h, 1), 0)
-            == lax.broadcasted_iota(i32, (h, h, 1), 1))
-    scores = jnp.sum(jnp.where(eye3, big.reshape(h, h, t), 0),
-                     axis=1)                         # [H, T] i32 exact
-    acc = scores + c_k * rowsum_aq                   # [H, T]
-    codes = jnp.clip(acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
-                     0.0, 255.0)
-    codes = jnp.floor(codes + rb)
-    x = (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
-    colio = lax.broadcasted_iota(i32, (h, t), 1)
-    x = jnp.where(colio < valid, x, -jnp.inf)
-    m = jnp.max(x, axis=1, keepdims=True)
-    e = jnp.exp(x - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)
-    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
-    pcodes = jnp.floor(pcodes + rb)                  # [H, T]
-    vf = pltpu.bitcast(v_ref[0] ^ jnp.uint8(0x80), s8) \
-        .reshape(h * t, d).astype(bf16)              # [H*T, D] v - 128
-    # block-diagonal P: pbig[i, j] = p'[i, j - i*T] on the diagonal blocks
-    rowio = lax.broadcasted_iota(i32, (h, h * t), 0)
-    blkio = lax.broadcasted_iota(i32, (h, h * t), 1) // t
-    diag = rowio == blkio
-    if t <= 512:
-        # fold c_p into p (p' = p - zp_p): |p'| <= 255, 255*128*512 < 2^24
-        pz = jnp.tile(pcodes + f32(c_p - 128), (1, h))   # p - zp_p tiled
-        pbig = jnp.where(diag, pz, 0.0).astype(bf16)
-        acc2 = dot_n(pbig, vf)                       # [H, D]
-    else:
-        # keep p8 = p - 128 (|.| <= 128: exact to t = 1024) and pay one
-        # extra ones-diagonal dot for the c_p * colsum_v term
-        p8 = jnp.tile(pcodes - 128.0, (1, h))
-        pbig = jnp.where(diag, p8, 0.0).astype(bf16)
-        ones_big = jnp.where(diag, 1.0, 0.0).astype(bf16)
-        acc2 = dot_n(pbig, vf) + c_p * dot_n(ones_big, vf)
-    rowsum_pz = jnp.sum(pcodes + f32(c_p - 128), axis=1,
-                        keepdims=True).astype(i32)   # sum of p - zp_p
-    acc2 = acc2 + c_v * rowsum_pz                    # [H, D]
-    qo = jnp.clip(acc2.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
-                  0.0, 255.0)
-    qo = (qo + rb).astype(i32)
-    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
-        ^ jnp.uint8(0x80)                            # [H, D]
-
-
-# Block-skipped variant (the 'auto' choice for T <= 512): the cache is
-# static [T_max] but only ``valid`` positions are live — early in a
-# generation that is a small fraction (prompt 64 in a 512 cache = 12%).
-# The kernel walks the T axis in _DEC_BLK-row blocks and computes ONLY
-# blocks that intersect [0, valid): per-step MXU/VPU work scales with
-# the live length instead of max_len.  (The HBM->VMEM block copy still
-# covers the full cache — Mosaic can't slice the 64-lane D dim of a
-# tiled memref for a partial DMA; a T-major cache layout would unlock
-# that too.)  Exactness is unchanged: score blocks land in a scratch
-# that the (colio < valid) mask fully covers for dead/garbage regions,
-# the softmax then runs over the same masked [H, T] array in the same
-# reduction order as the full kernel, and skipped P@V blocks would have
-# contributed exactly zero anyway (dead probabilities quantize to zp_p,
-# and the fold uses p - zp_p).
-_DEC_BLK = 128
-
-
-def _decode_attn_kernel_blk(valid_ref, fp_ref, ip_ref, q_ref, k_ref, v_ref,
-                            o_ref, s_scr, a2_scr, *,
-                            n_heads: int, t: int, d: int):
-    f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
-    h, blk = n_heads, _DEC_BLK
-    nblk = t // blk
-    b = pl.program_id(0)
-    valid = valid_ref[b]
-    rb = fp_ref[_RB]
-    c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
-    c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
-
-    def dot_t(x, y):                                 # x [M,K] . y [N,K]^T
-        return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32).astype(i32)
-
-    def dot_n(x, y):                                 # x [M,K] . y [K,N]
-        return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32).astype(i32)
-
-    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)       # [H, D]
-    aq = (a8.astype(f32) + f32(c_q)).astype(bf16)    # q - zp_q, exact
-    rowsum_aq = jnp.sum(aq.astype(f32), axis=1,
-                        keepdims=True).astype(i32)   # [H, 1]
-    eye3b = (lax.broadcasted_iota(i32, (h, h, 1), 0)
-             == lax.broadcasted_iota(i32, (h, h, 1), 1))
-    rowio = lax.broadcasted_iota(i32, (h, h * blk), 0)
-    blkio = lax.broadcasted_iota(i32, (h, h * blk), 1) // blk
-    diag = rowio == blkio
-
-    for tb in range(nblk):                           # static unroll
-        @pl.when(tb * blk < valid)
-        def _(tb=tb):
-            kb = k_ref[0, :, tb * blk:(tb + 1) * blk, :]     # [H, BLK, D]
-            kf = pltpu.bitcast(kb ^ jnp.uint8(0x80), s8) \
-                .reshape(h * blk, d).astype(bf16)    # [H*BLK, D]
-            big = dot_t(aq, kf)                      # [H, H*BLK]
-            scores = jnp.sum(
-                jnp.where(eye3b, big.reshape(h, h, blk), 0), axis=1)
-            acc = scores + c_k * rowsum_aq           # [H, BLK] i32 exact
-            codes = jnp.clip(
-                acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
-                0.0, 255.0)
-            codes = jnp.floor(codes + rb)
-            s_scr[:, tb * blk:(tb + 1) * blk] = \
-                (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
-        # dead blocks: scratch stays garbage — the mask below covers it
-
-    colio = lax.broadcasted_iota(i32, (h, t), 1)
-    x = jnp.where(colio < valid, s_scr[...], -jnp.inf)
-    m = jnp.max(x, axis=1, keepdims=True)
-    e = jnp.exp(x - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)
-    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
-    pcodes = jnp.floor(pcodes + rb)                  # [H, T]
-    pz = pcodes + f32(c_p - 128)                     # p - zp_p (dead -> 0)
-
-    a2_scr[...] = jnp.zeros((h, d), i32)
-    for tb in range(nblk):                           # static unroll
-        @pl.when(tb * blk < valid)
-        def _(tb=tb):
-            vb = v_ref[0, :, tb * blk:(tb + 1) * blk, :]     # [H, BLK, D]
-            vf = pltpu.bitcast(vb ^ jnp.uint8(0x80), s8) \
-                .reshape(h * blk, d).astype(bf16)    # [H*BLK, D]
-            pz_blk = jnp.tile(pz[:, tb * blk:(tb + 1) * blk], (1, h))
-            pbig = jnp.where(diag, pz_blk, 0.0).astype(bf16)
-            a2_scr[...] += dot_n(pbig, vf)           # exact i32 partials
-
-    rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)
-    acc2 = a2_scr[...] + c_v * rowsum_pz             # [H, D]
-    qo = jnp.clip(acc2.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
-                  0.0, 255.0)
-    qo = (qo + rb).astype(i32)
-    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
-        ^ jnp.uint8(0x80)                            # [H, D]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode_attn_pallas_impl(q3, k4, v4, valid, fparams, iparams, *,
-                             interpret: bool = False):
-    bsz, n_heads, t, d = k4.shape
-    q_spec = pl.BlockSpec((1, n_heads, d), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # The p - zp_p fold needs 255*128*T <= 2^24 (T <= 512); the blockwise
-    # kernel also wants T % _DEC_BLK == 0.  Otherwise the full kernel.
-    if t % _DEC_BLK == 0 and t <= 512:
-        kernel = functools.partial(_decode_attn_kernel_blk,
-                                   n_heads=n_heads, t=t, d=d)
-        kv_spec = pl.BlockSpec((1, n_heads, t, d), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=(bsz,),
-            in_specs=[smem, smem, smem, q_spec, kv_spec, kv_spec],
-            out_specs=q_spec,
-            out_shape=jax.ShapeDtypeStruct((bsz, n_heads, d), jnp.uint8),
-            scratch_shapes=[
-                pltpu.VMEM((n_heads, t), jnp.float32),          # scores
-                pltpu.VMEM((n_heads, d), jnp.int32),            # acc2
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * bsz * n_heads * t * d * 2,
-                bytes_accessed=(2 * bsz * n_heads * t * d
-                                + 2 * bsz * n_heads * d),
-                transcendentals=bsz * n_heads * t,
-            ),
-            interpret=interpret,
-        )(valid, fparams, iparams, q3, k4, v4)
-    kernel = functools.partial(_decode_attn_kernel, n_heads=n_heads,
-                               t=t, d=d)
-    kv_spec = pl.BlockSpec((1, n_heads, t, d), lambda i: (i, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(bsz,),
-        in_specs=[
-            smem,                                    # valid [B]
-            smem,                                    # fparams
-            smem,                                    # iparams
-            q_spec, kv_spec, kv_spec,
-        ],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, n_heads, d), jnp.uint8),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * n_heads * t * d * 2,
-            # k + v caches each B*H*T*D bytes, plus the q row and output.
-            bytes_accessed=2 * bsz * n_heads * t * d + 2 * bsz * n_heads * d,
-            transcendentals=bsz * n_heads * t,
-        ),
-        interpret=interpret,
-    )(valid, fparams, iparams, q3, k4, v4)
 
 
 # ---------------------------------------------------------------------------
@@ -429,6 +181,9 @@ def _decode_attn_pallas_impl(q3, k4, v4, valid, fparams, iparams, *,
 # there is NO max_len bound: the flat kernel is exact for any T.
 # Dead positions quantize to exactly zp_p and contribute exactly zero,
 # so skipped blocks are exact skips (the u8-KV-cache invariant).
+
+
+_DEC_BLK = 128      # preferred T-block (rows per DMA tile)
 
 
 def _dec_blk(t: int) -> int:
@@ -672,65 +427,43 @@ def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,
 
 def decode_attention(q_u8, k_u8, v_u8, valid, *, backend: str = "auto",
                      interpret: bool = False, **kw):
-    """Cached-decode attention dispatch.
+    """Cached-decode attention on [B, H, T, D] operands (compat API).
 
     q [B, H, 1, D] u8, k/v [B, H, T, D] u8 caches, ``valid`` the live
     length (scalar, [B], or [B,1,1,1]) -> u8 [B, H, 1, D].
 
-    'auto' -> the Pallas kernel on TPU (the composed path's in-scan
-    lowering is the measured decode bottleneck, see the section comment);
-    elsewhere the composed XLA path.  The kernel's f32 dots match the
-    composed i32 accumulator bit-for-bit only while T <= 1024 (the 2^24
-    exact-integer bound, see the kernel comment), so 'auto' falls back
-    to XLA for longer caches; an explicit backend='pallas' with T > 1024
-    raises rather than silently break the cached==full-forward invariant.
+    A transpose wrapper over :func:`decode_attention_flat` — the T-major
+    flat layout is the native serving path (the model stores caches that
+    way); this API keeps the head-split layout for composability and
+    op-level tests.  Exact for any cache length.
 
     Known tie caveat: the integer accumulators are exact, but the final
     requant ``acc*mult + zp`` is f32, and whether the compiler emits it
     as mul+add or a fused FMA differs between backends.  When the true
     value lands EXACTLY on a rounding boundary (x.5 under 'nearest', an
-    integer under 'trunc'), the two can differ by one output code
-    (observed: 1 element in 512 under 'nearest' in CPU interpret mode;
-    on-TPU trunc runs have always matched).  This is a property of the
-    composed path's own float epilogue, not of this kernel.
+    integer under 'trunc'), kernel and composed can differ by one output
+    code (observed: ~1 element in 512 in CPU interpret mode; on-TPU
+    trunc runs have always matched).  This is a property of the composed
+    path's own float epilogue, not of the kernel.
     """
     bsz, n_heads, one, d = q_u8.shape
     if one != 1:
         raise ValueError(f"decode_attention expects one query row, got "
                          f"{q_u8.shape}")
-    t_cache = k_u8.shape[-2]
-    if backend == "auto":
-        backend = ("pallas" if jax.default_backend() == "tpu"
-                   and t_cache <= 1024 else "xla")
-    elif backend == "pallas" and t_cache > 1024:
-        raise ValueError(
-            f"decode_attention backend='pallas' requires cache length "
-            f"<= 1024 for bit-exactness (got T={t_cache}); use 'auto' "
-            f"or 'xla'")
     v_arr = jnp.asarray(valid, jnp.int32)
-    if backend != "pallas":
+    if backend != "pallas" and (backend != "auto"
+                                or jax.default_backend() != "tpu"
+                                and not interpret):
         return decode_attention_xla(
             q_u8, k_u8, v_u8,
             v_arr.reshape(bsz, 1, 1, 1) if v_arr.ndim else v_arr, **kw)
-    valid_b = (jnp.broadcast_to(v_arr.reshape(-1), (bsz,))
-               if v_arr.ndim <= 1 else v_arr.reshape(bsz))
-    rounding = kw.pop("rounding", "trunc")
-    alpha = kw.pop("alpha")
-    mult_s = (jnp.float32(kw["scale_q"]) * jnp.float32(kw["scale_k"])
-              * jnp.float32(alpha) / jnp.float32(kw["scale_s"]))
-    mult_o = (jnp.float32(kw["scale_p"]) * jnp.float32(kw["scale_v"])
-              / jnp.float32(kw["scale_c"]))
-    rb = 0.5 if rounding == "nearest" else 0.0
-    fparams = jnp.stack([
-        mult_s, jnp.float32(kw["zp_s"]), jnp.float32(kw["scale_s"]),
-        jnp.float32(kw["scale_p"]), jnp.float32(kw["zp_p"]), mult_o,
-        jnp.float32(kw["zp_c"]), jnp.float32(rb),
-        jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
-    ])
-    iparams = jnp.asarray([128 - int(kw["zp_q"]), 128 - int(kw["zp_k"]),
-                           128 - int(kw["zp_p"]), 128 - int(kw["zp_v"])],
-                          jnp.int32)
-    out = _decode_attn_pallas_impl(q_u8.reshape(bsz, n_heads, d),
-                                   k_u8, v_u8, valid_b, fparams, iparams,
-                                   interpret=interpret)
-    return out.reshape(bsz, n_heads, 1, d)
+
+    def flat(x4):                                    # [B,H,T,D]->[B,T,H*D]
+        return jnp.transpose(x4, (0, 2, 1, 3)).reshape(
+            x4.shape[0], x4.shape[2], -1)
+
+    out2 = decode_attention_flat(
+        flat(q_u8).reshape(bsz, n_heads * d), flat(k_u8), flat(v_u8),
+        v_arr, n_heads=n_heads, backend=backend, interpret=interpret,
+        **kw)
+    return jnp.transpose(out2.reshape(bsz, 1, n_heads, d), (0, 2, 1, 3))

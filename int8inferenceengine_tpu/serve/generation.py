@@ -152,33 +152,35 @@ class GenerationEngine:
             self._thread.join()
 
     # -- jitted device programs ------------------------------------------------
-    def _prefill_fn(self, bucket: int):
-        fn = self._prefill_fns.get(bucket)
+    def _prefill_fn(self, bucket: int, n: int):
+        """Batched prefill: ``n`` same-bucket prompts in ONE forward,
+        their caches scattered to their slots in one call.  One compile
+        per (bucket, n) pair — admits are grouped to power-of-two ``n``
+        so the variant count stays tiny while a burst of arrivals costs
+        one device round-trip instead of one per request."""
+        fn = self._prefill_fns.get((bucket, n))
         if fn is None:
             m = self.model
 
-            def run(params, caches, slot, prompt_pad, t0):
+            def run(params, caches, slots, prompts_pad, t0s):
                 m._bind(params)
                 try:
                     codes, cache1 = m._prefill(
-                        Tensor(prompt_pad.astype(jnp.float32)), last=t0)
+                        Tensor(prompts_pad.astype(jnp.float32)), last=t0s)
                 finally:
                     m._bind(None)
                 out = {}
-                for i, (k1, v1) in cache1.items():
+                for i, (k1, v1) in cache1.items():   # [n, T_max, C]
                     gk, gv = caches[i]
-                    out[i] = (
-                        lax.dynamic_update_slice(gk, k1, (slot, 0, 0)),
-                        lax.dynamic_update_slice(gv, v1, (slot, 0, 0)),
-                    )
-                tok0 = jnp.argmax(codes[0], -1).astype(jnp.int32)
-                return out, tok0
+                    out[i] = (gk.at[slots].set(k1), gv.at[slots].set(v1))
+                toks = jnp.argmax(codes, -1).astype(jnp.int32)   # [n]
+                return out, toks
 
             # donate the cache: it is dead after the call (rebound to
             # the result) and copying the whole multi-layer KV cache per
             # prefill would be pure HBM overhead
             fn = jax.jit(run, donate_argnums=(1,))
-            self._prefill_fns[bucket] = fn
+            self._prefill_fns[(bucket, n)] = fn
         return fn
 
     def _chunk(self):
@@ -209,32 +211,48 @@ class GenerationEngine:
         return self._chunk_fn
 
     # -- scheduler loop ----------------------------------------------------------
-    def _free_slot(self) -> int | None:
-        for s, req in enumerate(self._active):
-            if req is None:
-                return s
-        return None
+    def _admit_batch(self, pairs) -> None:
+        """Prefill a burst of admissions in as few device calls as
+        possible: group by prompt bucket, split groups to power-of-two
+        sizes, one batched prefill (+ ONE host sync) per sub-group."""
+        by_bucket: dict[int, list] = {}
+        for slot, req in pairs:
+            # power-of-two bucket, capped at max_len (t0 <= max_len is
+            # guaranteed by submit(), but the next power of two may not be)
+            bucket = min(_bucket(len(req.prompt)), self.model.max_len)
+            by_bucket.setdefault(bucket, []).append((slot, req))
+        for bucket, group in sorted(by_bucket.items()):
+            while group:
+                n = 1 << (len(group).bit_length() - 1)  # pow2 <= len
+                part, group = group[:n], group[n:]
+                self._admit_group(bucket, part)
 
-    def _admit(self, req: _GenRequest, slot: int) -> None:
-        t0 = len(req.prompt)
-        # power-of-two bucket, capped at max_len (t0 <= max_len is
-        # guaranteed by submit(), but the next power of two may not be)
-        bucket = min(_bucket(t0), self.model.max_len)
-        pad = np.zeros((1, bucket), np.int32)
-        pad[0, :t0] = req.prompt
-        # register BEFORE the device call: if prefill raises, the crash
-        # handler must fail THIS request's future too
-        self._active[slot] = req
-        self._caches, tok0 = self._prefill_fn(bucket)(
-            self._params, self._caches, jnp.int32(slot),
-            jnp.asarray(pad), jnp.int32(t0))
-        tok0 = int(tok0)
-        self.stats.prefills += 1
-        req.tokens.append(tok0)
-        self._tok = self._tok.at[slot].set(tok0)
-        self._pos = self._pos.at[slot].set(t0)
-        if self._done(req, tok0):
-            self._finish(slot)
+    def _admit_group(self, bucket: int, part) -> None:
+        n = len(part)
+        pad = np.zeros((n, bucket), np.int32)
+        t0s = np.zeros((n,), np.int32)
+        slots = np.zeros((n,), np.int32)
+        for j, (slot, req) in enumerate(part):
+            t0s[j] = len(req.prompt)
+            pad[j, :t0s[j]] = req.prompt
+            slots[j] = slot
+            # register BEFORE the device call: if prefill raises, the
+            # crash handler must fail THESE requests' futures too
+            self._active[slot] = req
+        self._caches, toks = self._prefill_fn(bucket, n)(
+            self._params, self._caches, jnp.asarray(slots),
+            jnp.asarray(pad), jnp.asarray(t0s))
+        toks = np.asarray(toks)
+        self.stats.prefills += n
+        self._tok = self._tok.at[jnp.asarray(slots)].set(
+            jnp.asarray(toks))
+        self._pos = self._pos.at[jnp.asarray(slots)].set(
+            jnp.asarray(t0s))
+        for j, (slot, req) in enumerate(part):
+            tok0 = int(toks[j])
+            req.tokens.append(tok0)
+            if self._done(req, tok0):
+                self._finish(slot)
 
     def _done(self, req: _GenRequest, tok: int) -> bool:
         return (len(req.tokens) >= req.max_new
@@ -286,12 +304,16 @@ class GenerationEngine:
 
     def _drain_loop(self) -> None:
         while self._running or any(r is not None for r in self._active):
-            # admit as many queued requests as there are free slots
+            # admit as many queued requests as there are free slots —
+            # collected first, then prefilled in batched groups
+            admits, taken = [], set()
             while self._running:
-                slot = self._free_slot()
+                slot = next((s for s, r in enumerate(self._active)
+                             if r is None and s not in taken), None)
                 if slot is None:
                     break
-                idle = all(r is None for r in self._active)
+                idle = (not admits
+                        and all(r is None for r in self._active))
                 try:
                     req = (self._queue.get(timeout=0.1) if idle
                            else self._queue.get_nowait())
@@ -300,7 +322,10 @@ class GenerationEngine:
                 if req is None:          # shutdown: drain active slots
                     self._running = False
                     break
-                self._admit(req, slot)
+                admits.append((slot, req))
+                taken.add(slot)
+            if admits:
+                self._admit_batch(admits)
             if all(r is None for r in self._active):
                 continue
             # one chunk of decode steps for every active slot

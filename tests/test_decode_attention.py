@@ -150,3 +150,64 @@ def test_weight_only_decode_unaffected():
     m.convert()
     toks = m.generate(ids, 4)
     assert toks.shape == (2, 4)
+
+
+@pytest.mark.parametrize("t_cache", [128, 512, 2048])
+def test_flat_kernel_matches_oracle_any_length(t_cache):
+    """decode_attention_flat (the T-major serving path): the blockwise
+    Pallas kernel must match the composed oracle at any cache length —
+    per-block i32 accumulation removed the old 2^24 / T<=1024 bound —
+    for scalar and per-slot valid lengths.  (±1-code ties at exact
+    rounding boundaries are the documented FMA-contraction caveat of the
+    interpret-vs-jit comparison; on-chip trunc runs match exactly.)"""
+    h, d = 4, 64
+    c = h * d
+    rng = np.random.default_rng(t_cache)
+    q = jnp.asarray(rng.integers(0, 256, (3, c)), jnp.uint8)
+    k = jnp.asarray(rng.integers(0, 256, (3, t_cache, c)), jnp.uint8)
+    v = jnp.asarray(rng.integers(0, 256, (3, t_cache, c)), jnp.uint8)
+    kw = dict(PARAMS)
+    kw["alpha"] = d ** -0.5
+    for valid in (1, 77, t_cache):
+        want = np.asarray(attn_ops.decode_attention_flat(
+            q, k, v, jnp.int32(valid), n_heads=h, backend="xla",
+            rounding="trunc", **kw)).astype(np.int32)
+        got = np.asarray(attn_ops.decode_attention_flat(
+            q, k, v, jnp.int32(valid), n_heads=h, backend="pallas",
+            interpret=True, rounding="trunc", **kw)).astype(np.int32)
+        diff = np.abs(got - want)
+        assert diff.max() <= 1 and (diff > 0).mean() <= 0.002, (
+            valid, diff.max(), (diff > 0).sum())
+    # per-slot valid vector
+    vv = jnp.asarray(rng.integers(1, t_cache + 1, (3,)), jnp.int32)
+    want = np.asarray(attn_ops.decode_attention_flat(
+        q, k, v, vv, n_heads=h, backend="xla", rounding="trunc",
+        **kw)).astype(np.int32)
+    got = np.asarray(attn_ops.decode_attention_flat(
+        q, k, v, vv, n_heads=h, backend="pallas", interpret=True,
+        rounding="trunc", **kw)).astype(np.int32)
+    assert np.abs(got - want).max() <= 1
+
+
+def test_flat_matches_headsplit_api():
+    """The [B, H, T, D] compat API is a transpose wrapper over the flat
+    op: both must give identical codes (transposes are exact)."""
+    h, d, t = 3, 32, 64
+    c = h * d
+    rng = np.random.default_rng(9)
+    q4 = jnp.asarray(rng.integers(0, 256, (2, h, 1, d)), jnp.uint8)
+    k4 = jnp.asarray(rng.integers(0, 256, (2, h, t, d)), jnp.uint8)
+    v4 = jnp.asarray(rng.integers(0, 256, (2, h, t, d)), jnp.uint8)
+    kw = dict(PARAMS)
+    kw["alpha"] = d ** -0.5
+
+    def flat(x4):
+        return jnp.transpose(x4, (0, 2, 1, 3)).reshape(2, -1, c)
+
+    out4 = np.asarray(attn_ops.decode_attention(
+        q4, k4, v4, jnp.int32(40), backend="xla", rounding="trunc", **kw))
+    out2 = np.asarray(attn_ops.decode_attention_flat(
+        flat(q4).reshape(2, c), flat(k4), flat(v4), jnp.int32(40),
+        n_heads=h, backend="xla", rounding="trunc", **kw))
+    want = np.asarray(jnp.transpose(out4, (0, 2, 1, 3)).reshape(2, c))
+    assert np.array_equal(out2, want)
