@@ -387,6 +387,16 @@ class Linear(Layer):
             # Row-parallel FP32: weight is the local [N, K_local] slice;
             # psum the f32 partial products (allclose to unsharded — f32
             # addition order differs; the INT8 path is the bit-exact one).
+            if _INPUT_TAP.get() is not None:
+                raise RuntimeError(
+                    "input-tap optimizers (AdaRound/GPTQ) can't observe a "
+                    "row-parallel Linear's inputs — run them BEFORE "
+                    "shard(), on the unsharded model")
+            if self.is_preparing and self.config.bias_correction:
+                raise RuntimeError(
+                    "bias_correction needs full input-mean statistics, "
+                    "which a row-parallel Linear only sees a K-shard of — "
+                    "calibrate before shard(), or shard after convert()")
             w_local = self._p("weight")
             k_local = w_local.shape[1]
             if x._tp_sharded:

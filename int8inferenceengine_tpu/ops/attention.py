@@ -239,7 +239,12 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
                 ref.at[b, pl.ds(tb * blk, blk), :], bufs[side],
                 sems[side])
 
-        cp(0, 0).start()
+        # start/wait conditions must pair EXACTLY: a start without its
+        # wait (e.g. valid == 0 — an empty serving slot) would leak a
+        # semaphore count into the next grid step's wait on the same sem
+        @pl.when(0 < valid)
+        def _():
+            cp(0, 0).start()
         for tb in range(nblk):                       # static unroll
             if tb + 1 < nblk:
                 @pl.when((tb + 1) * blk < valid)
@@ -350,7 +355,9 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
 
     q [B, C] u8 (pre-head-split projection row), k/v caches [B, T, C] u8
     (row t = that position's [H*D] codes), ``valid`` the live length
-    (scalar or [B]) -> u8 [B, C] (head-merged context row).
+    (scalar or [B], each >= 1 — attention over zero positions is
+    softmax over an empty set, undefined on every backend)
+    -> u8 [B, C] (head-merged context row).
 
     The serving layout: appends are contiguous row writes, and the Pallas
     kernel DMAs + computes only live _DEC_BLK blocks (cost ~ valid, not
@@ -364,8 +371,13 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
     d = c // n_heads
     v_arr = jnp.asarray(valid, jnp.int32)
     if backend == "auto":
-        backend = ("pallas" if jax.default_backend() == "tpu"
-                   and _dec_blk(t) else "xla")
+        # kernel envelope for 'auto': block-divisible T and 128-aligned
+        # rows (validated on-chip at c in {768}; narrower head-sharded
+        # rows may work but fall back until measured).  interpret counts
+        # as a kernel target so interpret-mode 'auto' tests the kernel.
+        on_kernel_target = jax.default_backend() == "tpu" or interpret
+        backend = ("pallas" if on_kernel_target and _dec_blk(t)
+                   and c % 128 == 0 else "xla")
     elif backend == "pallas" and not _dec_blk(t):
         raise ValueError(
             f"decode_attention_flat kernel needs a cache length divisible "

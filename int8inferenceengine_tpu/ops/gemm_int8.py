@@ -378,7 +378,11 @@ def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
       K=768  N=3072: M=8 9.1/5.0  M=16 9.6/5.2  M=32 9.5/4.6  M=64 9.5/5.3
       K=3072 N=768:  M=8 6.6/5.0  M=16 7.9/4.7  M=32 6.7/5.5  M=64 6.9/5.8
       (pallas/xla; the kernel pads every M block to 128 so small real M
-      wastes MXU rows).  So M <= 64 with aligned K dispatches XLA.
+      wastes MXU rows).  So M <= 64 with aligned K dispatches XLA —
+      BOUNDED to the measured K/N envelope (K, N <= 4096): CNN
+      classifier Linears at small batch (AlexNet fc1 [64, 9216], VGG
+      [64, 25088]) sit behind recorded benchmark numbers measured on
+      the Pallas path and stay there until someone sweeps them.
       Unaligned K stays Pallas at any M — XLA's unaligned-int8 emitter
       forces transposed layouts in-model (the ViT 192-dim catastrophe
       above), a layout property independent of M."""
@@ -390,7 +394,8 @@ def qgemm(a_u8, w_s8_kn, oc, *, backend: str = "auto", **kw):
         k, n = w_s8_kn.shape
         fits = k % 128 == 0 or k <= 4096
         decode_head = a_u8.shape[0] <= 16 and n >= 16384
-        small_m_aligned = a_u8.shape[0] <= 64 and k % 128 == 0
+        small_m_aligned = (a_u8.shape[0] <= 64 and k % 128 == 0
+                           and k <= 4096 and n <= 4096)
         backend = ("pallas" if jax.default_backend() == "tpu" and fits
                    and not decode_head and not small_m_aligned else "xla")
     if backend == "pallas":
@@ -510,7 +515,8 @@ def qgemm_multi(a_u8, parts, *, scale_a, zp_a, rounding: str = "trunc",
         # (decode A/B 2026-08-19, v5e, gpt2-small b8: merged-XLA 0.791
         # ms/step vs merged-Pallas 0.875 vs composed 0.828).
         fits = k % 128 == 0 or k <= 4096
-        small_m_aligned = a_u8.shape[0] <= 64 and k % 128 == 0
+        small_m_aligned = (a_u8.shape[0] <= 64 and k % 128 == 0
+                           and k <= 4096 and n <= 4096)
         backend = ("pallas" if jax.default_backend() == "tpu" and fits
                    and not small_m_aligned else "xla")
     if backend == "pallas":

@@ -119,11 +119,10 @@ def shard_module(module, mesh, data_axis: str = "data",
         rs = layer.params.get("rowsum")
         if layer._tp_row and rs is not None:
             if rs.ndim != 2 or rs.shape[0] != model_size:
-                if rs.ndim == 2:        # re-shard onto a different mesh
-                    rs = rs.sum(axis=0)
-                # restack the full-K rowsum into per-shard local rowsums
-                # [model_size, N]: shard s's row = sum over its K rows of
-                # qw_kn.  _forward_int8_row's psum of the local
+                # restack (or re-stack for a different mesh) the rowsum
+                # into per-shard local rowsums [model_size, N], straight
+                # from the weights: shard s's row = sum over its K rows
+                # of qw_kn.  _forward_int8_row's psum of the local
                 # corrections then reproduces the full offset exactly.
                 qw = layer.params["qw_kn"]
                 k, n = qw.shape

@@ -30,15 +30,18 @@ for n_req, max_new in ((4, 64), (8, 64), (24, 64)):
     # two rounds; report the second: admit grouping is timing-dependent,
     # so round 1 may still hit fresh (bucket, n) prefill compiles
     # (~10-50 s each over the tunnel; one-time per process)
-    for rnd in (1, 2):
-        futs = [eng.submit(rng.integers(0, 50257,
-                                        int(rng.integers(8, 33))),
-                           max_new) for _ in range(n_req)]
-        [f.result() for f in futs]
-        if rnd == 1:
-            eng.stats.__init__()
-            t0 = time.perf_counter()
-    # fall through to report using stats from round 2
+    # warm round: admit grouping is timing-dependent, so it may hit
+    # fresh (bucket, n) prefill compiles (~10-50 s each over the
+    # tunnel; one-time per process)
+    futs = [eng.submit(rng.integers(0, 50257, int(rng.integers(8, 33))),
+                       max_new) for _ in range(n_req)]
+    [f.result() for f in futs]
+    # measured round: stats window == throughput window
+    eng.stats.__init__()
+    t0 = time.perf_counter()
+    futs = [eng.submit(rng.integers(0, 50257, int(rng.integers(8, 33))),
+                       max_new) for _ in range(n_req)]
+    [f.result() for f in futs]
     t0 = time.perf_counter()
     futs = [eng.submit(rng.integers(0, 50257, int(rng.integers(8, 33))),
                        max_new) for _ in range(n_req)]
