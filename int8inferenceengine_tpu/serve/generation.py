@@ -22,8 +22,15 @@ cache.  Requests stream in and out of slots without ever retracing:
   models/text_decoder.py), so each request's tokens are bit-identical to
   running ``model.generate()`` alone (pinned by tests/test_generation.py).
 
-Greedy decoding (argmax on u8 logit codes); optional ``eos_id`` stops a
-slot early.
+Greedy decoding by default (argmax on u8 logit codes — bit-identical to
+standalone ``generate()``); ``submit(..., temperature=t, seed=s)`` samples
+that request's tokens instead (per-slot Gumbel-max on the dequantized
+logits, deterministic in (seed, position); the draw stream differs from
+standalone ``generate()``'s carried-key stream by construction).  The
+greedy-only chunk program carries no sampling cost — a second chunk
+variant compiles only when a sampled request is active.  ``top_k`` is a
+``generate()``-only feature (a static k can't vary per slot in one
+compiled step).  Optional ``eos_id`` stops a slot early.
 """
 
 from __future__ import annotations
@@ -67,11 +74,15 @@ class GenerationStats:
 
 
 class _GenRequest:
-    __slots__ = ("prompt", "max_new", "future", "tokens", "t_submit")
+    __slots__ = ("prompt", "max_new", "future", "tokens", "t_submit",
+                 "temperature", "seed")
 
-    def __init__(self, prompt: np.ndarray, max_new: int):
+    def __init__(self, prompt: np.ndarray, max_new: int,
+                 temperature: float = 0.0, seed: int = 0):
         self.prompt = prompt
         self.max_new = max_new
+        self.temperature = float(temperature)
+        self.seed = int(seed)
         self.future: Future = Future()
         self.tokens: list[int] = []
         self.t_submit = time.perf_counter()
@@ -119,26 +130,31 @@ class GenerationEngine:
         }
         self._pos = jnp.zeros((slots,), jnp.int32)
         self._tok = jnp.zeros((slots,), jnp.int32)
+        self._temp = jnp.zeros((slots,), jnp.float32)   # 0 = greedy
+        self._keys = jnp.zeros((slots, 2), jnp.uint32)  # per-slot PRNG
         self._active = [None] * slots      # slot -> _GenRequest | None
         self.stats = GenerationStats()
         self._prefill_fns: dict[int, object] = {}
-        self._chunk_fn = None
+        self._chunk_fns: dict[bool, object] = {}
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     # -- public API -----------------------------------------------------------
-    def submit(self, prompt, max_new_tokens: int) -> Future:
+    def submit(self, prompt, max_new_tokens: int,
+               temperature: float = 0.0, seed: int = 0) -> Future:
         if not self._running:
             raise RuntimeError("engine is shut down")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
+        if temperature < 0:
+            raise ValueError(f"temperature must be >= 0, got {temperature}")
         if len(prompt) + max_new_tokens > self.model.max_len:
             raise ValueError(
                 f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
                 f"max_len {self.model.max_len}")
-        req = _GenRequest(prompt, max_new_tokens)
+        req = _GenRequest(prompt, max_new_tokens, temperature, seed)
         self._queue.put(req)
         return req.future
 
@@ -152,6 +168,29 @@ class GenerationEngine:
             self._thread.join()
 
     # -- jitted device programs ------------------------------------------------
+    def _pick(self, codes, temps, keys, pos):
+        """Per-slot next-token choice: argmax for temp == 0, Gumbel-max
+        sampling of logits/temp otherwise.  ``keys`` are per-slot raw
+        PRNG keys; the draw is keyed by fold_in(key, pos) so it is
+        deterministic in (seed, position) with no carried key state."""
+        greedy = jnp.argmax(codes, -1).astype(jnp.int32)
+        if codes.dtype == jnp.uint8:
+            scale, zp = self.model._head_scale_zp()
+            logits = (codes.astype(jnp.float32) - jnp.float32(zp)) \
+                * jnp.float32(scale)
+        else:                               # weight_only: float logits
+            logits = codes.astype(jnp.float32)
+
+        def draw(key, lg, t, p):
+            u = jax.random.uniform(jax.random.fold_in(key, p),
+                                   lg.shape, minval=1e-7, maxval=1.0)
+            return jnp.argmax(lg / jnp.maximum(t, 1e-6)
+                              - jnp.log(-jnp.log(u)), -1)
+
+        sampled = jax.vmap(draw)(keys, logits, temps,
+                                 pos).astype(jnp.int32)
+        return jnp.where(temps > 0, sampled, greedy)
+
     def _prefill_fn(self, bucket: int, n: int):
         """Batched prefill: ``n`` same-bucket prompts in ONE forward,
         their caches scattered to their slots in one call.  One compile
@@ -162,7 +201,8 @@ class GenerationEngine:
         if fn is None:
             m = self.model
 
-            def run(params, caches, slots, prompts_pad, t0s):
+            def run(params, caches, slots, prompts_pad, t0s, temps,
+                    keys):
                 m._bind(params)
                 try:
                     codes, cache1 = m._prefill(
@@ -173,7 +213,7 @@ class GenerationEngine:
                 for i, (k1, v1) in cache1.items():   # [n, T_max, C]
                     gk, gv = caches[i]
                     out[i] = (gk.at[slots].set(k1), gv.at[slots].set(v1))
-                toks = jnp.argmax(codes, -1).astype(jnp.int32)   # [n]
+                toks = self._pick(codes, temps, keys, t0s - 1)   # [n]
                 return out, toks
 
             # donate the cache: it is dead after the call (rebound to
@@ -183,17 +223,24 @@ class GenerationEngine:
             self._prefill_fns[(bucket, n)] = fn
         return fn
 
-    def _chunk(self):
-        if self._chunk_fn is None:
+    def _chunk(self, sampled: bool):
+        """The decode-chunk program; the ``sampled`` variant adds the
+        per-slot Gumbel draw and compiles only once a sampled request is
+        actually admitted — pure-greedy serving never pays for it."""
+        fn = self._chunk_fns.get(sampled)
+        if fn is None:
             m, steps = self.model, self.chunk_steps
 
-            def run(params, caches, pos, tok, active):
+            def run(params, caches, pos, tok, active, temps, keys):
                 m._bind(params)
                 try:
                     def body(carry, _):
                         caches, pos, tok, act = carry
                         codes, caches = m._decode_step(caches, pos, tok)
-                        nxt = jnp.argmax(codes, -1).astype(jnp.int32)
+                        if sampled:
+                            nxt = self._pick(codes, temps, keys, pos)
+                        else:
+                            nxt = jnp.argmax(codes, -1).astype(jnp.int32)
                         nxt = jnp.where(act, nxt, tok)
                         if self.eos_id is not None:
                             act = act & (nxt != self.eos_id)
@@ -207,8 +254,9 @@ class GenerationEngine:
                 finally:
                     m._bind(None)
 
-            self._chunk_fn = jax.jit(run, donate_argnums=(1, 2, 3))
-        return self._chunk_fn
+            fn = jax.jit(run, donate_argnums=(1, 2, 3))
+            self._chunk_fns[sampled] = fn
+        return fn
 
     # -- scheduler loop ----------------------------------------------------------
     def _admit_batch(self, pairs) -> None:
@@ -239,15 +287,22 @@ class GenerationEngine:
             # register BEFORE the device call: if prefill raises, the
             # crash handler must fail THESE requests' futures too
             self._active[slot] = req
+        temps = np.asarray([req.temperature for _, req in part],
+                           np.float32)
+        keys = np.stack([
+            np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
+            for _, req in part])
+        slots_j = jnp.asarray(slots)
+        self._temp = self._temp.at[slots_j].set(jnp.asarray(temps))
+        self._keys = self._keys.at[slots_j].set(jnp.asarray(keys))
         self._caches, toks = self._prefill_fn(bucket, n)(
-            self._params, self._caches, jnp.asarray(slots),
-            jnp.asarray(pad), jnp.asarray(t0s))
+            self._params, self._caches, slots_j,
+            jnp.asarray(pad), jnp.asarray(t0s), jnp.asarray(temps),
+            jnp.asarray(keys))
         toks = np.asarray(toks)
         self.stats.prefills += n
-        self._tok = self._tok.at[jnp.asarray(slots)].set(
-            jnp.asarray(toks))
-        self._pos = self._pos.at[jnp.asarray(slots)].set(
-            jnp.asarray(t0s))
+        self._tok = self._tok.at[slots_j].set(jnp.asarray(toks))
+        self._pos = self._pos.at[slots_j].set(jnp.asarray(t0s))
         for j, (slot, req) in enumerate(part):
             tok0 = int(toks[j])
             req.tokens.append(tok0)
@@ -261,6 +316,8 @@ class GenerationEngine:
     def _finish(self, slot: int) -> None:
         req = self._active[slot]
         self._active[slot] = None
+        if req.temperature > 0:       # freed slot reverts to greedy
+            self._temp = self._temp.at[slot].set(0.0)
         self.stats.requests += 1
         self.stats.tokens += min(len(req.tokens), req.max_new)
         if len(self.stats.latencies_s) < 10_000:
@@ -334,8 +391,12 @@ class GenerationEngine:
             self.stats.chunks += 1
             self.stats.chunk_slots_active += int(
                 sum(r is not None for r in self._active))
-            self._caches, self._pos, self._tok, _, toks = self._chunk()(
-                self._params, self._caches, self._pos, self._tok, active)
+            sampled = any(r is not None and r.temperature > 0
+                          for r in self._active)
+            self._caches, self._pos, self._tok, _, toks = \
+                self._chunk(sampled)(
+                    self._params, self._caches, self._pos, self._tok,
+                    active, self._temp, self._keys)
             toks = np.asarray(toks)            # [slots, chunk_steps]
             for s, req in enumerate(self._active):
                 if req is None:

@@ -135,3 +135,30 @@ def test_shutdown_fails_queued_requests():
         # either it got admitted before shutdown drained (fine) ...
     except RuntimeError:
         pass                                            # ... or failed loudly
+
+
+def test_engine_sampling_per_request():
+    """submit(temperature=..., seed=...) samples that request while
+    greedy requests in other slots stay bit-identical to standalone
+    generate(); sampled draws are deterministic in (seed, position)."""
+    import numpy as np
+    m = _model()
+    rng = np.random.default_rng(5)
+    p_greedy = rng.integers(0, 1000, 10).astype(np.int32)
+    p_sample = rng.integers(0, 1000, 9).astype(np.int32)
+    want_greedy = m.generate(p_greedy[None, :], 8)[0]
+
+    eng = GenerationEngine(m, slots=4, chunk_steps=4)
+    try:
+        f1 = eng.submit(p_greedy, 8)
+        f2 = eng.submit(p_sample, 8, temperature=0.9, seed=3)
+        f3 = eng.submit(p_sample, 8, temperature=0.9, seed=3)
+        f4 = eng.submit(p_sample, 8, temperature=0.9, seed=4)
+        g, s1, s2, s3 = (f.result() for f in (f1, f2, f3, f4))
+    finally:
+        eng.shutdown()
+    np.testing.assert_array_equal(g, want_greedy)   # greedy unaffected
+    assert ((s1 >= 0) & (s1 < 1000)).all()
+    # same seed -> same stream; different seed -> (overwhelmingly) not
+    np.testing.assert_array_equal(s1, s2)
+    assert not np.array_equal(s1, s3)
