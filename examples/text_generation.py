@@ -49,6 +49,9 @@ def main():
     try:
         futs = [eng.submit(rng.integers(0, 1000, n).astype(np.int32), 8)
                 for n in (5, 11, 19)]
+        # per-request sampling rides the same slots as greedy requests
+        futs.append(eng.submit(rng.integers(0, 1000, 7).astype(np.int32),
+                               8, temperature=0.9, seed=2))
         for k, f in enumerate(futs):
             print(f"engine request {k}: {f.result(timeout=300).tolist()}")
     finally:

@@ -174,19 +174,34 @@ class TextDecoder(Module):
             cap = {}
             x = self._block(i, x, b, t0, capture=cap)
             kf, vf = cap[i]                          # FLAT [B, T0, C] rows
-            # u8 codes in W8A8 mode; float in weight_only (W8-float) mode.
-            # T-major flat buffers [B, T_max, C]: appends are contiguous
-            # row writes and the decode kernel DMAs only live row blocks.
-            # Under head-parallel TP the captured rows are a LOCAL channel
-            # shard, so each device stores only its heads' cache.
             dt = kf.data.dtype
-            c_loc = kf.data.shape[-1]
-            k_buf = jnp.zeros((b, self.max_len, c_loc), dt)
-            v_buf = jnp.zeros((b, self.max_len, c_loc), dt)
-            cache[i] = (
-                lax.dynamic_update_slice(k_buf, kf.data, (0, 0, 0)),
-                lax.dynamic_update_slice(v_buf, vf.data, (0, 0, 0)),
-            )
+            if kf.quantized:
+                # u8 codes (W8A8): T-major flat buffers [B, T_max, C] —
+                # appends are contiguous row writes and the decode kernel
+                # DMAs only live row blocks.  Under head-parallel TP the
+                # captured rows are a LOCAL channel shard, so each device
+                # stores only its heads' cache.
+                c_loc = kf.data.shape[-1]
+                k_buf = jnp.zeros((b, self.max_len, c_loc), dt)
+                v_buf = jnp.zeros((b, self.max_len, c_loc), dt)
+                cache[i] = (
+                    lax.dynamic_update_slice(k_buf, kf.data, (0, 0, 0)),
+                    lax.dynamic_update_slice(v_buf, vf.data, (0, 0, 0)),
+                )
+            else:
+                # float cache (weight_only modes): the composed attention
+                # consumes HEAD-SPLIT [B, H, T, D] views — keep the cache
+                # in that layout so the decode step never transposes the
+                # whole float cache in-scan (12 MB/layer at gpt2-small)
+                kh = F.split_heads(kf, self.heads)
+                vh = F.split_heads(vf, self.heads)
+                h_loc, hd = kh.data.shape[1], kh.data.shape[3]
+                k_buf = jnp.zeros((b, h_loc, self.max_len, hd), dt)
+                v_buf = jnp.zeros((b, h_loc, self.max_len, hd), dt)
+                cache[i] = (
+                    lax.dynamic_update_slice(k_buf, kh.data, (0, 0, 0, 0)),
+                    lax.dynamic_update_slice(v_buf, vh.data, (0, 0, 0, 0)),
+                )
         x = self.ln_f(x)
         # u8 logit CODES — argmax over codes == argmax over dequantized
         # logits (one positive scale), so greedy decoding never dequantizes.
@@ -221,6 +236,25 @@ class TextDecoder(Module):
             def kv_hook(cap=cap, i=i, k_cache=k_cache, v_cache=v_cache,
                         ks=ks, kzp=kzp, vs=vs, vzp=vzp):
                 kf, vf = cap[i]                      # FLAT [B, 1, C] rows
+                sharded = kf._tp_sharded
+                if not kf.quantized:
+                    # weight_only: HEAD-SPLIT float cache [B, H, T, D]
+                    kh, vh = (F.split_heads(kf, self.heads),
+                              F.split_heads(vf, self.heads))
+                    if per_slot:
+                        upd = jax.vmap(
+                            lambda c, u, p: lax.dynamic_update_slice(
+                                c, u, (0, p, 0)))
+                        kc = upd(k_cache, kh.data, pos)
+                        vc = upd(v_cache, vh.data, pos)
+                    else:
+                        kc = lax.dynamic_update_slice(
+                            k_cache, kh.data, (0, 0, pos, 0))
+                        vc = lax.dynamic_update_slice(
+                            v_cache, vh.data, (0, 0, pos, 0))
+                    new_cache[i] = (kc, vc)
+                    return (Tensor(kc, _tp_sharded=sharded),
+                            Tensor(vc, _tp_sharded=sharded))
                 if per_slot:
                     upd = jax.vmap(
                         lambda c, u, p: lax.dynamic_update_slice(
@@ -233,10 +267,6 @@ class TextDecoder(Module):
                     vc = lax.dynamic_update_slice(v_cache, vf.data,
                                                   (0, pos, 0))
                 new_cache[i] = (kc, vc)
-                sharded = kf._tp_sharded
-                if not kf.quantized:          # weight_only: float cache
-                    return (Tensor(kc, _tp_sharded=sharded),
-                            Tensor(vc, _tp_sharded=sharded))
                 return (Tensor(kc, ks, kzp, _tp_sharded=sharded),
                         Tensor(vc, vs, vzp, _tp_sharded=sharded))
 
@@ -271,11 +301,11 @@ class TextDecoder(Module):
             o = fused_decode_attention(attn, smax, av, q2, kc, vc, valid,
                                        self.dim // self.heads)
         else:
-            # float cache (weight_only modes): composed attention on
-            # head-split views of the flat cache
+            # float cache (weight_only modes): the cache is stored
+            # HEAD-SPLIT [B, H, T, D] (kv_hook), so composed attention
+            # reads it directly — no in-scan transpose of the cache
             qh = F.split_heads(q2.reshape(b, 1, -1), self.heads)
-            kh = F.split_heads(kc, self.heads)
-            vh = F.split_heads(vc, self.heads)
+            kh, vh = kc, vc
             s = attn(qh, kh)                          # [B, H, 1, T_max]
             p = smax(s, valid_len=valid)
             o = av(p, vh)                             # [B, H, 1, D]

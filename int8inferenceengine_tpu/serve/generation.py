@@ -119,13 +119,20 @@ class GenerationEngine:
         self.eos_id = eos_id
         self._queue: queue.Queue[_GenRequest | None] = queue.Queue()
         self._params = model._gather_params()
-        dt = (jnp.float32 if model.config.weight_only else jnp.uint8)
-        # T-major flat caches [slots, T_max, H*D]: per-slot appends are
-        # contiguous row writes, and the decode kernel's DMA scales with
-        # each slot's live length (ops/attention.py flat decode path).
+        if model.config.weight_only:
+            # float caches stay HEAD-SPLIT [slots, H, T_max, D] — the
+            # composed decode attention reads that layout directly
+            hd = model.dim // model.heads
+            shape = (slots, model.heads, model.max_len, hd)
+            dt = jnp.float32
+        else:
+            # u8 caches are T-major flat [slots, T_max, H*D]: per-slot
+            # appends are contiguous row writes, and the decode kernel's
+            # DMA scales with each slot's live length (ops/attention.py).
+            shape = (slots, model.max_len, model.dim)
+            dt = jnp.uint8
         self._caches = {
-            i: (jnp.zeros((slots, model.max_len, model.dim), dt),
-                jnp.zeros((slots, model.max_len, model.dim), dt))
+            i: (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
             for i in range(1, model.depth + 1)
         }
         self._pos = jnp.zeros((slots,), jnp.int32)
