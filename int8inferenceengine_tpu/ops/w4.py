@@ -102,13 +102,14 @@ def w4_matmul_xla(x, packed, scales, bias, k: int, group: int = 128):
 #
 #     out[m, n] = sum_G s[n, G] * ( x_even_G @ hi_G^T + x_odd_G @ lo_G^T )
 #
-# OPT-IN (QuantConfig.w4_kernel='pallas'): Mosaic-verified on a v5e
-# (2026-08-19) — lowers and runs after widening the nibble extraction to
-# i32 (u8 vector shifts fail to legalize).  On chip it is NOT bit-identical
-# to the XLA path (both are f32 dots through bf16 MXU passes with different
+# DEFAULT on TPU via 'auto' since the decode-shape win (2026-08-19, v5e:
+# end-to-end W4 decode 1.996 ms/step through this kernel vs 5.193 through
+# XLA, which re-materializes the unpacked weights in HBM inside the scan).
+# Mosaic notes: lowers after widening the nibble extraction to i32 (u8
+# vector shifts fail to legalize).  On chip it is NOT bit-identical to the
+# XLA path (both are f32 dots through bf16 MXU passes with different
 # accumulation orders; measured op-level divergence 9e-3 against a 1e-2
 # f64-oracle error for either), and slightly MORE accurate than XLA.
-# 'auto' still dispatches XLA pending a decode-shape perf win.
 
 
 def _w4_kernel(xe_ref, xo_ref, pk_ref, sc_ref, b_ref, out_ref, *,
