@@ -498,7 +498,7 @@ class Linear(Layer):
             if self._tp_sharded and (pa is not None or (
                     self._tp_local and self._active_axes() is not None)):
                 return Tensor(out, act[1], act[2], _tp_sharded=True)
-            return Tensor(out, act[1], act[2])
+            return Tensor(self._maybe_gather(out, 1), act[1], act[2])
         if self._tp_sharded and pa is not None:
             return Tensor(out, self.scale, self.zero_point, _tp_sharded=True)
         if self._tp_sharded and self._tp_local \
@@ -1141,8 +1141,10 @@ def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:
     ops/gemm_int8._erf), so calibration transfers unchanged and the
     standalone dequant->fn->requant pass over the Linear output never
     touches HBM.  Models gate on ``QuantConfig.fuse_linear_act``; falls
-    back to the composed pair when the pair isn't fusable (TP-sharded
-    input, custom fn, bf16 glue, LUT backend)."""
+    back to the composed pair when the pair isn't fusable (custom fn,
+    bf16 glue, LUT backend).  Tensor-parallel Linears fuse too: the act
+    epilogue is per-output-column with per-tensor act scales, so it is
+    exact on a column shard and after a row-parallel psum alike."""
     from .ops.functional import ACTIVATIONS
     fusable = (linear.is_quantized and act.is_quantized
                and x.quantized and not linear.config.weight_only
@@ -1153,7 +1155,10 @@ def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:
                and act.fn is ACTIVATIONS.get(act.fn_name)
                and act.backend == "elementwise"
                and act.config.glue_dtype == "float32"
-               and not x._tp_sharded and not linear._tp_sharded)
+               # ring-overlap TP consumes shards through ring_qgemm,
+               # which has no act epilogue — compose there
+               and not (linear._tp_sharded
+                        and Layer._overlap_axes() is not None))
     if not fusable:
         return act(linear(x))
     out = linear._forward_int8(

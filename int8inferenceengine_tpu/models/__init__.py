@@ -10,7 +10,9 @@ from .vit import ViT, torch_vit
 from .text_transformer import TextTransformer, torch_text_transformer
 from .googlenet import GoogLeNet, torch_googlenet
 from .squeezenet import SqueezeNet, torch_squeezenet
-from .resnet import ResNet18, ResNet34, ResNet50, torch_resnet18, torch_resnet34, torch_resnet50
+from .resnet import (ResNet18, ResNet34, ResNet50, ResNet101, ResNet152,
+                     torch_resnet18, torch_resnet34, torch_resnet50,
+                     torch_resnet101, torch_resnet152)
 from .zoo import (MODEL_SPECS, VGG11, VGG16, VGG19, AlexNet, FCMnist, LeNet,
                   SimpleConv, build, torch_twin)
 
@@ -25,6 +27,7 @@ __all__ = [
     "TextTransformer", "torch_text_transformer",
     "ResNet34", "torch_resnet34",
     "ResNet50", "torch_resnet50",
+    "ResNet101", "torch_resnet101", "ResNet152", "torch_resnet152",
     "build", "torch_twin", "MODEL_SPECS", "torch_resnet18",
     "SqueezeNet", "torch_squeezenet", "GoogLeNet", "torch_googlenet",
     "DenseNet121", "torch_densenet121",

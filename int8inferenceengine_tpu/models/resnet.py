@@ -22,9 +22,9 @@ from ..module import Module
 from ..ops import functional as F
 from ..tensor import _maybe_torch
 
-__all__ = ["ResNet18", "ResNet34", "ResNet50", "fold_bn",
+__all__ = ["ResNet18", "ResNet34", "ResNet50", "ResNet101", "ResNet152", "fold_bn",
            "fold_resnet_state_dict", "torch_resnet18", "torch_resnet34",
-           "torch_resnet50"]
+           "torch_resnet50", "torch_resnet101", "torch_resnet152"]
 
 
 def fold_bn(w_oihw, b, gamma, beta, mean, var, eps: float = 1e-5):
@@ -297,18 +297,21 @@ class _BottleneckStage(Module):
 
 
 class ResNet50(Module):
-    """torchvision-layout ResNet-50 (Bottleneck x [3,4,6,3])."""
+    """torchvision-layout bottleneck ResNet (default depths [3,4,6,3] =
+    ResNet-50; ResNet101/ResNet152 pass their stage depths)."""
 
     INPUT_SHAPE = (3, 224, 224)
+    LAYERS = (3, 4, 6, 3)
 
     def __init__(self, num_classes: int = 10,
                  config: QuantConfig = DEFAULT_CONFIG):
         super().__init__(config)
+        n1, n2, n3, n4 = self.LAYERS
         self.conv1 = Conv2d(3, 64, 7, stride=2, padding=3, config=config)
-        self.layer1 = _BottleneckStage(3, 64, 64, 1, config)
-        self.layer2 = _BottleneckStage(4, 256, 128, 2, config)
-        self.layer3 = _BottleneckStage(6, 512, 256, 2, config)
-        self.layer4 = _BottleneckStage(3, 1024, 512, 2, config)
+        self.layer1 = _BottleneckStage(n1, 64, 64, 1, config)
+        self.layer2 = _BottleneckStage(n2, 256, 128, 2, config)
+        self.layer3 = _BottleneckStage(n3, 512, 256, 2, config)
+        self.layer4 = _BottleneckStage(n4, 1024, 512, 2, config)
         self.fc = Linear(2048, num_classes, config=config)
 
     def load(self, state_dict):
@@ -326,9 +329,10 @@ class ResNet50(Module):
         return self.fc(x)
 
 
-def torch_resnet50(num_classes: int = 10, seed: int = 42):
-    """torchvision-compatible ResNet-50 oracle (BN running stats populated
-    via one train-mode forward, as with torch_resnet18)."""
+def torch_resnet50(num_classes: int = 10, seed: int = 42,
+                   layers=(3, 4, 6, 3)):
+    """torchvision-compatible bottleneck-ResNet oracle (BN running stats
+    populated via one train-mode forward, as with torch_resnet18)."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as tF
@@ -368,10 +372,10 @@ def torch_resnet50(num_classes: int = 10, seed: int = 42):
             super().__init__()
             self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
             self.bn1 = nn.BatchNorm2d(64)
-            self.layer1 = stage(3, 64, 64, 1)
-            self.layer2 = stage(4, 256, 128, 2)
-            self.layer3 = stage(6, 512, 256, 2)
-            self.layer4 = stage(3, 1024, 512, 2)
+            self.layer1 = stage(layers[0], 64, 64, 1)
+            self.layer2 = stage(layers[1], 256, 128, 2)
+            self.layer3 = stage(layers[2], 512, 256, 2)
+            self.layer4 = stage(layers[3], 1024, 512, 2)
             self.fc = nn.Linear(2048, num_classes)
 
         def forward(self, x):
@@ -387,3 +391,21 @@ def torch_resnet50(num_classes: int = 10, seed: int = 42):
         net(torch.randn(2, 3, 64, 64))
     net.eval()
     return net
+
+
+class ResNet101(ResNet50):
+    """ResNet-101: Bottleneck x [3, 4, 23, 3]."""
+    LAYERS = (3, 4, 23, 3)
+
+
+class ResNet152(ResNet50):
+    """ResNet-152: Bottleneck x [3, 8, 36, 3]."""
+    LAYERS = (3, 8, 36, 3)
+
+
+def torch_resnet101(num_classes: int = 10, seed: int = 42):
+    return torch_resnet50(num_classes, seed, layers=(3, 4, 23, 3))
+
+
+def torch_resnet152(num_classes: int = 10, seed: int = 42):
+    return torch_resnet50(num_classes, seed, layers=(3, 8, 36, 3))

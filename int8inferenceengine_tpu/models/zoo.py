@@ -207,6 +207,16 @@ def _resnet50(**kw):
     return ResNet50(**kw)
 
 
+def _resnet101(**kw):
+    from .resnet import ResNet101
+    return ResNet101(**kw)
+
+
+def _resnet152(**kw):
+    from .resnet import ResNet152
+    return ResNet152(**kw)
+
+
 def _mobilenet_v3_large(**kw):
     from .mobilenet_v3 import MobileNetV3
     return MobileNetV3(variant="large", **kw)
@@ -268,6 +278,8 @@ MODEL_SPECS = {
     "resnet18": _resnet18,
     "resnet34": _resnet34,
     "resnet50": _resnet50,
+    "resnet101": _resnet101,
+    "resnet152": _resnet152,
     "mobilenet_v1": _mobilenet_v1,
     "mobilenet_v2": _mobilenet_v2,
     "mobilenet_v3_large": _mobilenet_v3_large,
@@ -394,6 +406,14 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "resnet50":
         from .resnet import torch_resnet50
         return torch_resnet50(seed=seed)
+
+    elif name == "resnet101":
+        from .resnet import torch_resnet101
+        return torch_resnet101(seed=seed)
+
+    elif name == "resnet152":
+        from .resnet import torch_resnet152
+        return torch_resnet152(seed=seed)
 
     elif name == "googlenet":
         from .googlenet import torch_googlenet

@@ -190,3 +190,23 @@ def test_resnet34_fp32_and_ptq(name):
     mm.convert()
     qout = mm(q.tensor(x)).numpy()
     assert qout.shape == want.shape and np.isfinite(qout).all()
+
+
+@pytest.mark.parametrize("name", ["resnet101", "resnet152"])
+def test_deep_bottleneck_resnets(name):
+    """ResNet-101/152 (stage-depth variants of the ResNet-50 builder):
+    FP32 parity vs the torch twin and a full PTQ lifecycle."""
+    import torch
+    torch.set_num_threads(1)
+    tm = models.torch_twin(name)
+    mm = models.build(name)
+    mm.load(tm.state_dict())
+    x = np.random.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    want = tm(torch.tensor(x)).detach().numpy()
+    got = mm(q.tensor(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-2)
+    mm.prepare()
+    mm(q.tensor(np.random.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)))
+    mm.convert()
+    qout = mm(q.tensor(x)).numpy()
+    assert qout.shape == want.shape and np.isfinite(qout).all()
