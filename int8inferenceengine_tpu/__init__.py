@@ -16,7 +16,7 @@ points.
 from .config import DEFAULT_CONFIG, QuantConfig
 from .layers import (Conv2d, Layer, Linear, QuantAct, QuantAdd, QuantConcat,
                      QuantEmbed, QuantLayerNorm, QuantMatmul, QuantMul,
-                     QuantPosEmbed, QuantSoftmax)
+                     QuantPosEmbed, QuantRMSNorm, QuantRoPE, QuantSoftmax)
 from .module import Module
 from .ops.functional import argmax, dequantize, max_pool2d, quantize, relu
 from .tensor import Tensor, tensor
@@ -26,7 +26,7 @@ __all__ = [
     "Linear", "Conv2d", "Tensor", "Layer", "Module",
     "QuantAdd", "QuantConcat", "QuantMul", "QuantAct",
     "QuantMatmul", "QuantSoftmax", "QuantLayerNorm", "QuantPosEmbed",
-    "QuantEmbed",
+    "QuantEmbed", "QuantRMSNorm", "QuantRoPE",
     "quantize", "dequantize",
     "QuantConfig", "DEFAULT_CONFIG",
 ]

@@ -1225,11 +1225,15 @@ def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
     from .ops import attention as attn_ops
     backend = attn.config.decode_attention
     n_heads = q2.data.shape[-1] // head_dim      # local under TP
+    # GQA (llama family): the kv cache is kv-head-compact — its row
+    # width names the kv head count; MHA caches derive n_kv == n_heads
+    n_kv = kc.data.shape[-1] // head_dim
     # 'off' = the caller asked for the composed per-layer path: honor it
     # (decode_attention 'xla' IS that composed triple) instead of
     # silently coercing to 'auto' (advisor finding, round 1).
     out = attn_ops.decode_attention_flat(
         q2.data, kc.data, vc.data, valid, n_heads=n_heads,
+        n_kv_heads=n_kv,
         backend="xla" if backend == "off" else backend,
         scale_q=q2.scale, zp_q=q2.zero_point,
         scale_k=kc.scale, zp_k=kc.zero_point,
@@ -1303,6 +1307,113 @@ class QuantLayerNorm(Layer):
         out = quant_ops.quantize_u8(self._ln(f), self.scale,
                                     self.zero_point, self.config.rounding)
         return Tensor(out, self.scale, self.zero_point)
+
+
+class QuantRMSNorm(Layer):
+    """RMSNorm over the last axis with calibrated u8 output.
+
+    The llama-family normalization (Zhang & Sennrich '19): no mean
+    subtraction, no bias — ``y = x * rsqrt(mean(x^2) + eps) * weight``.
+    Same INT8 design as QuantLayerNorm: gamma stays FP32, the f32
+    interior runs on the VPU between the int8 GEMMs, and the output is
+    requantized to this layer's calibrated range.
+    """
+
+    def __init__(self, dim: int, eps: float = 1e-6,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        self.dim = int(dim)
+        self.eps = float(eps)
+        self.params = {"weight": jnp.ones((dim,), jnp.float32)}
+
+    def load_weight(self, w):
+        self.params["weight"] = self._load_array(w, (self.dim,),
+                                                 "load_weight")
+
+    def _quantize_weights(self):
+        # gamma stays FP32 (see class docstring) — nothing to free.
+        pass
+
+    def _norm(self, f):
+        ms = jnp.mean(jnp.square(f), axis=-1, keepdims=True)
+        return f * lax.rsqrt(ms + self.eps) * self._p("weight")
+
+    def __call__(self, x: Tensor) -> Tensor:
+        if x.shape[-1] != self.dim:
+            raise ValueError(
+                f"QuantRMSNorm({self.dim}) got last-dim {x.shape[-1]}")
+        if not x.quantized:
+            out = self._norm(x.data)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
+        out = quant_ops.quantize_u8(self._norm(f), self.scale,
+                                    self.zero_point, self.config.rounding)
+        return Tensor(out, self.scale, self.zero_point)
+
+
+class QuantRoPE(Layer):
+    """Rotary position embedding with calibrated u8 output (ops/rope.py).
+
+    Applied per head to the q / k projections before attention
+    (llama-family models); ``start`` offsets the positions exactly like
+    QuantPosEmbed(start=) — a traced scalar in generate()'s decode scan,
+    or a per-slot [B] vector in the continuous-batching engine.
+
+    INT8 path: dequant -> rotate in f32 -> requant to this layer's
+    calibrated (scale, zp).  The rotation is elementwise with angles
+    computed from the SAME static inv_freq in prefill and decode, so
+    cached k codes are bit-identical whichever path produced them —
+    preserving the u8-KV-cache exactness invariant (the k-side QuantRoPE
+    defines the cache's quantization grid).  Weight-free: rotation under
+    TP head sharding is per-head elementwise, so a local head shard
+    rotates exactly.
+    """
+
+    def __init__(self, head_dim: int, base: float = 10000.0,
+                 config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        if head_dim % 2:
+            raise ValueError(f"RoPE head_dim must be even, got {head_dim}")
+        self.head_dim = int(head_dim)
+        self.base = float(base)
+
+    def _quantize_weights(self):  # no weights to quantize
+        pass
+
+    def _rotate(self, f, start):
+        from .ops.rope import apply_rope, rope_angles
+        t = f.shape[-2]
+        pos = jnp.arange(t, dtype=jnp.int32)
+        if getattr(start, "ndim", 0) == 1:          # per-slot [B] starts
+            pos = start[:, None] + pos              # [B, T]
+            cos, sin = rope_angles(pos, self.head_dim, self.base)
+            cos, sin = cos[:, None], sin[:, None]   # [B, 1, T, D/2]
+        else:
+            pos = start + pos                       # [T]
+            cos, sin = rope_angles(pos, self.head_dim, self.base)
+        return apply_rope(f, cos, sin)
+
+    def __call__(self, x: Tensor, start=0) -> Tensor:
+        if x.shape[-1] != self.head_dim:
+            raise ValueError(
+                f"QuantRoPE(head_dim={self.head_dim}) got head-split "
+                f"last-dim {x.shape[-1]}")
+        if not x.quantized:
+            out = self._rotate(x.data, start)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out, _tp_sharded=x._tp_sharded)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
+        out = quant_ops.quantize_u8(self._rotate(f, start), self.scale,
+                                    self.zero_point, self.config.rounding)
+        return Tensor(out, self.scale, self.zero_point,
+                      _tp_sharded=x._tp_sharded)
 
 
 class QuantPosEmbed(Layer):

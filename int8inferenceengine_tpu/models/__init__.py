@@ -10,6 +10,7 @@ from .vit import ViT, torch_vit
 from .text_transformer import TextTransformer, torch_text_transformer
 from .googlenet import GoogLeNet, torch_googlenet
 from .squeezenet import SqueezeNet, torch_squeezenet
+from .llama import LlamaDecoder, torch_llama
 from .resnet import (ResNet18, ResNet34, ResNet50, ResNet101, ResNet152,
                      torch_resnet18, torch_resnet34, torch_resnet50,
                      torch_resnet101, torch_resnet152)
@@ -25,6 +26,7 @@ __all__ = [
     "ShuffleNetV2", "torch_shufflenet_v2",
     "ViT", "torch_vit",
     "TextTransformer", "torch_text_transformer",
+    "LlamaDecoder", "torch_llama",
     "ResNet34", "torch_resnet34",
     "ResNet50", "torch_resnet50",
     "ResNet101", "torch_resnet101", "ResNet152", "torch_resnet152",

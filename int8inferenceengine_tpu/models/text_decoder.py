@@ -69,6 +69,10 @@ class TextDecoder(Module):
             raise ValueError(f"dim {dim} not divisible by heads {heads}")
         self.vocab_size, self.max_len = vocab_size, max_len
         self.dim, self.depth, self.heads = dim, depth, heads
+        # kv_heads / head_dim generalize the cache geometry (GQA models
+        # — models/llama.py — store kv-compact caches); here MHA
+        self.kv_heads = heads
+        self.head_dim = dim // heads
         self.INPUT_SHAPE = (max_len,)           # token-id sequence
         self.embed = QuantEmbed(vocab_size, dim, config=config)
         self.pe = QuantPosEmbed(max_len, dim, config=config, cls=False)
@@ -113,7 +117,16 @@ class TextDecoder(Module):
         return roles
 
     # -- shared block body ---------------------------------------------------
-    def _block(self, i, x, b, t, capture=None):
+    def _stem(self, ids: Tensor, start=None) -> Tensor:
+        """Token embedding + position scheme -> [B, T, C].  ``start`` is
+        None for the full/prefill forward (positions 0..T), or the decode
+        position (traced scalar / per-slot [B] vector).  Rotary models
+        (models/llama.py) override: no additive table — positions enter
+        inside the blocks."""
+        x = self.embed(ids)
+        return self.pe(x) if start is None else self.pe(x, start=start)
+
+    def _block(self, i, x, b, t, capture=None, start=0):
         """One decoder block on the flat [b*t, C] view (causal softmax).
 
         ``capture``: dict collecting this block's fresh k/v head codes
@@ -148,7 +161,7 @@ class TextDecoder(Module):
         return getattr(self, f"add2_{i}")(x, h)
 
     def forward(self, ids):
-        x = self.pe(self.embed(ids))             # [B, T, C]
+        x = self._stem(ids)                      # [B, T, C]
         b, t, c = x.shape
         x = x.reshape(b * t, c)
         for i in range(1, self.depth + 1):
@@ -167,12 +180,12 @@ class TextDecoder(Module):
         [0, T0).  ``last`` ([B] or scalar, traced): true prompt lengths
         when ids are right-padded — logits come from row last-1."""
         b, t0 = ids.data.shape
-        x = self.pe(self.embed(ids))
+        x = self._stem(ids)
         x = x.reshape(b * t0, self.dim)
         cache = {}
         for i in range(1, self.depth + 1):
             cap = {}
-            x = self._block(i, x, b, t0, capture=cap)
+            x = self._block(i, x, b, t0, capture=cap, start=0)
             kf, vf = cap[i]                          # FLAT [B, T0, C] rows
             dt = kf.data.dtype
             if kf.quantized:
@@ -193,8 +206,8 @@ class TextDecoder(Module):
                 # consumes HEAD-SPLIT [B, H, T, D] views — keep the cache
                 # in that layout so the decode step never transposes the
                 # whole float cache in-scan (12 MB/layer at gpt2-small)
-                kh = F.split_heads(kf, self.heads)
-                vh = F.split_heads(vf, self.heads)
+                kh = F.split_heads(kf, self.kv_heads)
+                vh = F.split_heads(vf, self.kv_heads)
                 h_loc, hd = kh.data.shape[1], kh.data.shape[3]
                 k_buf = jnp.zeros((b, h_loc, self.max_len, hd), dt)
                 v_buf = jnp.zeros((b, h_loc, self.max_len, hd), dt)
@@ -223,8 +236,8 @@ class TextDecoder(Module):
         is at a different point in its sequence)."""
         b = tok.shape[0]
         per_slot = getattr(pos, "ndim", 0) == 1
-        x = self.embed(Tensor(tok[:, None].astype(jnp.float32)))
-        x = self.pe(x, start=pos)                # [B, 1, C]
+        x = self._stem(Tensor(tok[:, None].astype(jnp.float32)),
+                       start=pos)                # [B, 1, C]
         x = x.reshape(b, self.dim)
         valid = ((pos + 1).reshape(-1, 1, 1, 1) if per_slot else pos + 1)
         new_cache = {}
@@ -238,9 +251,9 @@ class TextDecoder(Module):
                 kf, vf = cap[i]                      # FLAT [B, 1, C] rows
                 sharded = kf._tp_sharded
                 if not kf.quantized:
-                    # weight_only: HEAD-SPLIT float cache [B, H, T, D]
-                    kh, vh = (F.split_heads(kf, self.heads),
-                              F.split_heads(vf, self.heads))
+                    # weight_only: HEAD-SPLIT float cache [B, Hkv, T, D]
+                    kh, vh = (F.split_heads(kf, self.kv_heads),
+                              F.split_heads(vf, self.kv_heads))
                     if per_slot:
                         upd = jax.vmap(
                             lambda c, u, p: lax.dynamic_update_slice(
@@ -270,7 +283,7 @@ class TextDecoder(Module):
                 return (Tensor(kc, ks, kzp, _tp_sharded=sharded),
                         Tensor(vc, vs, vzp, _tp_sharded=sharded))
 
-            x = self._block_decode(i, x, b, valid, cap, kv_hook)
+            x = self._block_decode(i, x, b, valid, cap, kv_hook, pos=pos)
         x = self.ln_f(x)
         return self.head(x).data, new_cache      # u8 logit codes [B, V]
 
@@ -282,7 +295,7 @@ class TextDecoder(Module):
         return (getattr(self, f"wq{i}")(h), getattr(self, f"wk{i}")(h),
                 getattr(self, f"wv{i}")(h))
 
-    def _block_decode(self, i, x, b, valid, cap, kv_hook):
+    def _block_decode(self, i, x, b, valid, cap, kv_hook, pos=0):
         h = getattr(self, f"ln1_{i}")(x)
         q2, k2, v2 = self._qkv(i, h)
         # FLAT [B, 1, C] rows into the T-major cache (local channel

@@ -242,6 +242,12 @@ def _gpt_tiny(**kw):
     return TextDecoder(**kw)
 
 
+def _llama_tiny(**kw):
+    from .llama import LlamaDecoder
+    kw.setdefault("kv_heads", 2)        # GQA by default (heads=4 over 2)
+    return LlamaDecoder(**kw)
+
+
 def _vit_tiny(**kw):
     from .vit import ViT
     return ViT(**kw)
@@ -289,6 +295,7 @@ MODEL_SPECS = {
     "vit_tiny": _vit_tiny,
     "text_tiny": _text_tiny,
     "gpt_tiny": _gpt_tiny,
+    "llama_tiny": _llama_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -459,6 +466,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "gpt_tiny":
         from .text_decoder import torch_text_decoder
         return torch_text_decoder(seed=seed)
+
+    elif name == "llama_tiny":
+        from .llama import torch_llama
+        return torch_llama(kv_heads=2, seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

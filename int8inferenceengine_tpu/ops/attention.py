@@ -349,47 +349,73 @@ def _decode_attn_flat_impl(q2, k3, v3, valid, fparams, iparams, *,
 
 
 def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
+                          n_kv_heads: int | None = None,
                           backend: str = "auto", interpret: bool = False,
                           **kw):
     """Cached-decode attention on the T-major FLAT cache layout.
 
-    q [B, C] u8 (pre-head-split projection row), k/v caches [B, T, C] u8
-    (row t = that position's [H*D] codes), ``valid`` the live length
-    (scalar or [B], each >= 1 — attention over zero positions is
-    softmax over an empty set, undefined on every backend)
-    -> u8 [B, C] (head-merged context row).
+    q [B, H*D] u8 (pre-head-split projection row), k/v caches
+    [B, T, Hkv*D] u8 (row t = that position's head-merged codes),
+    ``valid`` the live length (scalar or [B], each >= 1 — attention over
+    zero positions is softmax over an empty set, undefined on every
+    backend) -> u8 [B, H*D] (head-merged context row).
+
+    ``n_kv_heads`` < ``n_heads`` is grouped-query attention (llama
+    family): query head h reads kv head h // (H / Hkv) — the cache stays
+    kv-compact and is never expanded.  The XLA path batches each kv
+    group's G query heads as the matmul M dim ([B, Hkv, G, T] scores);
+    the Pallas kernel covers MHA (kv expansion in-kernel is future work,
+    'auto' falls back for GQA).
 
     The serving layout: appends are contiguous row writes, and the Pallas
     kernel DMAs + computes only live _DEC_BLK blocks (cost ~ valid, not
-    max_len).  Exact for any T (see the kernel comment).  The XLA
-    fallback reshapes to [B, H, T, D] and runs the composed oracle.
+    max_len).  Exact for any T (see the kernel comment).
     """
     bsz, t, c = k3_u8.shape
-    if c % n_heads:
-        raise ValueError(f"flat channels {c} not divisible by "
-                         f"{n_heads} heads")
-    d = c // n_heads
+    n_kv = n_heads if n_kv_heads is None else n_kv_heads
+    if n_heads % n_kv:
+        raise ValueError(f"{n_heads} query heads not divisible by "
+                         f"{n_kv} kv heads")
+    if c % n_kv:
+        raise ValueError(f"flat kv channels {c} not divisible by "
+                         f"{n_kv} kv heads")
+    d = c // n_kv
+    grp = n_heads // n_kv
+    if q2_u8.shape[-1] != n_heads * d:
+        raise ValueError(
+            f"query width {q2_u8.shape[-1]} != n_heads*head_dim "
+            f"{n_heads}*{d}")
     v_arr = jnp.asarray(valid, jnp.int32)
     if backend == "auto":
-        # kernel envelope for 'auto': block-divisible T and 128-aligned
-        # rows (validated on-chip at c in {768}; narrower head-sharded
-        # rows may work but fall back until measured).  interpret counts
-        # as a kernel target so interpret-mode 'auto' tests the kernel.
+        # kernel envelope for 'auto': MHA, block-divisible T and
+        # 128-aligned rows (validated on-chip at c in {768}; narrower
+        # head-sharded rows may work but fall back until measured).
+        # interpret counts as a kernel target so interpret-mode 'auto'
+        # tests the kernel.
         on_kernel_target = jax.default_backend() == "tpu" or interpret
         backend = ("pallas" if on_kernel_target and _dec_blk(t)
-                   and c % 128 == 0 else "xla")
-    elif backend == "pallas" and not _dec_blk(t):
-        raise ValueError(
-            f"decode_attention_flat kernel needs a cache length divisible "
-            f"by 32, got T={t}; use 'auto'/'xla'")
+                   and c % 128 == 0 and grp == 1 else "xla")
+    elif backend == "pallas":
+        if not _dec_blk(t):
+            raise ValueError(
+                f"decode_attention_flat kernel needs a cache length "
+                f"divisible by 32, got T={t}; use 'auto'/'xla'")
+        if grp != 1:
+            raise ValueError(
+                "decode_attention_flat kernel covers MHA only; GQA "
+                f"(heads {n_heads} / kv {n_kv}) runs 'xla'/'auto'")
     if backend != "pallas":
-        def to4(x2):                                  # [B, T, C]->[B,H,T,D]
-            return jnp.transpose(x2.reshape(bsz, -1, n_heads, d),
+        def to4(x2):                               # [B,T,Hkv*D]->[B,Hkv,T,D]
+            return jnp.transpose(x2.reshape(bsz, -1, n_kv, d),
                                  (0, 2, 1, 3))
+        # GQA: kv group kv's G query heads ride the matmul M dim; query
+        # head h = kv*grp + g lands at row (kv, g), matching the flat
+        # head-major q layout, and every row shares the position mask
+        q4 = q2_u8.reshape(bsz, n_kv, grp, d)
         out4 = decode_attention_xla(
-            to4(q2_u8.reshape(bsz, 1, c)), to4(k3_u8), to4(v3_u8),
+            q4, to4(k3_u8), to4(v3_u8),
             v_arr.reshape(bsz, 1, 1, 1) if v_arr.ndim else v_arr, **kw)
-        return jnp.transpose(out4, (0, 2, 1, 3)).reshape(bsz, c)
+        return out4.reshape(bsz, n_heads * d)
     valid_b = (jnp.broadcast_to(v_arr.reshape(-1), (bsz,))
                if v_arr.ndim <= 1 else v_arr.reshape(bsz))
     rounding = kw.pop("rounding", "trunc")

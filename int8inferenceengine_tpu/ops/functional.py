@@ -220,6 +220,23 @@ def split_heads(x: Tensor, num_heads: int) -> Tensor:
                   _tp_sharded=x._tp_sharded)
 
 
+def repeat_kv(x: Tensor, group: int) -> Tensor:
+    """[B, Hkv, T, D] -> [B, Hkv*group, T, D]: expand grouped-query kv
+    heads so each query head h sees kv head h // group (llama-family
+    GQA, repeat-interleave order).  Quantization-transparent (u8 codes
+    are copied, scale/zp unchanged); used on the PREFILL path only — the
+    decode path keeps the cache kv-compact (ops/attention.py grouped
+    matmul).  Exact on a local head shard under TP (whole kv groups per
+    shard when kv_heads divide the model axis)."""
+    x._no_ingest("repeat_kv")
+    if group == 1:
+        return x
+    b, hkv, t, d = x.data.shape
+    out = jnp.broadcast_to(x.data[:, :, None], (b, hkv, group, t, d))
+    return Tensor(out.reshape(b, hkv * group, t, d), x.scale,
+                  x.zero_point, _tp_sharded=x._tp_sharded)
+
+
 def merge_heads(x: Tensor) -> Tensor:
     """[B, H, T, D] -> [B, T, H*D] (inverse of split_heads; on a local
     head shard the merged channels stay a local channel shard)."""

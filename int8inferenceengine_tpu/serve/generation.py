@@ -120,16 +120,17 @@ class GenerationEngine:
         self._queue: queue.Queue[_GenRequest | None] = queue.Queue()
         self._params = model._gather_params()
         if model.config.weight_only:
-            # float caches stay HEAD-SPLIT [slots, H, T_max, D] — the
+            # float caches stay HEAD-SPLIT [slots, Hkv, T_max, D] — the
             # composed decode attention reads that layout directly
-            hd = model.dim // model.heads
-            shape = (slots, model.heads, model.max_len, hd)
+            # (kv_heads < heads is GQA: the cache is kv-compact)
+            shape = (slots, model.kv_heads, model.max_len, model.head_dim)
             dt = jnp.float32
         else:
-            # u8 caches are T-major flat [slots, T_max, H*D]: per-slot
+            # u8 caches are T-major flat [slots, T_max, Hkv*D]: per-slot
             # appends are contiguous row writes, and the decode kernel's
             # DMA scales with each slot's live length (ops/attention.py).
-            shape = (slots, model.max_len, model.dim)
+            shape = (slots, model.max_len,
+                     model.kv_heads * model.head_dim)
             dt = jnp.uint8
         self._caches = {
             i: (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
