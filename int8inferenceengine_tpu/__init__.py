@@ -17,7 +17,7 @@ from .config import DEFAULT_CONFIG, QuantConfig
 from .layers import (Conv2d, Layer, Linear, QuantAct, QuantAdd, QuantConcat,
                      QuantEmbed, QuantLayerNorm, QuantMatmul, QuantMul,
                      QuantPosEmbed, QuantRMSNorm, QuantRoPE, QuantSoftmax)
-from .module import Module
+from .module import Module, TruncDepthWarning
 from .ops.functional import argmax, dequantize, max_pool2d, quantize, relu
 from .tensor import Tensor, tensor
 
@@ -28,7 +28,7 @@ __all__ = [
     "QuantMatmul", "QuantSoftmax", "QuantLayerNorm", "QuantPosEmbed",
     "QuantEmbed", "QuantRMSNorm", "QuantRoPE",
     "quantize", "dequantize",
-    "QuantConfig", "DEFAULT_CONFIG",
+    "QuantConfig", "DEFAULT_CONFIG", "TruncDepthWarning",
 ]
 
 __version__ = "0.1.0"

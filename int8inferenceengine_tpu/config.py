@@ -57,6 +57,16 @@ class QuantConfig:
     # weight quantization, and every requant epilogue, removing that bias
     # (the measured common-mode shift on a Linear layer was -s_c/2 per
     # output exactly as predicted).
+    #
+    # DEPTH FOOTGUN (measured, decided round 3): the -s/2 bias COMPOUNDS
+    # across serial requant boundaries — depth-8 decoder loses ~5 pts
+    # under 'trunc' vs -0.6 under 'nearest' (tests/test_accuracy_synthetic
+    # .py); the llama stack (~2x boundaries/block) shows 4x the logit rms
+    # error (tests/test_llama.py).  The default stays 'trunc' for
+    # reference bit-parity (all parity models are <= 8 boundaries, where
+    # the bias is negligible); Module.convert() emits a TruncDepthWarning
+    # advisory when a model deeper than 32 boundaries converts under
+    # plain 'trunc' with no accuracy lever engaged.
     rounding: str = "trunc"
 
     # Bias correction (Nagel et al., ICCV'19 "Data-Free Quantization"):

@@ -53,9 +53,15 @@ __all__ = ["LlamaDecoder", "torch_llama"]
 
 
 def swiglu_hidden(dim: int, multiple_of: int = 64) -> int:
-    """The llama MLP width rule: 2/3 of 4*dim, rounded up to a multiple
-    (Touvron et al. '23 use multiple_of=256; 64 keeps toy dims sane)."""
-    h = (8 * dim + 2) // 3
+    """The llama MLP width rule: ``int(2 * 4*dim / 3)`` (FLOOR, matching
+    the Llama reference implementation), rounded UP to a multiple
+    (Touvron et al. '23 use multiple_of=256; 64 keeps toy dims sane).
+
+    The floor matters: for dims where ``8*dim % 3 != 0`` a ceil before
+    rounding can land on a different multiple than a real checkpoint's
+    ``intermediate_size`` — real checkpoints should still pass
+    ``mlp_hidden`` explicitly when their config says so."""
+    h = (8 * dim) // 3
     return -(-h // multiple_of) * multiple_of
 
 

@@ -32,6 +32,8 @@ fully_connected.cc:18-20).
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +42,11 @@ from .config import DEFAULT_CONFIG, QuantConfig
 from .layers import Layer
 from .ops import functional as F
 from .tensor import Tensor, _maybe_torch
+
+
+class TruncDepthWarning(UserWarning):
+    """Advisory: deep model converted under 'trunc' rounding with no
+    accuracy lever engaged (see Module._warn_trunc_depth)."""
 
 
 class Module:
@@ -114,6 +121,7 @@ class Module:
                 f"convert(skip=...): FP32 fallback islands are implemented "
                 f"for Linear/Conv2d only; {sorted(unsupported)} are "
                 f"{[type(by_name[n]).__name__ for n in sorted(unsupported)]}")
+        self._warn_trunc_depth(by_name, skip)
         for name, layer in self.named_layers():
             if name in skip:
                 layer.quant_fallback = True
@@ -129,6 +137,46 @@ class Module:
             pa = self._parallel_axes
             self.shard(self._mesh, data_axis=pa.data_axis,
                        model_axis=pa.model_axis, overlap=pa.overlap)
+
+    # Deepest reference-parity model is AlexNet (8 boundaries); the
+    # measured footgun starts well past that (depth-8 decoder ~= 122
+    # boundaries loses ~5 pts under 'trunc', -0.6 under 'nearest';
+    # llama_tiny's 39 quadruple its logit rms error —
+    # tests/test_accuracy_synthetic.py, tests/test_llama.py).
+    TRUNC_DEPTH_ADVISORY = 32
+
+    def _warn_trunc_depth(self, by_name, skip):
+        """Advisory for the measured deep-model 'trunc' footgun.
+
+        Every requant boundary under the default round-toward-zero
+        conversion ('trunc', reference C-cast parity) carries a -s/2 DC
+        bias; across many serial boundaries the bias COMPOUNDS (depth-8
+        decoder study: ~5 pt accuracy loss vs -0.6 with 'nearest';
+        llama stack: 4x logit rms error).  Reference-parity models are
+        shallow (<= 8 boundaries) and unaffected — so converting a deep
+        model with 'trunc' and no accuracy lever engaged earns a
+        warning, not silence.  Suppressed by any engaged lever
+        (rounding='nearest', bias_correction, weight_per_channel,
+        calib_method='mse', weight_only) or a mixed-precision skip set.
+        """
+        cfg = self.config
+        if cfg.rounding != "trunc" or skip:
+            return
+        if (cfg.bias_correction or cfg.weight_per_channel
+                or cfg.calib_method == "mse" or cfg.weight_only):
+            return
+        n = len(by_name)
+        if n > self.TRUNC_DEPTH_ADVISORY:
+            warnings.warn(
+                f"converting {n} quantized layer boundaries with "
+                f"rounding='trunc' (the reference-parity default): the "
+                f"per-boundary -scale/2 truncation bias compounds with "
+                f"depth (measured: ~5 pt accuracy loss at depth 8, 4x "
+                f"logit error on the llama stack).  For deep models not "
+                f"bound to reference bit-parity, pass "
+                f"QuantConfig(rounding='nearest') or engage another "
+                f"accuracy lever (bias_correction, weight_per_channel, "
+                f"calib_method='mse').", TruncDepthWarning, stacklevel=3)
 
     def ingest_descriptor(self):
         """Host-ingest pre-layout tag for this model's input, or None.

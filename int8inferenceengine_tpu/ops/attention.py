@@ -197,12 +197,13 @@ def _dec_blk(t: int) -> int:
 
 def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
                              v_ref, o_ref, buf0, buf1, s_scr, a2_scr,
-                             sem0, sem1, *, n_heads: int, t: int, d: int,
-                             blk: int):
+                             sem0, sem1, *, n_heads: int, n_kv: int,
+                             t: int, d: int, blk: int):
     f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
     bufs, sems = (buf0, buf1), (sem0, sem1)
-    h = n_heads
-    c = h * d
+    h = n_heads                                      # query rows R
+    grp = h // n_kv
+    c = n_kv * d                                     # cache row width
     nblk = t // blk
     b = pl.program_id(0)
     valid = valid_ref[b]
@@ -218,16 +219,25 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
         return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
                                preferred_element_type=f32).astype(i32)
 
-    # block-diagonal query: aq_wide[h, h*D + d] = q[h*D + d] - zp_q
-    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)       # [1, C]
+    # Block-diagonal query rows over the KV segments.  Rows are KV-MAJOR
+    # within each group slot: row r serves query head (r % n_kv)*grp +
+    # r//n_kv, whose kv head is r % n_kv — so ONE mask (seg == r % n_kv)
+    # covers MHA (grp == 1: r % n_kv == r, the original head-diagonal)
+    # and GQA alike.  MHA builds the diagonal in-kernel from the [1, C]
+    # projection row (broadcast aligns because output segments == input
+    # segments); GQA rows need q values at FOREIGN column offsets, which
+    # is a relayout Mosaic rejects — so the wrapper pre-places the codes
+    # (dead segments = code 128 -> recenter to 0) and the kernel only
+    # recenters + masks.
+    seg = lax.broadcasted_iota(i32, (h, c), 1) // d  # column's kv head
+    rowkv = lax.broadcasted_iota(i32, (h, c), 0) % n_kv
+    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)   # [1|H, C]
     aqf = a8.astype(f32) + f32(c_q)                  # q - zp_q, exact ints
-    seg = lax.broadcasted_iota(i32, (h, c), 1) // d  # column's head
-    rowh = lax.broadcasted_iota(i32, (h, c), 0)
-    aq_wide = jnp.where(seg == rowh,
-                        jnp.broadcast_to(aqf, (h, c)), 0.0).astype(bf16)
-    rowsum_aq = jnp.sum(jnp.where(seg == rowh,
-                                  jnp.broadcast_to(aqf, (h, c)), 0.0),
-                        axis=1, keepdims=True).astype(i32)   # [H, 1]
+    aq_masked = jnp.where(seg == rowkv,
+                          jnp.broadcast_to(aqf, (h, c)), 0.0)
+    aq_wide = aq_masked.astype(bf16)
+    rowsum_aq = jnp.sum(aq_masked, axis=1,
+                        keepdims=True).astype(i32)        # [H, 1]
 
     # double-buffered block walk: prefetch block tb+1's rows while
     # computing on block tb (the serial copy->wait->compute version
@@ -291,42 +301,56 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
 
     walk(v_ref, v_block)
 
-    # head h's result lives in columns [h*D, (h+1)*D) of its a2 row —
-    # flattening back to [1, C] is a column-wise row-select with the SAME
-    # (seg == rowh) mask as aq_wide: a sublane reduction, no reshapes
-    # (Mosaic rejects the [H, C] -> [H, H, D] minor-split shape cast)
+    # row r's result lives in its kv segment [kv*D, (kv+1)*D) of its a2
+    # row — flattening back is a column-wise row-select with the SAME
+    # (seg == rowkv) mask as aq_wide: a sublane reduction per group
+    # slot, no reshapes (Mosaic rejects the [H, C] -> [H, H, D]
+    # minor-split shape cast).  Each group slot g reduces its n_kv rows
+    # [g*n_kv, (g+1)*n_kv) to one head-merged kv-major row; grp == 1 is
+    # the original single reduction.
     rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)  # [H, 1]
     corr = jnp.broadcast_to(c_v * rowsum_pz, (h, c))
-    acc2f = jnp.sum(jnp.where(seg == rowh, a2_scr[...] + corr, 0),
-                    axis=0, keepdims=True)           # [1, C] i32 exact
+    base = jnp.where(seg == rowkv, a2_scr[...] + corr, 0)  # [H, C] i32
+    rowg = lax.broadcasted_iota(i32, (h, c), 0) // n_kv
+    rows = [jnp.sum(jnp.where(rowg == g, base, 0), axis=0, keepdims=True)
+            for g in range(grp)]                     # grp x [1, C] exact
+    acc2f = rows[0] if grp == 1 else jnp.concatenate(rows, axis=0)
     qo = jnp.clip(acc2f.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
                   0.0, 255.0)
     qo = (qo + rb).astype(i32)
     o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
-        ^ jnp.uint8(0x80)                            # [1, C]
+        ^ jnp.uint8(0x80)                            # [grp, C]
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
-def _decode_attn_flat_impl(q2, k3, v3, valid, fparams, iparams, *,
-                           n_heads: int, interpret: bool = False):
-    bsz, t, c = k3.shape
-    d = c // n_heads
+@functools.partial(jax.jit, static_argnames=("n_heads", "n_kv",
+                                             "interpret"))
+def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
+                           n_heads: int, n_kv: int,
+                           interpret: bool = False):
+    bsz, t, c = k3.shape                             # c = n_kv * d
+    d = c // n_kv
+    grp = n_heads // n_kv
     blk = _dec_blk(t)
     kernel = functools.partial(_decode_attn_kernel_flat, n_heads=n_heads,
-                               t=t, d=d, blk=blk)
-    # [B, 1, C] with block (1, 1, C): the block's last two dims must be
-    # (8, 128)-divisible or equal the array dims — (1, C) equals
-    row_spec = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                               n_kv=n_kv, t=t, d=d, blk=blk)
+    # [B, R, C] with block (1, R, C): the block's last two dims must be
+    # (8, 128)-divisible or equal the array dims — (R, C) equals.
+    # MHA passes the projection row (R_in = 1, diagonal built in-kernel);
+    # GQA passes the wrapper-placed wide query (R_in = n_heads).
+    qr = qg.shape[1]
+    q_spec = pl.BlockSpec((1, qr, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, grp, c), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(bsz,),
-        in_specs=[smem, smem, smem, row_spec,
+        in_specs=[smem, smem, smem, q_spec,
                   pl.BlockSpec(memory_space=pltpu.ANY),   # k cache (HBM)
                   pl.BlockSpec(memory_space=pltpu.ANY)],  # v cache (HBM)
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, 1, c), jnp.uint8),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, grp, c), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((blk, c), jnp.uint8),         # tile buffer 0
             pltpu.VMEM((blk, c), jnp.uint8),         # tile buffer 1
@@ -344,8 +368,7 @@ def _decode_attn_flat_impl(q2, k3, v3, valid, fparams, iparams, *,
             transcendentals=bsz * n_heads * t,
         ),
         interpret=interpret,
-    )(valid, fparams, iparams, q2.reshape(bsz, 1, c), k3, v3
-      ).reshape(bsz, c)
+    )(valid, fparams, iparams, qg, k3, v3)
 
 
 def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
@@ -362,10 +385,13 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
 
     ``n_kv_heads`` < ``n_heads`` is grouped-query attention (llama
     family): query head h reads kv head h // (H / Hkv) — the cache stays
-    kv-compact and is never expanded.  The XLA path batches each kv
-    group's G query heads as the matmul M dim ([B, Hkv, G, T] scores);
-    the Pallas kernel covers MHA (kv expansion in-kernel is future work,
-    'auto' falls back for GQA).
+    kv-compact and is NEVER expanded, on either backend.  The XLA path
+    batches each kv group's G query heads as the matmul M dim
+    ([B, Hkv, G, T] scores); the Pallas kernel runs all H query rows
+    kv-major against the kv-compact cache (the coarser segment mask —
+    see the kernel comment), with the wide block-diagonal query operand
+    pre-placed here (dead segments = code 128 -> recenter to 0) and the
+    [grp, C] kernel output restored to head-major order after the call.
 
     The serving layout: appends are contiguous row writes, and the Pallas
     kernel DMAs + computes only live _DEC_BLK blocks (cost ~ valid, not
@@ -387,23 +413,19 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
             f"{n_heads}*{d}")
     v_arr = jnp.asarray(valid, jnp.int32)
     if backend == "auto":
-        # kernel envelope for 'auto': MHA, block-divisible T and
-        # 128-aligned rows (validated on-chip at c in {768}; narrower
+        # kernel envelope for 'auto': block-divisible T and 128-aligned
+        # cache rows (validated on-chip at c in {768}; narrower
         # head-sharded rows may work but fall back until measured).
-        # interpret counts as a kernel target so interpret-mode 'auto'
-        # tests the kernel.
+        # MHA and GQA both run the kernel.  interpret counts as a kernel
+        # target so interpret-mode 'auto' tests the kernel.
         on_kernel_target = jax.default_backend() == "tpu" or interpret
         backend = ("pallas" if on_kernel_target and _dec_blk(t)
-                   and c % 128 == 0 and grp == 1 else "xla")
+                   and c % 128 == 0 else "xla")
     elif backend == "pallas":
         if not _dec_blk(t):
             raise ValueError(
                 f"decode_attention_flat kernel needs a cache length "
                 f"divisible by 32, got T={t}; use 'auto'/'xla'")
-        if grp != 1:
-            raise ValueError(
-                "decode_attention_flat kernel covers MHA only; GQA "
-                f"(heads {n_heads} / kv {n_kv}) runs 'xla'/'auto'")
     if backend != "pallas":
         def to4(x2):                               # [B,T,Hkv*D]->[B,Hkv,T,D]
             return jnp.transpose(x2.reshape(bsz, -1, n_kv, d),
@@ -434,9 +456,29 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
     iparams = jnp.asarray([128 - int(kw["zp_q"]), 128 - int(kw["zp_k"]),
                            128 - int(kw["zp_p"]), 128 - int(kw["zp_v"])],
                           jnp.int32)
-    return _decode_attn_flat_impl(q2_u8, k3_u8, v3_u8, valid_b,
+    if grp == 1:
+        qg = q2_u8.reshape(bsz, 1, c)            # diagonal built in-kernel
+    else:
+        # kv-major query rows (row r = query head (r % n_kv)*grp +
+        # r//n_kv), each placed in its kv segment with code 128 (-> 0
+        # after recentering) elsewhere — the wide block-diagonal operand
+        # the kernel's (seg == r % n_kv) mask expects.  Tiny: [B, H, C]
+        # u8, fused by XLA into the surrounding glue.
+        qkvm = jnp.transpose(
+            q2_u8.reshape(bsz, n_kv, grp, d), (0, 2, 1, 3)
+        ).reshape(bsz, n_heads, d)
+        colkv = jnp.arange(c, dtype=jnp.int32) // d
+        rowkv = jnp.arange(n_heads, dtype=jnp.int32) % n_kv
+        qg = jnp.where(colkv[None, None, :] == rowkv[None, :, None],
+                       jnp.tile(qkvm, (1, 1, n_kv)), jnp.uint8(128))
+    out3 = _decode_attn_flat_impl(qg, k3_u8, v3_u8, valid_b,
                                   fparams, iparams, n_heads=n_heads,
-                                  interpret=interpret)
+                                  n_kv=n_kv, interpret=interpret)
+    if grp == 1:
+        return out3.reshape(bsz, c)
+    # [B, grp, C] kv-major group rows -> head-major [B, H*D]
+    return jnp.transpose(out3.reshape(bsz, grp, n_kv, d),
+                         (0, 2, 1, 3)).reshape(bsz, n_heads * d)
 
 
 def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,

@@ -29,19 +29,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..layers import _INPUT_TAP, Linear, QuantLayerNorm
+from ..layers import _INPUT_TAP, Linear, QuantLayerNorm, QuantRMSNorm
 from ..tensor import Tensor
 
 __all__ = ["smooth", "transformer_smooth_pairs"]
 
 
 def transformer_smooth_pairs(net) -> list:
-    """The LN -> Linear boundaries of this package's transformer models
-    (ViT / TextTransformer / TextDecoder share the block naming scheme)."""
+    """The norm -> Linear boundaries of this package's transformer models.
+
+    ViT / TextTransformer / TextDecoder share the gpt block naming
+    (ln2 -> fc1); the llama family's ln2 feeds the SwiGLU pair
+    (gate + up, which must share one smoothing factor since both read
+    the same RMSNorm output) — detected by attribute presence."""
     pairs = []
+    llama = hasattr(net, "gate1")
     for i in range(1, net.depth + 1):
         pairs.append((f"ln1_{i}", [f"wq{i}", f"wk{i}", f"wv{i}"]))
-        pairs.append((f"ln2_{i}", [f"fc1_{i}"]))
+        if llama:
+            pairs.append((f"ln2_{i}", [f"gate{i}", f"up{i}"]))
+        else:
+            pairs.append((f"ln2_{i}", [f"fc1_{i}"]))
     pairs.append(("ln_f", ["head"]))
     return pairs
 
@@ -74,10 +82,10 @@ def smooth(net, pairs, x_calib, *, alpha: float = 0.5,
     for ln_name, lin_names in pairs:
         ln = layers[ln_name]
         lins = [layers[n] for n in lin_names]
-        if not isinstance(ln, QuantLayerNorm) or not all(
+        if not isinstance(ln, (QuantLayerNorm, QuantRMSNorm)) or not all(
                 isinstance(l, Linear) for l in lins):
             raise TypeError(f"smooth pair ({ln_name}, {lin_names}) must be "
-                            "a QuantLayerNorm feeding Linears")
+                            "a QuantLayerNorm/QuantRMSNorm feeding Linears")
         xs = tap.get(id(lins[0]))
         if not xs:
             raise ValueError(
@@ -90,7 +98,8 @@ def smooth(net, pairs, x_calib, *, alpha: float = 0.5,
                                for l in lins]), axis=0), 1e-5)
         s = jnp.clip(amax ** alpha / wmax ** (1.0 - alpha), 1e-5, 1e5)
         ln.params["weight"] = ln.params["weight"] / s
-        ln.params["bias"] = ln.params["bias"] / s
+        if "bias" in ln.params:        # RMSNorm is bias-free
+            ln.params["bias"] = ln.params["bias"] / s
         for l in lins:
             l.params["weight"] = l.params["weight"] * s.reshape(1, -1)
         if verbose:

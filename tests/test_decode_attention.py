@@ -211,3 +211,31 @@ def test_flat_matches_headsplit_api():
         n_heads=h, backend="xla", rounding="trunc", **kw))
     want = np.asarray(jnp.transpose(out4, (0, 2, 1, 3)).reshape(2, c))
     assert np.array_equal(out2, want)
+
+
+@pytest.mark.parametrize("h,kv,d", [(4, 2, 64), (8, 2, 32), (6, 1, 64),
+                                    (4, 4, 64)])
+def test_flat_kernel_gqa_matches_oracle(h, kv, d):
+    """GQA in the flat kernel (round 3): kv-major query rows against the
+    kv-COMPACT cache, per-group extraction — must match the composed XLA
+    GQA oracle at valid in {1, odd, T} and per-slot vectors, for every
+    grouping incl. MQA (kv=1) and the MHA degenerate case (kv=h)."""
+    t = 128
+    c = kv * d
+    rng = np.random.default_rng(h * 100 + kv)
+    q = jnp.asarray(rng.integers(0, 256, (3, h * d)), jnp.uint8)
+    k = jnp.asarray(rng.integers(0, 256, (3, t, c)), jnp.uint8)
+    v = jnp.asarray(rng.integers(0, 256, (3, t, c)), jnp.uint8)
+    kw = dict(PARAMS)
+    kw["alpha"] = d ** -0.5
+    for valid in (jnp.int32(1), jnp.int32(77), jnp.int32(t),
+                  jnp.asarray(rng.integers(1, t + 1, (3,)), jnp.int32)):
+        want = np.asarray(attn_ops.decode_attention_flat(
+            q, k, v, valid, n_heads=h, n_kv_heads=kv, backend="xla",
+            rounding="trunc", **kw)).astype(np.int32)
+        got = np.asarray(attn_ops.decode_attention_flat(
+            q, k, v, valid, n_heads=h, n_kv_heads=kv, backend="pallas",
+            interpret=True, rounding="trunc", **kw)).astype(np.int32)
+        diff = np.abs(got - want)
+        assert diff.max() <= 1 and (diff > 0).mean() <= 0.002, (
+            valid, diff.max(), (diff > 0).sum())

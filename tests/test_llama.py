@@ -54,14 +54,63 @@ def test_fp32_parity_mha_and_gqa4():
 
 
 def test_int8_next_token_agreement():
-    m, tw = _built()
+    """Round-3 root cause of the old 0.6875 failure (diagnosed, not
+    deleted): the llama block has ~2x the requant boundaries of the gpt
+    block (2 RoPE layers, QuantMul, 2 RMSNorms per block), so the default
+    'trunc' rounding's -s/2 per-boundary DC bias compounds ~4x harder —
+    logit rms error 0.066 vs 0.016 under 'nearest' on this toy, while the
+    untrained toy's FP32 top1-top2 margins sit at median 0.058 (every
+    disagreeing sequence had margin 0.016-0.051 < the trunc noise floor;
+    every margin > 0.07 agreed).  Per the depth-study decision the
+    many-boundary configuration for llama-family accuracy is
+    rounding='nearest' (Module.convert warns under plain 'trunc'); with
+    it, agreement on the same 16 sequences is exact."""
+    m, tw = _built(config=QuantConfig(rounding="nearest"))
     _calibrated(m)
     ids = _ids(16, 32, seed=3)
     want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
     got = m(q.tensor(ids)).numpy()
     assert np.isfinite(got).all()
     agree = (got[:, -1].argmax(-1) == want[:, -1].argmax(-1)).mean()
-    assert agree >= 0.75, agree
+    assert agree == 1.0, agree
+
+
+def test_trunc_bias_diagnosis_pinned():
+    """Pins the measured cause: default 'trunc' logit rms error is >2.5x
+    the 'nearest' error on the identical toy/calibration/eval (measured
+    4.1x on CPU) — the compounding truncation bias, not activation
+    outliers (per-channel amax max/median <= 2.6 on this toy; smoothing
+    moved the error <2%)."""
+    ids = _ids(16, 32, seed=3)
+    errs = {}
+    for rounding in ("trunc", "nearest"):
+        m, tw = _built(config=QuantConfig(rounding=rounding))
+        _calibrated(m)
+        want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+        got = m(q.tensor(ids)).numpy()
+        errs[rounding] = float(np.sqrt(
+            ((got[:, -1] - want[:, -1]) ** 2).mean()))
+    assert errs["trunc"] > 2.5 * errs["nearest"], errs
+
+
+def test_convert_warns_trunc_depth():
+    """llama_tiny (39 boundaries) under plain default 'trunc' earns the
+    TruncDepthWarning advisory; 'nearest' converts silently."""
+    import warnings as _w
+
+    m, _ = _built()
+    m.prepare(); m(q.tensor(_ids(2, 16, 1)))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        m.convert()
+    assert any(isinstance(w.message, q.TruncDepthWarning) for w in rec)
+
+    m2, _ = _built(config=QuantConfig(rounding="nearest"))
+    m2.prepare(); m2(q.tensor(_ids(2, 16, 1)))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        m2.convert()
+    assert not any(isinstance(w.message, q.TruncDepthWarning) for w in rec)
 
 
 def test_cached_decode_bit_identical_to_full_forward():

@@ -95,3 +95,52 @@ def test_all_levers_compose_on_transformer():
     assert np.isfinite(got).all()
     agree = (got[:, -1].argmax(-1) == want[:, -1].argmax(-1)).mean()
     assert agree >= 0.75, agree
+
+
+def _llama_outlier_model(config=None):
+    """llama_tiny pushed into the outlier regime on its RMSNorm gammas
+    (the real-llama SmoothQuant scenario): hot channels on every
+    norm -> Linear boundary, FP32 function unchanged."""
+    from int8inferenceengine_tpu import QuantConfig
+    m = models.build("llama_tiny", config=config or QuantConfig(
+        rounding="nearest"))
+    m.load(models.torch_twin("llama_tiny").state_dict())
+    layers = dict(m.named_layers())
+    rng = np.random.default_rng(6)
+    for ln_name, lin_names in utils.transformer_smooth_pairs(m):
+        ln = layers[ln_name]
+        g = np.array(ln.params["weight"])
+        hot = rng.choice(g.shape[0], 4, replace=False)
+        g[hot] *= 30.0
+        ln.params["weight"] = jnp.asarray(g)
+        for n in lin_names:
+            w = np.array(layers[n].params["weight"])
+            w[:, hot] /= 30.0
+            layers[n].params["weight"] = jnp.asarray(w)
+    return m
+
+
+def test_llama_rmsnorm_smoothing():
+    """RMSNorm -> {wq,wk,wv} / {gate,up} / head smoothing: FP32-invariant
+    (gamma fold is exact — mean(x^2) is computed before gamma), and it
+    rescues per-tensor INT8 logit error in the outlier regime."""
+    ids_c, ids_t = _ids(8, 64, 21), _ids(16, 32, 22)
+
+    base = _llama_outlier_model()
+    want = base(q.tensor(ids_t)).numpy()
+
+    sm = _llama_outlier_model()
+    utils.smooth(sm, utils.transformer_smooth_pairs(sm), ids_c)
+    got_fp = sm(q.tensor(ids_t)).numpy()
+    assert np.abs(got_fp - want).max() < 2e-4   # FP32 invariance
+
+    def int8_err(m):
+        m.prepare(); m(q.tensor(ids_c)); m.convert()
+        got = m(q.tensor(ids_t)).numpy()
+        return float(np.sqrt(((got[:, -1] - want[:, -1]) ** 2).mean()))
+
+    e_plain = int8_err(_llama_outlier_model())
+    sm2 = _llama_outlier_model()
+    utils.smooth(sm2, utils.transformer_smooth_pairs(sm2), ids_c)
+    e_smooth = int8_err(sm2)
+    assert e_smooth < 0.5 * e_plain, (e_plain, e_smooth)
