@@ -104,7 +104,7 @@ class GenerationEngine:
     """
 
     def __init__(self, model, slots: int = 8, chunk_steps: int = 8,
-                 eos_id: int | None = None):
+                 eos_id: int | None = None, overlap: bool = False):
         if not model.is_quant:
             raise RuntimeError("GenerationEngine requires a converted model")
         if getattr(model, "_mesh", None) is not None:
@@ -117,6 +117,18 @@ class GenerationEngine:
         self.slots = slots
         self.chunk_steps = chunk_steps
         self.eos_id = eos_id
+        # overlap=True double-buffers the chunk pipeline: chunk k+1 is
+        # DISPATCHED before chunk k's tokens are fetched, so the ~20 ms
+        # host-sync round-trip of this environment's tunnel overlaps the
+        # next chunk's device time.  Completion detection lags one chunk:
+        # a finished slot decodes (and overshoots) up to one extra chunk
+        # whose tokens are dropped host-side — same mechanism as the
+        # existing intra-chunk overshoot, one chunk deeper.  Position
+        # overshoot past max_len is clamped by dynamic_update_slice to
+        # the slot's own last cache row, which the next prefill of that
+        # slot overwrites; other slots are untouched (rows are
+        # independent).
+        self.overlap = overlap
         self._queue: queue.Queue[_GenRequest | None] = queue.Queue()
         self._params = model._gather_params()
         if model.config.weight_only:
@@ -368,7 +380,13 @@ class GenerationEngine:
                                      "request was scheduled"))
 
     def _drain_loop(self) -> None:
-        while self._running or any(r is not None for r in self._active):
+        # overlap=True: ``pending`` holds the dispatched-but-unfetched
+        # chunk — (device toks, the [(slot, req)] snapshot it decoded
+        # for).  The snapshot matters: by fetch time a slot may already
+        # hold a DIFFERENT request, whose tokens these are not.
+        pending = None
+        while (self._running or pending is not None
+               or any(r is not None for r in self._active)):
             # admit as many queued requests as there are free slots —
             # collected first, then prefilled in batched groups
             admits, taken = [], set()
@@ -377,7 +395,7 @@ class GenerationEngine:
                              if r is None and s not in taken), None)
                 if slot is None:
                     break
-                idle = (not admits
+                idle = (not admits and pending is None
                         and all(r is None for r in self._active))
                 try:
                     req = (self._queue.get(timeout=0.1) if idle
@@ -391,23 +409,35 @@ class GenerationEngine:
                 taken.add(slot)
             if admits:
                 self._admit_batch(admits)
-            if all(r is None for r in self._active):
+            if any(r is not None for r in self._active):
+                # dispatch one chunk of decode steps for every active
+                # slot (async — jax returns device futures immediately)
+                snapshot = list(self._active)
+                active = jnp.asarray(
+                    [r is not None for r in snapshot], bool)
+                self.stats.chunks += 1
+                self.stats.chunk_slots_active += int(
+                    sum(r is not None for r in snapshot))
+                sampled = any(r is not None and r.temperature > 0
+                              for r in snapshot)
+                self._caches, self._pos, self._tok, _, toks = \
+                    self._chunk(sampled)(
+                        self._params, self._caches, self._pos, self._tok,
+                        active, self._temp, self._keys)
+                if self.overlap:
+                    pending, fetch = (toks, snapshot), pending
+                else:
+                    fetch = (toks, snapshot)
+            else:
+                fetch, pending = pending, None
+            if fetch is None:
                 continue
-            # one chunk of decode steps for every active slot
-            active = jnp.asarray(
-                [r is not None for r in self._active], bool)
-            self.stats.chunks += 1
-            self.stats.chunk_slots_active += int(
-                sum(r is not None for r in self._active))
-            sampled = any(r is not None and r.temperature > 0
-                          for r in self._active)
-            self._caches, self._pos, self._tok, _, toks = \
-                self._chunk(sampled)(
-                    self._params, self._caches, self._pos, self._tok,
-                    active, self._temp, self._keys)
+            toks, snapshot = fetch
             toks = np.asarray(toks)            # [slots, chunk_steps]
-            for s, req in enumerate(self._active):
-                if req is None:
+            for s, req in enumerate(snapshot):
+                # process only requests still in their slot: _finish may
+                # have freed it since this chunk was dispatched
+                if req is None or self._active[s] is not req:
                     continue
                 for t in toks[s]:
                     req.tokens.append(int(t))

@@ -162,3 +162,48 @@ def test_engine_sampling_per_request():
     # same seed -> same stream; different seed -> (overwhelmingly) not
     np.testing.assert_array_equal(s1, s2)
     assert not np.array_equal(s1, s3)
+
+
+def test_engine_overlap_matches_generate():
+    """overlap=True (double-buffered chunk pipeline: dispatch chunk k+1
+    before fetching chunk k's tokens) must deliver per-request tokens
+    bit-identical to standalone generate() — completion detection lags a
+    chunk, but lagged/overshoot tokens are dropped against the dispatch
+    snapshot, and freed slots re-admit cleanly."""
+    m = _model()
+    eng = GenerationEngine(m, slots=2, chunk_steps=4, overlap=True)
+    rng = np.random.default_rng(11)
+    reqs = []
+    for t0, max_new in [(5, 6), (12, 3), (3, 9), (20, 7), (7, 1), (4, 12)]:
+        prompt = rng.integers(0, 1000, t0).astype(np.int32)
+        reqs.append((prompt, max_new, eng.submit(prompt, max_new)))
+    try:
+        for prompt, max_new, fut in reqs:
+            got = fut.result(timeout=120)
+            want = m.generate(prompt[None, :], max_new)[0]
+            np.testing.assert_array_equal(got, want)
+    finally:
+        eng.shutdown()
+
+
+def test_engine_overlap_eos_and_sampling():
+    """overlap mode with eos early-stop and a sampled request mixed in:
+    greedy requests still match generate(); the sampled slot stays in
+    vocabulary range and respects max_new."""
+    m = _model()
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(0, 1000, 6).astype(np.int32)
+    full = m.generate(prompt[None, :], 8)[0]
+    eos = int(full[3])
+    eng = GenerationEngine(m, slots=2, chunk_steps=3, eos_id=eos,
+                           overlap=True)
+    try:
+        f1 = eng.submit(prompt, 8)
+        f2 = eng.submit(prompt, 5, temperature=0.9, seed=3)
+        got = f1.result(timeout=120)
+        k = int(np.where(full == eos)[0][0])
+        np.testing.assert_array_equal(got, full[:k + 1])
+        s = f2.result(timeout=120)
+        assert len(s) <= 5 and ((s >= 0) & (s < 1000)).all()
+    finally:
+        eng.shutdown()

@@ -167,3 +167,81 @@ def test_registry_builds():
     want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
     got = m(q.tensor(ids)).numpy()
     assert np.abs(got - want).max() < 2e-4
+
+
+def test_checkpoint_roundtrip_quantized(tmp_path):
+    """Quantized-artifact round-trip (utils.save/load): a fresh
+    LlamaDecoder restored from disk is bit-identical on forward AND on
+    cached-decode generate() — GQA cache geometry, RoPE tables, and the
+    kv-compact scales all reconstruct from the artifact."""
+    from int8inferenceengine_tpu import utils
+    m, _ = _built()
+    _calibrated(m)
+    ids = _ids(3, 12, seed=13)
+    base = m(q.tensor(ids)).numpy()
+    base_toks = m.generate(ids, 7)
+
+    path = str(tmp_path / "llama_int8.npz")
+    utils.save(m, path)
+    fresh = models.build("llama_tiny", config=QuantConfig())
+    utils.load(fresh, path)
+    assert fresh.is_quant
+    np.testing.assert_array_equal(fresh(q.tensor(ids)).numpy(), base)
+    np.testing.assert_array_equal(fresh.generate(ids, 7), base_toks)
+
+
+def test_engine_matches_generate_gqa():
+    """GenerationEngine over the GQA kv-compact cache: per-request tokens
+    == standalone generate() (slot cache rows are [T, Hkv*D])."""
+    from int8inferenceengine_tpu.serve import GenerationEngine
+    m, _ = _built()
+    _calibrated(m)
+    eng = GenerationEngine(m, slots=2, chunk_steps=4)
+    rng = np.random.default_rng(17)
+    reqs = []
+    for t0, max_new in [(5, 6), (12, 3), (3, 8), (9, 5)]:
+        prompt = rng.integers(0, 1000, t0).astype(np.int32)
+        reqs.append((prompt, max_new, eng.submit(prompt, max_new)))
+    try:
+        for prompt, max_new, fut in reqs:
+            got = fut.result(timeout=120)
+            want = m.generate(prompt[None, :], max_new)[0]
+            np.testing.assert_array_equal(got, want)
+    finally:
+        eng.shutdown()
+
+
+def test_tp_bit_exact_4x2():
+    """Transformer TP on the llama block at mesh (4, 2) — model axis 2:
+    col_local QKV with head-local GQA (both head counts divide the model
+    axis: 4 heads / 2 kv over ms=2), row-parallel proj/down, col_local
+    gate/up with the SwiGLU interior on local shards.  Forward AND
+    generate() bit-exact vs unsharded."""
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+    m, _ = _built(max_len=32)
+    _calibrated(m)
+    ids = _ids(4, 12, seed=19)
+    want = m(q.tensor(ids)).numpy()
+    want_toks = m.generate(ids, 10)
+    m.shard(make_mesh((4, 2)))
+    assert m.wq1._tp_local and m.proj1._tp_row
+    assert m.gate1._tp_local and m.down1._tp_row
+    got = m(q.tensor(ids)).numpy()
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(m.generate(ids, 10), want_toks)
+
+
+def test_tp_head_fallback_kv_not_divisible():
+    """kv_heads=1 (MQA) cannot head-shard on ms=2: QKV fall back to
+    gathered column-parallel, row-parallel MLP still engages, and the
+    forward stays bit-exact."""
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+    m, _ = _built(kv_heads=1)
+    _calibrated(m)
+    ids = _ids(4, 12, seed=23)
+    want = m(q.tensor(ids)).numpy()
+    m.shard(make_mesh((4, 2)))
+    assert not m.wq1._tp_local
+    assert m.down1._tp_row
+    got = m(q.tensor(ids)).numpy()
+    np.testing.assert_array_equal(got, want)
