@@ -106,6 +106,7 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     from int8inferenceengine_tpu import models
+    from int8inferenceengine_tpu.config import QuantConfig
     from __graft_entry__ import _calibrated, _load_random_weights
 
     log("backend:", jax.default_backend(), jax.devices())
@@ -213,6 +214,41 @@ def main():
         log(f"decode (gpt2-small-ish, b{db}): {per_step*1e3:.3f} ms/step "
             f"-> {db/per_step:.0f} tokens/s")
 
+    # llama-family decode leg (GQA kv-compact cache + SwiGLU; 768d/12H/
+    # 2KV, vocab 32000) — the modern-LM serving geometry.  Measured
+    # 2026-08-20 (one v5e, b8): 0.107 ms/step = 74.7k tok/s with the GQA
+    # flat kernel ('auto'); composed-XLA 0.214; see
+    # tools/llama_decode_tpu.py.  BENCH_LLAMA=0 to skip.
+    llama_tok_s = None
+    llama_ms_step = None
+    if os.environ.get("BENCH_LLAMA", "1") != "0":
+        db = int(os.environ.get("BENCH_DECODE_BATCH", "8"))
+        ldec = models.build("llama_tiny", vocab_size=32000, max_len=512,
+                            dim=768, depth=12, heads=12, kv_heads=2,
+                            config=QuantConfig(rounding="nearest"))
+        _load_random_weights(ldec)
+        ldec.prepare()
+        ids = np.random.default_rng(0).integers(
+            0, 32000, size=(db, 64)).astype(np.int32)
+        from int8inferenceengine_tpu import tensor as _tensor
+        ldec(_tensor(ids))
+        ldec.convert()
+        dtimes = {}
+        for steps in (16, 128):
+            ldec.generate(ids, steps)                   # compile
+            best = float("inf")
+            for trial in range(3):
+                p2 = (ids + trial + 1) % 32000
+                t1 = time.perf_counter()
+                ldec.generate(p2, steps)
+                best = min(best, time.perf_counter() - t1)
+            dtimes[steps] = best
+        per_step = (dtimes[128] - dtimes[16]) / (128 - 16)
+        llama_ms_step = round(per_step * 1e3, 3)
+        llama_tok_s = round(db / per_step, 1)
+        log(f"llama decode (768d/12H/2KV, b{db}): {per_step*1e3:.3f} "
+            f"ms/step -> {db/per_step:.0f} tokens/s")
+
     from int8inferenceengine_tpu.utils import roofline
     rl = roofline.report(m_int8, models.AlexNet.INPUT_SHAPE, BATCH,
                          measured_s=BATCH / int8_img_s)
@@ -229,6 +265,9 @@ def main():
     if decode_tok_s is not None:
         rec["decode_tokens_per_s_b8"] = decode_tok_s
         rec["decode_ms_per_step"] = decode_ms_step
+    if llama_tok_s is not None:
+        rec["llama_decode_tokens_per_s_b8"] = llama_tok_s
+        rec["llama_decode_ms_per_step"] = llama_ms_step
     print(json.dumps(rec))
 
 
