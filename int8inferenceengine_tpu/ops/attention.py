@@ -195,6 +195,22 @@ def _dec_blk(t: int) -> int:
     return 0
 
 
+def kernel_eligible(t: int, c: int) -> bool:
+    """The 'auto' kernel envelope on a TPU target: block-divisible cache
+    length and 128-aligned cache rows.  On-chip evidence for the width
+    rule: C=768 (gpt2 MHA, round 2, in-model winner) and C=128 (llama
+    kv-compact, 2026-08-20: 0.107 vs 0.214 ms/step composed —
+    tools/llama_decode_tpu.py); intermediate 128-multiples (384, 256 —
+    TP head shards) are interpret-exact
+    (tests/test_decode_attention.py::test_flat_kernel_headshard_widths)
+    and share the C=128/768 lowering pattern (whole-row lane tiles);
+    tools/decode_kernel_sweep.py measures them when a chip is up.
+    Non-128-multiple widths (e.g. c_local=192 at a model-axis-4 shard)
+    fall back to composed XLA.  ``__graft_entry__.dryrun_multichip``
+    asserts this predicate for the TP decode geometries it runs."""
+    return bool(_dec_blk(t)) and c % 128 == 0
+
+
 def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
                              v_ref, o_ref, buf0, buf1, s_scr, a2_scr,
                              sem0, sem1, *, n_heads: int, n_kv: int,
@@ -413,14 +429,11 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
             f"{n_heads}*{d}")
     v_arr = jnp.asarray(valid, jnp.int32)
     if backend == "auto":
-        # kernel envelope for 'auto': block-divisible T and 128-aligned
-        # cache rows (validated on-chip at c in {768}; narrower
-        # head-sharded rows may work but fall back until measured).
         # MHA and GQA both run the kernel.  interpret counts as a kernel
         # target so interpret-mode 'auto' tests the kernel.
         on_kernel_target = jax.default_backend() == "tpu" or interpret
-        backend = ("pallas" if on_kernel_target and _dec_blk(t)
-                   and c % 128 == 0 else "xla")
+        backend = ("pallas" if on_kernel_target
+                   and kernel_eligible(t, c) else "xla")
     elif backend == "pallas":
         if not _dec_blk(t):
             raise ValueError(

@@ -63,17 +63,24 @@ def bench(b, h, d, t, valid, k_short=256, k_long=2048):
 def main():
     print("B-scaling at gpt2 geometry (H12 D64 C768, T512, valid 200):",
           flush=True)
-    for b in (1, 2, 4, 8):
+    # known-good B=8 first: if an exotic small-B config wedges the
+    # tunnel, the useful rows are already printed
+    for b in (8, 4, 2, 1):
         us = bench(b, 12, 64, 512, 200) * 1e6
         print(f"  B={b}: {us:6.1f} us/call", flush=True)
     print("valid-scaling at B8 (block count 1/2/4):", flush=True)
     for valid in (64, 200, 512):
         us = bench(8, 12, 64, 512, valid) * 1e6
         print(f"  valid={valid}: {us:6.1f} us/call", flush=True)
-    print("C-width at B8 valid 200 (kv-compact vs full):", flush=True)
-    for h, d in ((2, 64), (6, 64), (12, 64)):
-        us = bench(8, h, d, 512, 200) * 1e6
-        print(f"  C={h*d}: {us:6.1f} us/call", flush=True)
+    print("C-width at B8 valid 200 (kv-compact, TP shards, full):",
+          flush=True)
+    for h, d in ((2, 64), (3, 64), (4, 64), (6, 64), (12, 64)):
+        try:
+            us = bench(8, h, d, 512, 200) * 1e6
+            print(f"  C={h*d}: {us:6.1f} us/call", flush=True)
+        except Exception as e:                     # Mosaic lowering limit?
+            print(f"  C={h*d}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:120]})", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,71 @@
+"""Engine chunk economics on chip (round-3 VERDICT #5): sweep
+chunk_steps x overlap at two load levels and report tok/s + latency.
+
+Each (chunk_steps) value costs one fresh chunk-program compile; the
+engine is rebuilt per config over ONE converted model (weights stay on
+device).  The non-tunnel bound is estimated from the raw decode rate:
+a chunk of S steps costs S * step_ms device time + one ~RTT host sync
+without overlap; overlap hides min(RTT, S * step_ms).
+
+Usage: python tools/genengine_sweep.py [chunks...]   (default 8 16 32 64)
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from int8inferenceengine_tpu import models, tensor
+from int8inferenceengine_tpu.serve.generation import GenerationEngine
+from __graft_entry__ import _load_random_weights
+
+rng = np.random.default_rng(0)
+dec = models.build("gpt_tiny", vocab_size=50257, max_len=512,
+                   dim=768, depth=12, heads=12)
+_load_random_weights(dec)
+ids = rng.integers(0, 50257, (8, 64)).astype(np.int32)
+dec.prepare(); dec(tensor(ids)); dec.convert()
+print("converted", flush=True)
+
+chunks = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
+
+
+def run_load(eng, n_req, max_new=64):
+    # warm round (possible fresh prefill-bucket compiles), then measure
+    for _ in range(2):
+        futs = [eng.submit(
+            rng.integers(0, 50257, int(rng.integers(8, 33))), max_new)
+            for _ in range(n_req)]
+        [f.result(timeout=1200) for f in futs]
+    eng.stats.__init__()
+    t0 = time.perf_counter()
+    futs = [eng.submit(
+        rng.integers(0, 50257, int(rng.integers(8, 33))), max_new)
+        for _ in range(n_req)]
+    outs = [f.result(timeout=1200) for f in futs]
+    dt = time.perf_counter() - t0
+    toks = sum(len(o) for o in outs)
+    lat = sorted(eng.stats.latencies_s)
+    p50 = lat[len(lat) // 2]
+    fill = (eng.stats.chunk_slots_active
+            / max(1, eng.stats.chunks * eng.slots))
+    return toks / dt, p50 * 1e3, fill
+
+
+for cs in chunks:
+    for overlap in (False, True):
+        eng = GenerationEngine(dec, slots=8, chunk_steps=cs,
+                               overlap=overlap)
+        try:
+            for n_req in (8, 24):
+                tps, p50, fill = run_load(eng, n_req)
+                print(f"chunk={cs:3d} overlap={int(overlap)} "
+                      f"req={n_req:2d}: {tps:6.0f} tok/s  "
+                      f"p50 {p50:6.0f} ms  fill {fill:.0%}", flush=True)
+        finally:
+            eng.shutdown()
+print("OK", flush=True)
