@@ -1030,17 +1030,21 @@ class QuantSoftmax(Layer):
 
     def _masked(self, f, valid_len):
         tq, tk = f.shape[-2], f.shape[-1]
-        if self.causal and tq > 1:
-            # causal applies whenever there are multiple query rows; a
-            # valid_len on top of it (right-padded prefill) masks columns
-            # too — the masks compose, neither replaces the other
-            if tq != tk:
-                raise ValueError(
-                    f"causal softmax expects square scores, got {f.shape}; "
-                    "single-row cached decode passes valid_len instead")
+        if self.causal and tq > 1 and tq == tk:
+            # square scores: triangular causal mask; a valid_len on top
+            # (right-padded prefill) masks columns too — the masks
+            # compose, neither replaces the other
             row = lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
             f = jnp.where(col <= row, f, -jnp.inf)
+        elif self.causal and tq > 1 and valid_len is None:
+            # non-square multi-row scores are the cached multi-token
+            # extend path, where the PER-ROW valid_len (pos + row + 1)
+            # IS the causal mask over the cache — it must be supplied
+            raise ValueError(
+                f"causal softmax expects square scores, got {f.shape}; "
+                "cached decode passes valid_len (per-row for multi-row "
+                "extends) instead")
         if valid_len is not None:
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
             f = jnp.where(col < valid_len, f, -jnp.inf)

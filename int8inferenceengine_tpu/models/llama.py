@@ -223,6 +223,37 @@ class LlamaDecoder(TextDecoder):
         x = getattr(self, f"add1_{i}")(x, o)
         return self._mlp(i, x)
 
+    def _block_extend(self, i, x, b, m, valid, cap, kv_hook, pos=0):
+        """m-row cached block (speculative verify): RoPE at positions
+        pos..pos+m-1 (per-row pos vectors broadcast through QuantRoPE),
+        post-rotation k codes appended, composed GQA attention against
+        the kv-compact cache with the per-row valid mask."""
+        h = getattr(self, f"ln1_{i}")(x)
+        q2, k2, v2 = self._qkv(i, h)
+        qh = F.split_heads(q2.reshape(b, m, -1), self.heads)
+        kh = F.split_heads(k2.reshape(b, m, -1), self.kv_heads)
+        qh = getattr(self, f"rq{i}")(qh, start=pos)
+        kh = getattr(self, f"rk{i}")(kh, start=pos)
+        cap[i] = (F.merge_heads(kh), v2.reshape(b, m, -1))
+        kc, vc = kv_hook()
+        attn, smax, av = (getattr(self, f"attn{i}"),
+                          getattr(self, f"smax{i}"),
+                          getattr(self, f"av{i}"))
+        if kc.data.ndim == 3:               # flat u8 kv-compact cache
+            kh4, vh4 = (F.split_heads(kc, self.kv_heads),
+                        F.split_heads(vc, self.kv_heads))
+        else:                               # head-split float cache
+            kh4, vh4 = kc, vc
+        grp = qh.data.shape[1] // kh4.data.shape[1]
+        s = attn(qh, F.repeat_kv(kh4, grp))
+        p = smax(s, valid_len=valid)
+        o = av(p, F.repeat_kv(vh4, grp))
+        o = F.merge_heads(o)
+        o = o.reshape(b * m, o.shape[-1])
+        o = getattr(self, f"proj{i}")(o)
+        x = getattr(self, f"add1_{i}")(x, o)
+        return self._mlp(i, x)
+
 
 def torch_llama(vocab_size: int = 1000, max_len: int = 64, dim: int = 128,
                 depth: int = 2, heads: int = 4, kv_heads: int | None = None,

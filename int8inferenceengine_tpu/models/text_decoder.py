@@ -335,6 +335,112 @@ class TextDecoder(Module):
         h = getattr(self, f"fc2_{i}")(h)
         return getattr(self, f"add2_{i}")(x, h)
 
+    # -- cached multi-token extend (speculative decoding's verify pass) ------
+    def _extend_step(self, cache, pos, toks):
+        """Process ``toks`` [B, m] at positions pos..pos+m-1 against (and
+        appending to) the KV cache: the cached generalization of
+        ``_decode_step`` to m query rows.
+
+        Returns (u8 logit codes [B, m, vocab], new cache).  Row j's
+        attention sees cache columns < pos + j + 1 — the per-row
+        ``valid_len`` IS the causal mask over the cache, so row j
+        attends to every earlier cached position plus rows 0..j of this
+        extend (already appended before attention runs).  Exactness
+        inherits from the single-row invariant: same integer matmuls on
+        the same codes, masked columns quantize to exactly zp_p and
+        contribute exactly zero.
+
+        ``pos`` is a traced scalar or a per-row [B] vector (per-slot
+        serving / per-row speculative acceptance).
+        """
+        b, m = toks.shape
+        per_slot = getattr(pos, "ndim", 0) == 1
+        x = self._stem(Tensor(toks.astype(jnp.float32)), start=pos)
+        x = x.reshape(b * m, self.dim)
+        roff = jnp.arange(m, dtype=jnp.int32)
+        if per_slot:
+            valid = (pos.reshape(-1, 1) + roff + 1).reshape(b, 1, m, 1)
+        else:
+            valid = (pos + roff + 1).reshape(1, 1, m, 1)
+        new_cache = {}
+        for i in range(1, self.depth + 1):
+            cap = {}
+            k_cache, v_cache = cache[i]
+            (ks, kzp), (vs, vzp) = self._kv_scales(i)
+
+            def kv_hook(cap=cap, i=i, k_cache=k_cache, v_cache=v_cache,
+                        ks=ks, kzp=kzp, vs=vs, vzp=vzp):
+                kf, vf = cap[i]                  # FLAT [B, m, C] rows
+                if not kf.quantized:
+                    # weight_only: HEAD-SPLIT float cache [B, Hkv, T, D]
+                    kh, vh = (F.split_heads(kf, self.kv_heads),
+                              F.split_heads(vf, self.kv_heads))
+                    if per_slot:
+                        upd = jax.vmap(
+                            lambda c, u, p: lax.dynamic_update_slice(
+                                c, u, (0, p, 0)))
+                        kc = upd(k_cache, kh.data, pos)
+                        vc = upd(v_cache, vh.data, pos)
+                    else:
+                        kc = lax.dynamic_update_slice(
+                            k_cache, kh.data, (0, 0, pos, 0))
+                        vc = lax.dynamic_update_slice(
+                            v_cache, vh.data, (0, 0, pos, 0))
+                    new_cache[i] = (kc, vc)
+                    return Tensor(kc), Tensor(vc)
+                if per_slot:
+                    upd = jax.vmap(
+                        lambda c, u, p: lax.dynamic_update_slice(
+                            c, u, (p, 0)))
+                    kc = upd(k_cache, kf.data, pos)
+                    vc = upd(v_cache, vf.data, pos)
+                else:
+                    kc = lax.dynamic_update_slice(k_cache, kf.data,
+                                                  (0, pos, 0))
+                    vc = lax.dynamic_update_slice(v_cache, vf.data,
+                                                  (0, pos, 0))
+                new_cache[i] = (kc, vc)
+                return Tensor(kc, ks, kzp), Tensor(vc, vs, vzp)
+
+            x = self._block_extend(i, x, b, m, valid, cap, kv_hook,
+                                   pos=pos)
+        x = self.ln_f(x)
+        codes = self.head(x).data.reshape(b, m, self.vocab_size)
+        return codes, new_cache
+
+    def _block_extend(self, i, x, b, m, valid, cap, kv_hook, pos=0):
+        """m-row cached block: composed attention against the full cache
+        (the m=1 hot path stays on the fused kernel in _block_decode;
+        verify passes are m~k+1 rows — composed XLA carries them)."""
+        h = getattr(self, f"ln1_{i}")(x)
+        q2, k2, v2 = self._qkv(i, h)
+        cap[i] = (k2.reshape(b, m, -1), v2.reshape(b, m, -1))
+        kc, vc = kv_hook()
+        attn, smax, av = (getattr(self, f"attn{i}"),
+                          getattr(self, f"smax{i}"),
+                          getattr(self, f"av{i}"))
+        qh = F.split_heads(q2.reshape(b, m, -1), self.heads)
+        if kc.data.ndim == 3:                 # flat u8 cache [B, T, C]
+            kh, vh = (F.split_heads(kc, self.kv_heads),
+                      F.split_heads(vc, self.kv_heads))
+        else:                                 # head-split float cache
+            kh, vh = kc, vc
+        s = attn(qh, kh)                      # [B, H, m, T_max]
+        p = smax(s, valid_len=valid)
+        o = av(p, vh)
+        o = F.merge_heads(o)
+        o = o.reshape(b * m, o.shape[-1])
+        o = getattr(self, f"proj{i}")(o)
+        x = getattr(self, f"add1_{i}")(x, o)
+        h = getattr(self, f"ln2_{i}")(x)
+        fc1, gelu = getattr(self, f"fc1_{i}"), getattr(self, f"gelu{i}")
+        if fc1.is_quantized and self.config.fuse_linear_act:
+            h = fused_linear_act(fc1, gelu, h)
+        else:
+            h = gelu(fc1(h))
+        h = getattr(self, f"fc2_{i}")(h)
+        return getattr(self, f"add2_{i}")(x, h)
+
     def _head_scale_zp(self):
         return float(self.head.scale), int(self.head.zero_point)
 
@@ -428,6 +534,147 @@ class TextDecoder(Module):
             self._gen_cache[key] = fn
         return np.asarray(fn(self._gather_params(), jnp.asarray(ids),
                              jax.random.PRNGKey(seed)))
+
+    def generate_speculative(self, draft, ids, steps: int, k: int = 4):
+        """Greedy speculative decoding: ``draft`` proposes ``k`` tokens
+        per macro-step, this model verifies all k+1 positions in ONE
+        cached pass, and the longest matching prefix plus the target's
+        own correction token are accepted — every emitted token is the
+        TARGET's greedy argmax given the accepted prefix, so the output
+        equals greedy ``generate()`` token for token (pinned by
+        tests/test_speculative.py).
+
+        TPU-native design: the whole draft -> verify -> accept loop is
+        ONE jitted program (``lax.while_loop`` — macro-step count is
+        data-dependent), and rollback after a rejection is FREE: the
+        T-major flat cache tolerates garbage rows beyond the live
+        length (masked columns quantize to exactly zp_p = zero
+        contribution), so "rewind" is just not advancing the position
+        pointer — rejected rows are overwritten by the next append.
+        Acceptance is PER ROW (each batch row advances 1..k+1 tokens per
+        macro-step, like the serving engine's per-slot positions);
+        finished rows freeze their pointer and park their writes in the
+        buffer's scratch tail.  Decode stays memory-bound: the verify
+        pass reads the weights ONCE for k+1 tokens, so the speedup
+        bound is ~(k+1) x acceptance-rate at the same HBM traffic.
+
+        ``draft`` must be a converted decoder over the same vocabulary
+        (any architecture — e.g. a 2-layer gpt drafting for a llama).
+        Needs ``t0 + steps + k + 1 <= max_len`` headroom on both models
+        (the last macro-step may transiently write k tokens past the
+        accepted length).
+        """
+        if not (self.is_quant and draft.is_quant):
+            raise RuntimeError(
+                "generate_speculative() requires converted target and "
+                "draft models")
+        if draft.vocab_size != self.vocab_size:
+            raise ValueError(
+                f"draft vocab {draft.vocab_size} != target vocab "
+                f"{self.vocab_size}")
+        if getattr(self, "_mesh", None) is not None or \
+                getattr(draft, "_mesh", None) is not None:
+            raise NotImplementedError(
+                "speculative decoding on shard()ed models is future "
+                "work — unshard, or use generate()")
+        ids = np.asarray(ids)
+        b, t0 = ids.shape
+        if steps < 1:
+            raise ValueError(f"steps must be >= 1, got {steps}")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        need = t0 + steps + k + 1
+        if need > self.max_len or need > draft.max_len:
+            raise ValueError(
+                f"prompt {t0} + steps {steps} + draft depth {k} + 1 "
+                f"exceeds max_len (target {self.max_len}, draft "
+                f"{draft.max_len}) — speculative decoding needs k+1 "
+                f"rows of overshoot headroom")
+        if not hasattr(self, "_spec_cache"):
+            self._spec_cache = {}
+        key = (b, t0, steps, k, id(draft))
+        fn = self._spec_cache.get(key)
+        if fn is None:
+            width = steps + k + 1
+
+            def run(tparams, dparams, prompt):
+                self._bind(tparams)
+                draft._bind(dparams, merge=True)
+                try:
+                    logits0, tcache = self._prefill(
+                        Tensor(prompt.astype(jnp.float32)))
+                    _, dcache = draft._prefill(
+                        Tensor(prompt.astype(jnp.float32)))
+                    tok0 = jnp.argmax(logits0, -1).astype(jnp.int32)
+                    outbuf = jnp.zeros((b, width), jnp.int32) \
+                        .at[:, 0].set(tok0)
+                    n_out = jnp.ones((b,), jnp.int32)
+                    pos0 = jnp.full((b,), t0, jnp.int32)
+
+                    def cond(carry):
+                        return jnp.any(carry[5] < steps)
+
+                    def body(carry):
+                        tcache, dcache, pos, tok, outbuf, n_out = carry
+
+                        # 1) draft k greedy tokens (cached scan)
+                        def dstep(c, _):
+                            dc, dpos, dtok = c
+                            codes, dc = draft._decode_step(dc, dpos,
+                                                           dtok)
+                            nxt = jnp.argmax(codes, -1).astype(jnp.int32)
+                            return (dc, dpos + 1, nxt), nxt
+
+                        (dcache, _, _), dtoks = lax.scan(
+                            dstep, (dcache, pos, tok), None, length=k)
+                        dtoks = jnp.swapaxes(dtoks, 0, 1)    # [B, k]
+
+                        # 2) target verifies [tok, d_1..d_k] in one pass
+                        toks_v = jnp.concatenate([tok[:, None], dtoks],
+                                                 1)
+                        codes, tcache = self._extend_step(tcache, pos,
+                                                          toks_v)
+                        g = jnp.argmax(codes, -1).astype(jnp.int32)
+
+                        # 3) accept longest matching prefix + correction
+                        match = (dtoks == g[:, :k]).astype(jnp.int32)
+                        a = jnp.sum(jnp.cumprod(match, 1), 1)   # [B]
+                        active = n_out < steps
+                        na = jnp.where(active, a + 1, 0)
+
+                        # 4) emit: write all k+1 candidates at the row's
+                        # offset — only the first na survive (the next
+                        # macro-step overwrites the rest); frozen rows
+                        # park their writes in the scratch tail
+                        # [steps, width)
+                        def wr(buf, row, off):
+                            return lax.dynamic_update_slice(buf, row,
+                                                            (off,))
+
+                        outbuf = jax.vmap(wr)(
+                            outbuf, g,
+                            jnp.where(active, n_out, width - (k + 1)))
+                        tok = jnp.where(
+                            active,
+                            jnp.take_along_axis(g, a[:, None], 1)[:, 0],
+                            tok)
+                        # the draft cache needs no rollback either: rows
+                        # [pos, pos+a] hold the ACCEPTED tokens' k/v
+                        # (matched drafts), rows beyond are dead
+                        return (tcache, dcache, pos + na, tok, outbuf,
+                                n_out + na)
+
+                    carry = lax.while_loop(
+                        cond, body,
+                        (tcache, dcache, pos0, tok0, outbuf, n_out))
+                    return carry[4][:, :steps]
+                finally:
+                    self._bind(None)
+
+            fn = jax.jit(run)
+            self._spec_cache[key] = fn
+        return np.asarray(fn(self._gather_params(),
+                             draft._gather_params(), jnp.asarray(ids)))
 
     def _sharded_generate_fn(self, run, b: int):
         """Wrap ``run`` in shard_map over the model's mesh: prompt rows

@@ -241,18 +241,23 @@ class Module:
     def _gather_params(self):
         return {name: layer.params for name, layer in self.named_layers()}
 
-    def _bind(self, params):
+    def _bind(self, params, merge: bool = False):
         """Bind traced params for this thread/context (layers._BOUND).
 
         Per-context, not a layer attribute: concurrent traces of the same
         model in different threads (serving engines) must not see each
-        other's tracers."""
+        other's tracers.  ``merge=True`` adds this module's layers to an
+        existing binding instead of replacing it — programs that trace
+        TWO models at once (speculative decoding: target + draft) bind
+        the target, then merge the draft."""
         from .layers import _BOUND
         if params is None:
             _BOUND.set(None)
             return
-        _BOUND.set({id(layer): params[name]
-                    for name, layer in self.named_layers()})
+        bound = {id(layer): params[name]
+                 for name, layer in self.named_layers()}
+        prev = _BOUND.get() if merge else None
+        _BOUND.set({**prev, **bound} if prev else bound)
 
     def __call__(self, x):
         t = x if isinstance(x, Tensor) else Tensor(jnp.asarray(
