@@ -212,16 +212,18 @@ def kernel_eligible(t: int, c: int) -> bool:
 
 
 def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
-                             v_ref, o_ref, buf0, buf1, s_scr, a2_scr,
-                             sem0, sem1, *, n_heads: int, n_kv: int,
-                             t: int, d: int, blk: int):
+                             v_ref, o_ref, kb0, kb1, vb0, vb1, s_scr,
+                             a2_scr, ks0, ks1, vs0, vs1, *, n_heads: int,
+                             n_kv: int, t: int, d: int, blk: int):
     f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
-    bufs, sems = (buf0, buf1), (sem0, sem1)
+    kbufs, ksems = (kb0, kb1), (ks0, ks1)
+    vbufs, vsems = (vb0, vb1), (vs0, vs1)
     h = n_heads                                      # query rows R
     grp = h // n_kv
     c = n_kv * d                                     # cache row width
     nblk = t // blk
     b = pl.program_id(0)
+    nprog = pl.num_programs(0)
     valid = valid_ref[b]
     rb = fp_ref[_RB]
     c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
@@ -255,33 +257,47 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     rowsum_aq = jnp.sum(aq_masked, axis=1,
                         keepdims=True).astype(i32)        # [H, 1]
 
-    # double-buffered block walk: prefetch block tb+1's rows while
-    # computing on block tb (the serial copy->wait->compute version
-    # measured 2x slower at full valid).  Live blocks are the prefix
-    # [0, ceil(valid/blk)), so block 0 is always live (valid >= 1).
-    def walk(ref, compute):
-        def cp(tb, side):
-            return pltpu.make_async_copy(
-                ref.at[b, pl.ds(tb * blk, blk), :], bufs[side],
-                sems[side])
+    # Block pipeline (v2).  The B-scaling study (tools/
+    # decode_kernel_sweep.py, 2026-08-20: B=1 2.9 us -> B=8 17.9 us,
+    # ~1.9 us/instance; width-independent at C=128..768) motivated
+    # hiding what LOOKED like two exposed HBM round-trips per instance.
+    # Measured verdict: the prefetches below did NOT move the per-call
+    # time (18.3 us at B=8, valid=200 — bit-exact, kept for the cleaner
+    # pipeline), which bounds the per-instance floor as COMPUTE-side:
+    # ~0.8 us of MXU issue latency (4 small dots/instance) + ~0.5 us of
+    # serial VPU (softmax/epilogues/extraction) + grid-step overhead.
+    # Cutting it further means fewer, larger dots across batch rows —
+    # but each row contracts against ITS OWN cache tile, so batching
+    # rows into one dot needs a block-diagonal K operand whose
+    # construction costs more than it saves.  Three latency hiders on
+    # top of the double-buffered walk:
+    #   * CROSS-INSTANCE prefetch: instance b starts instance b+1's
+    #     k block 0 copy right after its own k walk (kb0 is free
+    #     there), so the next instance's first wait returns ~instantly;
+    #   * v block 0 starts BEFORE the k walk (its latency hides under
+    #     the whole k phase + softmax);
+    #   * v block 1 starts right after the k walk, hiding under the
+    #     softmax.
+    # Live blocks are the prefix [0, ceil(valid/blk)) and valid >= 1 by
+    # contract, so block 0 is ALWAYS live — the unconditional
+    # cross-instance/early starts pair exactly with the unconditional
+    # block-0 waits.  All other start/wait conditions must pair EXACTLY:
+    # a start without its wait would leak a semaphore count into the
+    # next grid step's wait on the same sem.
+    def kcp(row, tb, side):
+        return pltpu.make_async_copy(
+            k_ref.at[row, pl.ds(tb * blk, blk), :], kbufs[side],
+            ksems[side])
 
-        # start/wait conditions must pair EXACTLY: a start without its
-        # wait (e.g. valid == 0 — an empty serving slot) would leak a
-        # semaphore count into the next grid step's wait on the same sem
-        @pl.when(0 < valid)
-        def _():
-            cp(0, 0).start()
-        for tb in range(nblk):                       # static unroll
-            if tb + 1 < nblk:
-                @pl.when((tb + 1) * blk < valid)
-                def _(tb=tb):
-                    cp(tb + 1, (tb + 1) % 2).start()
+    def vcp(tb, side):
+        return pltpu.make_async_copy(
+            v_ref.at[b, pl.ds(tb * blk, blk), :], vbufs[side],
+            vsems[side])
 
-            @pl.when(tb * blk < valid)
-            def _(tb=tb):
-                cp(tb, tb % 2).wait()
-                compute(tb, bufs[tb % 2])
-        # dead blocks: never copied, never computed
+    @pl.when(b == 0)
+    def _():
+        kcp(0, 0, 0).start()                 # pipeline head: cold start
+    vcp(0, 0).start()                        # v0 hides under the k phase
 
     def k_block(tb, buf):
         kf = pltpu.bitcast(buf[...] ^ jnp.uint8(0x80), s8) \
@@ -295,8 +311,32 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
         s_scr[:, tb * blk:(tb + 1) * blk] = \
             (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
 
-    walk(k_ref, k_block)
-    # dead score regions stay garbage — the mask below covers them
+    # ---- k walk (block 0's copy is already in flight) ----
+    for tb in range(nblk):                           # static unroll
+        if tb == 0 and nblk > 1:
+            @pl.when(blk < valid)
+            def _():
+                kcp(b, 1, 1).start()
+
+        @pl.when(tb * blk < valid)
+        def _(tb=tb):
+            kcp(b, tb, tb % 2).wait()
+            k_block(tb, kbufs[tb % 2])
+        if tb + 2 < nblk:
+            # start tb+2 into the buffer tb just freed
+            @pl.when((tb + 2) * blk < valid)
+            def _(tb=tb):
+                kcp(b, tb + 2, tb % 2).start()
+    # dead blocks: never copied, never computed; dead score regions stay
+    # garbage — the softmax mask below covers them
+
+    @pl.when(b + 1 < nprog)
+    def _():
+        kcp(b + 1, 0, 0).start()             # cross-instance prefetch
+    if nblk > 1:
+        @pl.when(blk < valid)
+        def _():
+            vcp(1, 1).start()                # v1 hides under the softmax
 
     colio = lax.broadcasted_iota(i32, (h, t), 1)
     x = jnp.where(colio < valid, s_scr[...], -jnp.inf)
@@ -315,7 +355,16 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
         pzb = pz[:, tb * blk:(tb + 1) * blk].astype(bf16)
         a2_scr[...] += dot_n(pzb, vf)                # [H, C] i32 partials
 
-    walk(v_ref, v_block)
+    # ---- v walk (blocks 0 and 1 already in flight) ----
+    for tb in range(nblk):
+        @pl.when(tb * blk < valid)
+        def _(tb=tb):
+            vcp(tb, tb % 2).wait()
+            v_block(tb, vbufs[tb % 2])
+        if tb + 2 < nblk:
+            @pl.when((tb + 2) * blk < valid)
+            def _(tb=tb):
+                vcp(tb + 2, tb % 2).start()
 
     # row r's result lives in its kv segment [kv*D, (kv+1)*D) of its a2
     # row — flattening back is a column-wise row-select with the SAME
@@ -368,12 +417,16 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, grp, c), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((blk, c), jnp.uint8),         # tile buffer 0
-            pltpu.VMEM((blk, c), jnp.uint8),         # tile buffer 1
+            pltpu.VMEM((blk, c), jnp.uint8),         # k tile buffer 0
+            pltpu.VMEM((blk, c), jnp.uint8),         # k tile buffer 1
+            pltpu.VMEM((blk, c), jnp.uint8),         # v tile buffer 0
+            pltpu.VMEM((blk, c), jnp.uint8),         # v tile buffer 1
             pltpu.VMEM((n_heads, t), jnp.float32),   # masked scores
             pltpu.VMEM((n_heads, c), jnp.int32),     # P@V accumulator
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,                 # k sem 0
+            pltpu.SemaphoreType.DMA,                 # k sem 1
+            pltpu.SemaphoreType.DMA,                 # v sem 0
+            pltpu.SemaphoreType.DMA,                 # v sem 1
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -35,25 +35,30 @@ chunks = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
 
 
 def run_load(eng, n_req, max_new=64):
-    # warm round (possible fresh prefill-bucket compiles), then measure
-    for _ in range(2):
-        futs = [eng.submit(
-            rng.integers(0, 50257, int(rng.integers(8, 33))), max_new)
-            for _ in range(n_req)]
-        [f.result(timeout=1200) for f in futs]
-    eng.stats.__init__()
-    t0 = time.perf_counter()
-    futs = [eng.submit(
-        rng.integers(0, 50257, int(rng.integers(8, 33))), max_new)
-        for _ in range(n_req)]
-    outs = [f.result(timeout=1200) for f in futs]
-    dt = time.perf_counter() - t0
-    toks = sum(len(o) for o in outs)
-    lat = sorted(eng.stats.latencies_s)
-    p50 = lat[len(lat) // 2]
-    fill = (eng.stats.chunk_slots_active
-            / max(1, eng.stats.chunks * eng.slots))
-    return toks / dt, p50 * 1e3, fill
+    """FIXED prompt length (one bucket) and pow2 request counts keep the
+    admit grouping deterministic, so after two warm rounds every
+    (bucket, n) prefill variant is compiled; measure best-of-3 (a fresh
+    compile landing inside a measured round poisons tok/s — the first
+    sweep run measured 30-1020 tok/s of pure compile noise)."""
+    def round_():
+        t0 = time.perf_counter()
+        futs = [eng.submit(rng.integers(0, 50257, 24), max_new)
+                for _ in range(n_req)]
+        outs = [f.result(timeout=1200) for f in futs]
+        return sum(len(o) for o in outs), time.perf_counter() - t0
+    for _ in range(2):                               # warm
+        round_()
+    best = 0.0
+    for _ in range(3):
+        eng.stats.__init__()
+        toks, dt = round_()
+        if toks / dt > best:
+            best = toks / dt
+            lat = sorted(eng.stats.latencies_s)
+            p50 = lat[len(lat) // 2]
+            fill = (eng.stats.chunk_slots_active
+                    / max(1, eng.stats.chunks * eng.slots))
+    return best, p50 * 1e3, fill
 
 
 for cs in chunks:
