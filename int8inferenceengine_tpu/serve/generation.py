@@ -22,6 +22,27 @@ cache.  Requests stream in and out of slots without ever retracing:
   models/text_decoder.py), so each request's tokens are bit-identical to
   running ``model.generate()`` alone (pinned by tests/test_generation.py).
 
+Chunk economics (measured 2026-08-20, one v5e over the ~20 ms dev
+tunnel; gpt2-small-ish, 8 slots, 24-token prompts, 64 new tokens/req,
+best-of-3 after warm — tools/genengine_sweep.py):
+
+    chunk_steps   8      16     32     64      (tok/s, overlap=False)
+    8 requests    1055   1290   1439   1282
+    24 requests   1023   1279   1467   1454
+    overlap=True  1067-  1313-  1197-  1173-   (range over loads)
+                  1079   1323   1556   1275
+
+``chunk_steps=32`` is the measured default: big enough to amortize the
+host-sync round-trip, small enough to bound completion overshoot.
+``overlap=True`` (dispatch chunk k+1 before fetching chunk k) helps at
+full load (+6% at 24 req) but WASTES device work at light load (-17%
+at 8 req): completion detection lags one chunk, so each request
+overdecodes ~chunk_steps extra steps — a real cost when chunk_steps is
+a large fraction of max_new.  Enable it for saturated serving with
+long generations.  Non-tunnel bound for reference: at 0.349 ms/step
+pure device time, 8 slots sustain ~22.9k tok/s — the gap here is the
+per-chunk and per-prefill host sync over the tunnel.
+
 Greedy decoding by default (argmax on u8 logit codes — bit-identical to
 standalone ``generate()``); ``submit(..., temperature=t, seed=s)`` samples
 that request's tokens instead (per-slot Gumbel-max on the dequantized
@@ -103,7 +124,7 @@ class GenerationEngine:
     >>> fut.result()                       # np.ndarray of generated ids
     """
 
-    def __init__(self, model, slots: int = 8, chunk_steps: int = 8,
+    def __init__(self, model, slots: int = 8, chunk_steps: int = 32,
                  eos_id: int | None = None, overlap: bool = False):
         if not model.is_quant:
             raise RuntimeError("GenerationEngine requires a converted model")
