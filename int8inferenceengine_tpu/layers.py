@@ -1257,6 +1257,53 @@ def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
                   _tp_sharded=q2._tp_sharded)
 
 
+def fused_extend_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
+                           av: "QuantMatmul", q3: Tensor, kc: Tensor,
+                           vc: Tensor, valid_base, head_dim: int
+                           ) -> Tensor:
+    """Multi-position twin of :func:`fused_decode_attention`: m query
+    rows (positions base..base+m-1) against the T-major FLAT KV cache —
+    the speculative-verify / chunked-extend hot path.
+
+    ``q3`` [B, m, C] are the un-split query projection rows (the m new
+    positions' codes, already appended to the cache by the caller);
+    ``valid_base`` is the FIRST row's live length (pos + 1; scalar or
+    [B]) — row j sees ``valid_base + j`` cache columns, which is exactly
+    the causal mask over cache + self rows.  Output [B, m, C] codes at
+    ``av``'s grid.  Routed through ops/attention.decode_attention_flat's
+    multi-position path: the Pallas kernel runs all m*H query rows in
+    ONE call (same per-instance overhead as a single decode step — the
+    verify amortization that makes speculative decoding pay), the XLA
+    fallback is the composed per-row-valid oracle.
+    """
+    if not (attn.is_quantized and smax.is_quantized and av.is_quantized):
+        raise RuntimeError("fused_extend_attention requires converted "
+                           "layers")
+    if not attn.transpose_b or av.transpose_b or av.alpha != 1.0:
+        raise ValueError("fused_extend_attention expects attn=QK^T "
+                         "(transpose_b) and a plain P@V")
+    from .ops import attention as attn_ops
+    backend = attn.config.decode_attention
+    n_heads = q3.data.shape[-1] // head_dim      # local under TP
+    n_kv = kc.data.shape[-1] // head_dim
+    out = attn_ops.decode_attention_flat(
+        q3.data, kc.data, vc.data, valid_base, n_heads=n_heads,
+        n_kv_heads=n_kv,
+        backend="xla" if backend == "off" else backend,
+        scale_q=q3.scale, zp_q=q3.zero_point,
+        scale_k=kc.scale, zp_k=kc.zero_point,
+        scale_v=vc.scale, zp_v=vc.zero_point,
+        scale_s=attn.scale, zp_s=attn.zero_point,
+        scale_p=smax.scale, zp_p=smax.zero_point,
+        scale_c=av.scale, zp_c=av.zero_point,
+        alpha=attn.alpha, rounding=attn.config.rounding)
+    t = kc.data.shape[-2]
+    _record_cost(attn, 2 * q3.data.size * t, q3.data.size + kc.data.size)
+    _record_cost(av, 2 * out.size * t, vc.data.size + out.size)
+    return Tensor(out, av.scale, av.zero_point,
+                  _tp_sharded=q3._tp_sharded)
+
+
 class QuantLayerNorm(Layer):
     """LayerNorm over the last axis with calibrated u8 output.
 

@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from ..config import DEFAULT_CONFIG, QuantConfig
 from ..layers import (Linear, QuantAct, QuantAdd, QuantEmbed, QuantMatmul,
                       QuantMul, QuantRMSNorm, QuantRoPE, QuantSoftmax,
-                      fused_decode_attention, fused_linear_act)
+                      fused_decode_attention, fused_extend_attention,
+                      fused_linear_act)
 from ..module import Module
 from ..ops import functional as F
 from ..tensor import Tensor
@@ -239,6 +240,14 @@ class LlamaDecoder(TextDecoder):
         attn, smax, av = (getattr(self, f"attn{i}"),
                           getattr(self, f"smax{i}"),
                           getattr(self, f"av{i}"))
+        if attn.is_quantized and kc.quantized:
+            # fused multi-position GQA against the kv-compact cache
+            o = fused_extend_attention(attn, smax, av, F.merge_heads(qh),
+                                       kc, vc, pos + 1, self.head_dim)
+            o = o.reshape(b * m, o.shape[-1])
+            o = getattr(self, f"proj{i}")(o)
+            x = getattr(self, f"add1_{i}")(x, o)
+            return self._mlp(i, x)
         if kc.data.ndim == 3:               # flat u8 kv-compact cache
             kh4, vh4 = (F.split_heads(kc, self.kv_heads),
                         F.split_heads(vc, self.kv_heads))

@@ -41,8 +41,8 @@ from jax import lax
 from ..config import DEFAULT_CONFIG, QuantConfig
 from ..layers import (Linear, QuantAct, QuantAdd, QuantEmbed, QuantLayerNorm,
                       QuantMatmul, QuantPosEmbed, QuantSoftmax,
-                      fused_decode_attention, fused_linear_act,
-                      fused_qkv)
+                      fused_decode_attention, fused_extend_attention,
+                      fused_linear_act, fused_qkv)
 from ..module import Module
 from ..ops import functional as F
 from ..tensor import Tensor
@@ -409,9 +409,10 @@ class TextDecoder(Module):
         return codes, new_cache
 
     def _block_extend(self, i, x, b, m, valid, cap, kv_hook, pos=0):
-        """m-row cached block: composed attention against the full cache
-        (the m=1 hot path stays on the fused kernel in _block_decode;
-        verify passes are m~k+1 rows — composed XLA carries them)."""
+        """m-row cached block: the fused multi-position op (Pallas
+        kernel on TPU — all m*H query rows in ONE call, the verify
+        amortization speculative decoding needs) when the cache is
+        quantized, composed XLA otherwise."""
         h = getattr(self, f"ln1_{i}")(x)
         q2, k2, v2 = self._qkv(i, h)
         cap[i] = (k2.reshape(b, m, -1), v2.reshape(b, m, -1))
@@ -419,6 +420,22 @@ class TextDecoder(Module):
         attn, smax, av = (getattr(self, f"attn{i}"),
                           getattr(self, f"smax{i}"),
                           getattr(self, f"av{i}"))
+        if attn.is_quantized and kc.quantized:
+            o = fused_extend_attention(attn, smax, av,
+                                       q2.reshape(b, m, -1), kc, vc,
+                                       pos + 1, self.head_dim)
+            o = o.reshape(b * m, o.shape[-1])
+            o = getattr(self, f"proj{i}")(o)
+            x = getattr(self, f"add1_{i}")(x, o)
+            h = getattr(self, f"ln2_{i}")(x)
+            fc1 = getattr(self, f"fc1_{i}")
+            gelu = getattr(self, f"gelu{i}")
+            if fc1.is_quantized and self.config.fuse_linear_act:
+                h = fused_linear_act(fc1, gelu, h)
+            else:
+                h = gelu(fc1(h))
+            h = getattr(self, f"fc2_{i}")(h)
+            return getattr(self, f"add2_{i}")(x, h)
         qh = F.split_heads(q2.reshape(b, m, -1), self.heads)
         if kc.data.ndim == 3:                 # flat u8 cache [B, T, C]
             kh, vh = (F.split_heads(kc, self.kv_heads),

@@ -214,17 +214,27 @@ def kernel_eligible(t: int, c: int) -> bool:
 def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
                              v_ref, o_ref, kb0, kb1, vb0, vb1, s_scr,
                              a2_scr, ks0, ks1, vs0, vs1, *, n_heads: int,
-                             n_kv: int, t: int, d: int, blk: int):
+                             n_kv: int, t: int, d: int, blk: int,
+                             mq: int = 1):
     f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
     kbufs, ksems = (kb0, kb1), (ks0, ks1)
     vbufs, vsems = (vb0, vb1), (vs0, vs1)
-    h = n_heads                                      # query rows R
+    # mq query POSITIONS (speculative verify / chunked extend), n_heads
+    # query heads each -> R = mq * H query rows.  Row j*H + r serves
+    # position (base + j), query head (r % n_kv)*grp + r//n_kv.  The
+    # m=1 index algebra survives unchanged because H % n_kv == 0:
+    # (j*H + r) % n_kv == r % n_kv (the kv-segment mask) and
+    # (j*H + r) // n_kv == j*grp + (r // n_kv) (the extraction slot).
+    h = n_heads
     grp = h // n_kv
+    r_rows = mq * h                                  # query rows R
+    slots = mq * grp                                 # output rows
     c = n_kv * d                                     # cache row width
     nblk = t // blk
     b = pl.program_id(0)
     nprog = pl.num_programs(0)
-    valid = valid_ref[b]
+    valid = valid_ref[b]          # base live length (position row 0)
+    vmax = valid + (mq - 1)       # last row sees mq-1 more columns
     rb = fp_ref[_RB]
     c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
     c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
@@ -247,15 +257,15 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     # is a relayout Mosaic rejects — so the wrapper pre-places the codes
     # (dead segments = code 128 -> recenter to 0) and the kernel only
     # recenters + masks.
-    seg = lax.broadcasted_iota(i32, (h, c), 1) // d  # column's kv head
-    rowkv = lax.broadcasted_iota(i32, (h, c), 0) % n_kv
-    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)   # [1|H, C]
+    seg = lax.broadcasted_iota(i32, (r_rows, c), 1) // d  # col's kv head
+    rowkv = lax.broadcasted_iota(i32, (r_rows, c), 0) % n_kv
+    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)   # [1|R, C]
     aqf = a8.astype(f32) + f32(c_q)                  # q - zp_q, exact ints
     aq_masked = jnp.where(seg == rowkv,
-                          jnp.broadcast_to(aqf, (h, c)), 0.0)
+                          jnp.broadcast_to(aqf, (r_rows, c)), 0.0)
     aq_wide = aq_masked.astype(bf16)
     rowsum_aq = jnp.sum(aq_masked, axis=1,
-                        keepdims=True).astype(i32)        # [H, 1]
+                        keepdims=True).astype(i32)        # [R, 1]
 
     # Block pipeline (v2).  The B-scaling study (tools/
     # decode_kernel_sweep.py, 2026-08-20: B=1 2.9 us -> B=8 17.9 us,
@@ -311,20 +321,21 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
         s_scr[:, tb * blk:(tb + 1) * blk] = \
             (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
 
-    # ---- k walk (block 0's copy is already in flight) ----
+    # ---- k walk (block 0's copy is already in flight); liveness is
+    # against vmax — the LAST query row's horizon covers every row ----
     for tb in range(nblk):                           # static unroll
         if tb == 0 and nblk > 1:
-            @pl.when(blk < valid)
+            @pl.when(blk < vmax)
             def _():
                 kcp(b, 1, 1).start()
 
-        @pl.when(tb * blk < valid)
+        @pl.when(tb * blk < vmax)
         def _(tb=tb):
             kcp(b, tb, tb % 2).wait()
             k_block(tb, kbufs[tb % 2])
         if tb + 2 < nblk:
             # start tb+2 into the buffer tb just freed
-            @pl.when((tb + 2) * blk < valid)
+            @pl.when((tb + 2) * blk < vmax)
             def _(tb=tb):
                 kcp(b, tb + 2, tb % 2).start()
     # dead blocks: never copied, never computed; dead score regions stay
@@ -334,12 +345,14 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     def _():
         kcp(b + 1, 0, 0).start()             # cross-instance prefetch
     if nblk > 1:
-        @pl.when(blk < valid)
+        @pl.when(blk < vmax)
         def _():
             vcp(1, 1).start()                # v1 hides under the softmax
 
-    colio = lax.broadcasted_iota(i32, (h, t), 1)
-    x = jnp.where(colio < valid, s_scr[...], -jnp.inf)
+    colio = lax.broadcasted_iota(i32, (r_rows, t), 1)
+    # row j*H + r is position base + j: it sees valid + j columns
+    rowj = lax.broadcasted_iota(i32, (r_rows, t), 0) // h
+    x = jnp.where(colio < valid + rowj, s_scr[...], -jnp.inf)
     m = jnp.max(x, axis=1, keepdims=True)
     e = jnp.exp(x - m)
     p = e / jnp.sum(e, axis=1, keepdims=True)
@@ -347,7 +360,7 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     pcodes = jnp.floor(pcodes + rb)                  # [H, T]
     pz = pcodes + f32(c_p - 128)                     # p - zp_p (dead -> 0)
 
-    a2_scr[...] = jnp.zeros((h, c), i32)
+    a2_scr[...] = jnp.zeros((r_rows, c), i32)
 
     def v_block(tb, buf):
         vf = pltpu.bitcast(buf[...] ^ jnp.uint8(0x80), s8) \
@@ -357,12 +370,12 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
 
     # ---- v walk (blocks 0 and 1 already in flight) ----
     for tb in range(nblk):
-        @pl.when(tb * blk < valid)
+        @pl.when(tb * blk < vmax)
         def _(tb=tb):
             vcp(tb, tb % 2).wait()
             v_block(tb, vbufs[tb % 2])
         if tb + 2 < nblk:
-            @pl.when((tb + 2) * blk < valid)
+            @pl.when((tb + 2) * blk < vmax)
             def _(tb=tb):
                 vcp(tb + 2, tb % 2).start()
 
@@ -373,13 +386,13 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     # minor-split shape cast).  Each group slot g reduces its n_kv rows
     # [g*n_kv, (g+1)*n_kv) to one head-merged kv-major row; grp == 1 is
     # the original single reduction.
-    rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)  # [H, 1]
-    corr = jnp.broadcast_to(c_v * rowsum_pz, (h, c))
-    base = jnp.where(seg == rowkv, a2_scr[...] + corr, 0)  # [H, C] i32
-    rowg = lax.broadcasted_iota(i32, (h, c), 0) // n_kv
+    rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)  # [R, 1]
+    corr = jnp.broadcast_to(c_v * rowsum_pz, (r_rows, c))
+    base = jnp.where(seg == rowkv, a2_scr[...] + corr, 0)  # [R, C] i32
+    rowg = lax.broadcasted_iota(i32, (r_rows, c), 0) // n_kv
     rows = [jnp.sum(jnp.where(rowg == g, base, 0), axis=0, keepdims=True)
-            for g in range(grp)]                     # grp x [1, C] exact
-    acc2f = rows[0] if grp == 1 else jnp.concatenate(rows, axis=0)
+            for g in range(slots)]                  # slots x [1, C] exact
+    acc2f = rows[0] if slots == 1 else jnp.concatenate(rows, axis=0)
     qo = jnp.clip(acc2f.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
                   0.0, 255.0)
     qo = (qo + rb).astype(i32)
@@ -387,25 +400,27 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
         ^ jnp.uint8(0x80)                            # [grp, C]
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "n_kv",
+@functools.partial(jax.jit, static_argnames=("n_heads", "n_kv", "mq",
                                              "interpret"))
 def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
-                           n_heads: int, n_kv: int,
+                           n_heads: int, n_kv: int, mq: int = 1,
                            interpret: bool = False):
     bsz, t, c = k3.shape                             # c = n_kv * d
     d = c // n_kv
     grp = n_heads // n_kv
+    slots = mq * grp
     blk = _dec_blk(t)
     kernel = functools.partial(_decode_attn_kernel_flat, n_heads=n_heads,
-                               n_kv=n_kv, t=t, d=d, blk=blk)
+                               n_kv=n_kv, t=t, d=d, blk=blk, mq=mq)
     # [B, R, C] with block (1, R, C): the block's last two dims must be
     # (8, 128)-divisible or equal the array dims — (R, C) equals.
-    # MHA passes the projection row (R_in = 1, diagonal built in-kernel);
-    # GQA passes the wrapper-placed wide query (R_in = n_heads).
+    # Single-position MHA passes the projection row (R_in = 1, diagonal
+    # built in-kernel); GQA and multi-position extends pass the
+    # wrapper-placed wide query (R_in = mq * n_heads).
     qr = qg.shape[1]
     q_spec = pl.BlockSpec((1, qr, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, grp, c), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((1, slots, c), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
@@ -415,14 +430,14 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                   pl.BlockSpec(memory_space=pltpu.ANY),   # k cache (HBM)
                   pl.BlockSpec(memory_space=pltpu.ANY)],  # v cache (HBM)
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, grp, c), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((bsz, slots, c), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((blk, c), jnp.uint8),         # k tile buffer 0
             pltpu.VMEM((blk, c), jnp.uint8),         # k tile buffer 1
             pltpu.VMEM((blk, c), jnp.uint8),         # v tile buffer 0
             pltpu.VMEM((blk, c), jnp.uint8),         # v tile buffer 1
-            pltpu.VMEM((n_heads, t), jnp.float32),   # masked scores
-            pltpu.VMEM((n_heads, c), jnp.int32),     # P@V accumulator
+            pltpu.VMEM((mq * n_heads, t), jnp.float32),  # masked scores
+            pltpu.VMEM((mq * n_heads, c), jnp.int32),    # P@V accum
             pltpu.SemaphoreType.DMA,                 # k sem 0
             pltpu.SemaphoreType.DMA,                 # k sem 1
             pltpu.SemaphoreType.DMA,                 # v sem 0
@@ -432,9 +447,9 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * n_heads * t * d * 2,
-            bytes_accessed=2 * bsz * t * c + 2 * bsz * c,
-            transcendentals=bsz * n_heads * t,
+            flops=2 * bsz * mq * n_heads * t * d * 2,
+            bytes_accessed=2 * bsz * t * c + 2 * bsz * (mq + 1) * c,
+            transcendentals=bsz * mq * n_heads * t,
         ),
         interpret=interpret,
     )(valid, fparams, iparams, qg, k3, v3)
@@ -476,6 +491,12 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                          f"{n_kv} kv heads")
     d = c // n_kv
     grp = n_heads // n_kv
+    # q [B, H*D]: one query position (the decode step); q [B, m, H*D]:
+    # m consecutive positions (speculative verify / chunked extend) —
+    # ``valid`` is then the FIRST position's live length and row j sees
+    # valid + j columns (the causal extend mask).
+    multi = q2_u8.ndim == 3
+    mq = q2_u8.shape[1] if multi else 1
     if q2_u8.shape[-1] != n_heads * d:
         raise ValueError(
             f"query width {q2_u8.shape[-1]} != n_heads*head_dim "
@@ -498,11 +519,25 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                                  (0, 2, 1, 3))
         # GQA: kv group kv's G query heads ride the matmul M dim; query
         # head h = kv*grp + g lands at row (kv, g), matching the flat
-        # head-major q layout, and every row shares the position mask
-        q4 = q2_u8.reshape(bsz, n_kv, grp, d)
-        out4 = decode_attention_xla(
-            q4, to4(k3_u8), to4(v3_u8),
-            v_arr.reshape(bsz, 1, 1, 1) if v_arr.ndim else v_arr, **kw)
+        # head-major q layout.  Multi-position extends stack the m
+        # positions into the same M dim (rows (kv, j, g)) with a
+        # PER-ROW valid mask (valid + j).
+        q4 = jnp.transpose(
+            q2_u8.reshape(bsz, mq, n_kv, grp, d), (0, 2, 1, 3, 4)
+        ).reshape(bsz, n_kv, mq * grp, d) if multi else \
+            q2_u8.reshape(bsz, n_kv, grp, d)
+        vmask = (v_arr.reshape(bsz, 1, 1, 1) if v_arr.ndim else v_arr)
+        if multi:
+            rowj = (jnp.arange(mq * grp, dtype=jnp.int32)
+                    // grp).reshape(1, 1, mq * grp, 1)
+            vmask = vmask + rowj
+        out4 = decode_attention_xla(q4, to4(k3_u8), to4(v3_u8), vmask,
+                                    **kw)
+        if multi:
+            # [B, Hkv, m*grp, D] rows (kv, j, g) -> [B, m, H*D]
+            return jnp.transpose(
+                out4.reshape(bsz, n_kv, mq, grp, d), (0, 2, 1, 3, 4)
+            ).reshape(bsz, mq, n_heads * d)
         return out4.reshape(bsz, n_heads * d)
     valid_b = (jnp.broadcast_to(v_arr.reshape(-1), (bsz,))
                if v_arr.ndim <= 1 else v_arr.reshape(bsz))
@@ -522,29 +557,31 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
     iparams = jnp.asarray([128 - int(kw["zp_q"]), 128 - int(kw["zp_k"]),
                            128 - int(kw["zp_p"]), 128 - int(kw["zp_v"])],
                           jnp.int32)
-    if grp == 1:
+    if grp == 1 and not multi:
         qg = q2_u8.reshape(bsz, 1, c)            # diagonal built in-kernel
     else:
-        # kv-major query rows (row r = query head (r % n_kv)*grp +
-        # r//n_kv), each placed in its kv segment with code 128 (-> 0
-        # after recentering) elsewhere — the wide block-diagonal operand
-        # the kernel's (seg == r % n_kv) mask expects.  Tiny: [B, H, C]
-        # u8, fused by XLA into the surrounding glue.
+        # kv-major query rows (row j*H + g*n_kv + kv = position j, query
+        # head kv*grp + g), each placed in its kv segment with code 128
+        # (-> 0 after recentering) elsewhere — the wide block-diagonal
+        # operand the kernel's (seg == r % n_kv) mask expects.  Tiny:
+        # [B, m*H, C] u8, fused by XLA into the surrounding glue.
+        q3 = q2_u8.reshape(bsz, mq, n_heads * d)
         qkvm = jnp.transpose(
-            q2_u8.reshape(bsz, n_kv, grp, d), (0, 2, 1, 3)
-        ).reshape(bsz, n_heads, d)
+            q3.reshape(bsz, mq, n_kv, grp, d), (0, 1, 3, 2, 4)
+        ).reshape(bsz, mq * n_heads, d)
         colkv = jnp.arange(c, dtype=jnp.int32) // d
-        rowkv = jnp.arange(n_heads, dtype=jnp.int32) % n_kv
+        rowkv = jnp.arange(mq * n_heads, dtype=jnp.int32) % n_kv
         qg = jnp.where(colkv[None, None, :] == rowkv[None, :, None],
                        jnp.tile(qkvm, (1, 1, n_kv)), jnp.uint8(128))
     out3 = _decode_attn_flat_impl(qg, k3_u8, v3_u8, valid_b,
                                   fparams, iparams, n_heads=n_heads,
-                                  n_kv=n_kv, interpret=interpret)
-    if grp == 1:
+                                  n_kv=n_kv, mq=mq, interpret=interpret)
+    if grp == 1 and not multi:
         return out3.reshape(bsz, c)
-    # [B, grp, C] kv-major group rows -> head-major [B, H*D]
-    return jnp.transpose(out3.reshape(bsz, grp, n_kv, d),
-                         (0, 2, 1, 3)).reshape(bsz, n_heads * d)
+    # [B, m*grp, C] slot rows (j, g), kv-major segments -> head-major
+    out = jnp.transpose(out3.reshape(bsz, mq, grp, n_kv, d),
+                        (0, 1, 3, 2, 4)).reshape(bsz, mq, n_heads * d)
+    return out if multi else out.reshape(bsz, n_heads * d)
 
 
 def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,

@@ -266,3 +266,37 @@ def test_flat_kernel_headshard_widths(h):
         diff = np.abs(got - want)
         assert diff.max() <= 1 and (diff > 0).mean() <= 0.002, (
             h, valid, diff.max())
+
+
+@pytest.mark.parametrize("h,kv,mrows", [(4, 4, 3), (4, 2, 4), (6, 1, 2)])
+def test_flat_kernel_multiposition(h, kv, mrows):
+    """Multi-position extend (speculative verify): the kernel runs all
+    m*H query rows in one call; row j sees valid+j columns.  Oracle: m
+    single-row calls at valid+j on the same (fully appended) cache —
+    and the XLA multi path must match it exactly, the kernel to the
+    documented +-1 tie caveat."""
+    d, t = 32, 128
+    c = kv * d
+    rng = np.random.default_rng(h * 10 + kv + mrows)
+    q3 = jnp.asarray(rng.integers(0, 256, (3, mrows, h * d)), jnp.uint8)
+    k = jnp.asarray(rng.integers(0, 256, (3, t, c)), jnp.uint8)
+    v = jnp.asarray(rng.integers(0, 256, (3, t, c)), jnp.uint8)
+    kw = dict(PARAMS)
+    kw["alpha"] = d ** -0.5
+    for base in (1, 61, t - mrows + 1):
+        want = np.stack([
+            np.asarray(attn_ops.decode_attention_flat(
+                q3[:, j], k, v, jnp.int32(base + j), n_heads=h,
+                n_kv_heads=kv, backend="xla", rounding="trunc", **kw))
+            for j in range(mrows)], axis=1)          # [B, m, H*D]
+        got_xla = np.asarray(attn_ops.decode_attention_flat(
+            q3, k, v, jnp.int32(base), n_heads=h, n_kv_heads=kv,
+            backend="xla", rounding="trunc", **kw))
+        np.testing.assert_array_equal(got_xla, want)
+        got_pl = np.asarray(attn_ops.decode_attention_flat(
+            q3, k, v, jnp.int32(base), n_heads=h, n_kv_heads=kv,
+            backend="pallas", interpret=True, rounding="trunc",
+            **kw)).astype(np.int32)
+        diff = np.abs(got_pl - want.astype(np.int32))
+        assert diff.max() <= 1 and (diff > 0).mean() <= 0.002, (
+            base, diff.max(), (diff > 0).sum())
