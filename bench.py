@@ -233,8 +233,11 @@ def main():
         from int8inferenceengine_tpu import tensor as _tensor
         ldec(_tensor(ids))
         ldec.convert()
+        # (32, 384) scan pair: at ~0.1-0.2 ms/step the (16, 128)
+        # delta's noise floor is +-15-20 us/step (wall jitter / 112);
+        # 352 delta steps cut it 3x (llama_decode_tpu.py note).
         dtimes = {}
-        for steps in (16, 128):
+        for steps in (32, 384):
             ldec.generate(ids, steps)                   # compile
             best = float("inf")
             for trial in range(3):
@@ -243,7 +246,7 @@ def main():
                 ldec.generate(p2, steps)
                 best = min(best, time.perf_counter() - t1)
             dtimes[steps] = best
-        per_step = (dtimes[128] - dtimes[16]) / (128 - 16)
+        per_step = (dtimes[384] - dtimes[32]) / (384 - 32)
         llama_ms_step = round(per_step * 1e3, 3)
         llama_tok_s = round(db / per_step, 1)
         log(f"llama decode (768d/12H/2KV, b{db}): {per_step*1e3:.3f} "

@@ -232,7 +232,6 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     c = n_kv * d                                     # cache row width
     nblk = t // blk
     b = pl.program_id(0)
-    nprog = pl.num_programs(0)
     valid = valid_ref[b]          # base live length (position row 0)
     vmax = valid + (mq - 1)       # last row sees mq-1 more columns
     rb = fp_ref[_RB]
@@ -267,36 +266,46 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     rowsum_aq = jnp.sum(aq_masked, axis=1,
                         keepdims=True).astype(i32)        # [R, 1]
 
-    # Block pipeline (v2).  The B-scaling study (tools/
-    # decode_kernel_sweep.py, 2026-08-20: B=1 2.9 us -> B=8 17.9 us,
-    # ~1.9 us/instance; width-independent at C=128..768) motivated
-    # hiding what LOOKED like two exposed HBM round-trips per instance.
-    # Measured verdict: the prefetches below did NOT move the per-call
-    # time (18.3 us at B=8, valid=200 — bit-exact, kept for the cleaner
-    # pipeline), which bounds the per-instance floor as COMPUTE-side:
-    # ~0.8 us of MXU issue latency (4 small dots/instance) + ~0.5 us of
-    # serial VPU (softmax/epilogues/extraction) + grid-step overhead.
-    # Cutting it further means fewer, larger dots across batch rows —
-    # but each row contracts against ITS OWN cache tile, so batching
-    # rows into one dot needs a block-diagonal K operand whose
-    # construction costs more than it saves.  Three latency hiders on
-    # top of the double-buffered walk:
-    #   * CROSS-INSTANCE prefetch: instance b starts instance b+1's
-    #     k block 0 copy right after its own k walk (kb0 is free
-    #     there), so the next instance's first wait returns ~instantly;
-    #   * v block 0 starts BEFORE the k walk (its latency hides under
-    #     the whole k phase + softmax);
-    #   * v block 1 starts right after the k walk, hiding under the
-    #     softmax.
-    # Live blocks are the prefix [0, ceil(valid/blk)) and valid >= 1 by
-    # contract, so block 0 is ALWAYS live — the unconditional
-    # cross-instance/early starts pair exactly with the unconditional
-    # block-0 waits.  All other start/wait conditions must pair EXACTLY:
-    # a start without its wait would leak a semaphore count into the
-    # next grid step's wait on the same sem.
-    def kcp(row, tb, side):
+    # Block walk: double-buffered prefetch of block tb+1 while
+    # computing block tb (the serial copy->wait->compute version
+    # measured 2x slower at full valid).  Live blocks are the prefix
+    # [0, ceil(vmax/blk)) — vmax covers the LAST query row's horizon —
+    # and block 0 is always live (valid >= 1 by contract).
+    #
+    # A v2 pipeline (cross-instance k-block-0 prefetch + early v0/v1
+    # starts) was built and measured on-chip after the B-scaling study
+    # (tools/decode_kernel_sweep.py: ~1.9 us/instance fixed cost):
+    # per-call time at C=768 was UNCHANGED (18.3 us) and the C=128
+    # llama path REGRESSED ~4 us/call in-model (0.107 -> 0.158 ms/step)
+    # — the extra DMA issues cost more than the latency they hide, and
+    # the per-instance floor is MXU issue latency (4 small dots) +
+    # serial VPU work, not exposed DMA waits.  Cutting it further means
+    # fewer, larger dots across batch rows, but each row contracts
+    # against ITS OWN cache tile — a block-diagonal K operand would
+    # cost more than it saves.  So: the simple walk, kept.
+    #
+    # start/wait conditions must pair EXACTLY: a start without its
+    # wait (e.g. valid == 0 — an empty serving slot) would leak a
+    # semaphore count into the next grid step's wait on the same sem.
+    def walk(cp, bufs, compute):
+        @pl.when(0 < vmax)
+        def _():
+            cp(0, 0).start()
+        for tb in range(nblk):                       # static unroll
+            if tb + 1 < nblk:
+                @pl.when((tb + 1) * blk < vmax)
+                def _(tb=tb):
+                    cp(tb + 1, (tb + 1) % 2).start()
+
+            @pl.when(tb * blk < vmax)
+            def _(tb=tb):
+                cp(tb, tb % 2).wait()
+                compute(tb, bufs[tb % 2])
+        # dead blocks: never copied, never computed
+
+    def kcp(tb, side):
         return pltpu.make_async_copy(
-            k_ref.at[row, pl.ds(tb * blk, blk), :], kbufs[side],
+            k_ref.at[b, pl.ds(tb * blk, blk), :], kbufs[side],
             ksems[side])
 
     def vcp(tb, side):
@@ -304,15 +313,10 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
             v_ref.at[b, pl.ds(tb * blk, blk), :], vbufs[side],
             vsems[side])
 
-    @pl.when(b == 0)
-    def _():
-        kcp(0, 0, 0).start()                 # pipeline head: cold start
-    vcp(0, 0).start()                        # v0 hides under the k phase
-
     def k_block(tb, buf):
         kf = pltpu.bitcast(buf[...] ^ jnp.uint8(0x80), s8) \
             .astype(bf16)                            # [BLK, C] k - 128
-        scores = dot_t(aq_wide, kf)                  # [H, BLK] exact
+        scores = dot_t(aq_wide, kf)                  # [R, BLK] exact
         acc = scores + c_k * rowsum_aq
         codes = jnp.clip(
             acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
@@ -321,33 +325,8 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
         s_scr[:, tb * blk:(tb + 1) * blk] = \
             (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
 
-    # ---- k walk (block 0's copy is already in flight); liveness is
-    # against vmax — the LAST query row's horizon covers every row ----
-    for tb in range(nblk):                           # static unroll
-        if tb == 0 and nblk > 1:
-            @pl.when(blk < vmax)
-            def _():
-                kcp(b, 1, 1).start()
-
-        @pl.when(tb * blk < vmax)
-        def _(tb=tb):
-            kcp(b, tb, tb % 2).wait()
-            k_block(tb, kbufs[tb % 2])
-        if tb + 2 < nblk:
-            # start tb+2 into the buffer tb just freed
-            @pl.when((tb + 2) * blk < vmax)
-            def _(tb=tb):
-                kcp(b, tb + 2, tb % 2).start()
-    # dead blocks: never copied, never computed; dead score regions stay
-    # garbage — the softmax mask below covers them
-
-    @pl.when(b + 1 < nprog)
-    def _():
-        kcp(b + 1, 0, 0).start()             # cross-instance prefetch
-    if nblk > 1:
-        @pl.when(blk < vmax)
-        def _():
-            vcp(1, 1).start()                # v1 hides under the softmax
+    walk(kcp, kbufs, k_block)
+    # dead score regions stay garbage — the softmax mask covers them
 
     colio = lax.broadcasted_iota(i32, (r_rows, t), 1)
     # row j*H + r is position base + j: it sees valid + j columns
@@ -368,16 +347,7 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
         pzb = pz[:, tb * blk:(tb + 1) * blk].astype(bf16)
         a2_scr[...] += dot_n(pzb, vf)                # [H, C] i32 partials
 
-    # ---- v walk (blocks 0 and 1 already in flight) ----
-    for tb in range(nblk):
-        @pl.when(tb * blk < vmax)
-        def _(tb=tb):
-            vcp(tb, tb % 2).wait()
-            v_block(tb, vbufs[tb % 2])
-        if tb + 2 < nblk:
-            @pl.when((tb + 2) * blk < vmax)
-            def _(tb=tb):
-                vcp(tb + 2, tb % 2).start()
+    walk(vcp, vbufs, v_block)
 
     # row r's result lives in its kv segment [kv*D, (kv+1)*D) of its a2
     # row — flattening back is a column-wise row-select with the SAME

@@ -104,20 +104,24 @@ def decode_leg(mode):
     t0 = time.perf_counter()
     dec.convert()
     print(f"convert: {time.perf_counter()-t0:.1f}s", flush=True)
+    # (32, 384): at ~0.1 ms/step the old (16, 128) delta had a
+    # +-15-20 us/step noise floor (2 ms wall jitter / 112 steps) — the
+    # morning/afternoon 0.107-0.190 "regression" chase of 2026-08-20
+    # was exactly that noise; 352 delta steps cut it 3x.
     dtimes = {}
-    for steps in (16, 128):
+    for steps in (32, 384):
         t0 = time.perf_counter()
         dec.generate(ids, steps)
         print(f"steps={steps} compile+run: {time.perf_counter()-t0:.1f}s",
               flush=True)
         best = float("inf")
-        for trial in range(3):
+        for trial in range(4):
             p2 = (ids + trial + 1) % 32000
             t1 = time.perf_counter()
             dec.generate(p2, steps)
             best = min(best, time.perf_counter() - t1)
         dtimes[steps] = best
-    per = (dtimes[128] - dtimes[16]) / (128 - 16)
+    per = (dtimes[384] - dtimes[32]) / (384 - 32)
     print(f"RESULT llama {mode}: {per*1e3:.3f} ms/step -> "
           f"{B/per:.0f} tokens/s", flush=True)
 
