@@ -15,7 +15,8 @@ points.
 
 from .config import DEFAULT_CONFIG, QuantConfig
 from .layers import (Conv2d, Layer, Linear, QuantAct, QuantAdd, QuantConcat,
-                     QuantEmbed, QuantLayerNorm, QuantMatmul, QuantMul,
+                     QuantEmbed, QuantLayerNorm, QuantMatmul, QuantMoE,
+                     QuantMul,
                      QuantPosEmbed, QuantRMSNorm, QuantRoPE, QuantSoftmax)
 from .module import Module, TruncDepthWarning
 from .ops.functional import argmax, dequantize, max_pool2d, quantize, relu
@@ -26,7 +27,7 @@ __all__ = [
     "Linear", "Conv2d", "Tensor", "Layer", "Module",
     "QuantAdd", "QuantConcat", "QuantMul", "QuantAct",
     "QuantMatmul", "QuantSoftmax", "QuantLayerNorm", "QuantPosEmbed",
-    "QuantEmbed", "QuantRMSNorm", "QuantRoPE",
+    "QuantEmbed", "QuantRMSNorm", "QuantRoPE", "QuantMoE",
     "quantize", "dequantize",
     "QuantConfig", "DEFAULT_CONFIG", "TruncDepthWarning",
 ]

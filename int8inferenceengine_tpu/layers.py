@@ -1467,6 +1467,192 @@ class QuantRoPE(Layer):
                       _tp_sharded=x._tp_sharded)
 
 
+class QuantMoE(Layer):
+    """Mixture-of-experts SwiGLU MLP with top-k routing — ONE layer
+    holding all E experts' stacked weights (the mixtral-family MLP).
+
+    TPU-native design decisions (each deliberate, none reference-bound):
+
+    * **Stacked experts, dense dispatch**: expert weights live as
+      [E, ...] arrays and every expert computes over every token, with
+      the router's top-k softmax weights (exact zeros elsewhere)
+      combining the results.  No gather/scatter, fully static shapes —
+      the XLA-friendly form at moderate E — and the [E] leading axis IS
+      the expert-parallel sharding axis (role 'expert': each device
+      holds E/model_size whole experts, computes them densely, and ONE
+      psum combines partial outputs).
+    * **FP32 router**: the router matmul is [M, K] x [K, E] — tiny —
+      and quantizing its logits could FLIP top-k selections, an
+      accuracy cliff with no bandwidth payoff.
+    * **Dynamic W8A8 experts**: weights are per-expert symmetric s8
+      (the memory-bound serving win), activations quantize on the fly
+      with per-token symmetric scales into s8 x s8 MXU GEMMs (the
+      framework's dynamic_act mode, stacked) — no per-expert
+      calibration state.  Only the OUTPUT grid is calibrated: the layer
+      observes the combined f32 result while preparing and requantizes
+      to its (scale, zero_point) after convert, so the surrounding
+      graph sees a normal u8-in/u8-out quantized layer.
+    * **Top-k <= 2 expert parallelism is BIT-exact on the INT8 path**:
+      the expert inner dots are integer (order-free), each token's f32
+      combine has at most two nonzero terms, IEEE addition of two
+      values is commutative, and the dense zeros add exactly nothing —
+      so the psum of local partials equals the unsharded E-axis
+      reduction code for code after requantization (tests/test_moe.py
+      pins it at mesh (4, 2)).  The FP32 serving path is allclose only
+      (float inner dots may tile differently across program variants —
+      the row-parallel Linear contract).
+    """
+
+    def __init__(self, dim: int, hidden: int, n_experts: int,
+                 top_k: int = 2, config: QuantConfig = DEFAULT_CONFIG):
+        super().__init__(config)
+        if not 1 <= top_k <= n_experts:
+            raise ValueError(f"top_k {top_k} not in [1, {n_experts}]")
+        self.dim, self.hidden = int(dim), int(hidden)
+        self.n_experts, self.top_k = int(n_experts), int(top_k)
+        e, h, k = self.n_experts, self.hidden, self.dim
+        self.params = {
+            "router": jnp.zeros((e, k), jnp.float32),
+            "gate_w": jnp.zeros((e, h, k), jnp.float32),
+            "up_w": jnp.zeros((e, h, k), jnp.float32),
+            "down_w": jnp.zeros((e, k, h), jnp.float32),
+        }
+        self._tp_expert = False
+
+    def load_router(self, w):
+        self.params["router"] = self._load_array(
+            w, (self.n_experts, self.dim), "load_router")
+
+    def load_gate_w(self, w):
+        self.params["gate_w"] = self._load_array(
+            w, (self.n_experts, self.hidden, self.dim), "load_gate_w")
+
+    def load_up_w(self, w):
+        self.params["up_w"] = self._load_array(
+            w, (self.n_experts, self.hidden, self.dim), "load_up_w")
+
+    def load_down_w(self, w):
+        self.params["down_w"] = self._load_array(
+            w, (self.n_experts, self.dim, self.hidden), "load_down_w")
+
+    def _quantize_weights(self):
+        if self.quant_fallback:
+            return                      # FP32 island: weights stay float
+        rnd = self.config.rounding
+        for nm in ("gate_w", "up_w", "down_w"):
+            w = np.asarray(self.params[nm])
+            s = np.maximum(np.abs(w).max(axis=(1, 2)), 1e-12) / 127.0
+            q = w / s[:, None, None]
+            q = np.round(q) if rnd == "nearest" else np.trunc(q)
+            self.params["q_" + nm] = jnp.asarray(
+                np.clip(q, -127, 127).astype(np.int8))
+            self.params[nm + "_s"] = jnp.asarray(s.astype(np.float32))
+            del self.params[nm]
+
+    def _route(self, f):
+        """Top-k routing weights [M, E]: softmax over the selected
+        logits, exact zeros elsewhere (ties at the k-th logit keep every
+        tied expert — measure-zero on real activations)."""
+        logits = jnp.dot(f, self._p("router").T,
+                         preferred_element_type=jnp.float32)
+        kth = lax.top_k(logits, self.top_k)[0][..., -1:]
+        return jax.nn.softmax(
+            jnp.where(logits >= kth, logits, -jnp.inf), axis=-1)
+
+    def _experts(self, f, wexp, gate, up, down, gs, us, ds):
+        """Dense expert compute + weighted combine -> [M, K] f32.
+
+        ``gate``/``up`` [E, H, K], ``down`` [E, K, H] (s8 or f32 with
+        unit scales), scales [E]; ``wexp`` [M, E] routing weights (the
+        caller slices the expert axis under EP sharding)."""
+        f32 = jnp.float32
+        int8 = gate.dtype == jnp.int8
+        if int8:
+            # dynamic per-token symmetric s8 activations (Linear's
+            # dynamic_act convention)
+            s_a = jnp.maximum(jnp.max(jnp.abs(f), axis=1, keepdims=True),
+                              1e-8) / 127.0
+            a = jnp.clip(jnp.round(f / s_a), -127, 127).astype(jnp.int8)
+            accg = lax.dot_general(a, gate, (((1,), (2,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+            accu = lax.dot_general(a, up, (((1,), (2,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+            # [M, E, H] * per-token s_a * per-expert weight scale
+            g = accg.astype(f32) * s_a[:, :, None] * gs[None, :, None]
+            u = accu.astype(f32) * s_a[:, :, None] * us[None, :, None]
+        else:
+            g = lax.dot_general(f, gate, (((1,), (2,)), ((), ())),
+                                preferred_element_type=f32)
+            u = lax.dot_general(f, up, (((1,), (2,)), ((), ())),
+                                preferred_element_type=f32)
+        prod = jax.nn.silu(g) * u                      # [M, E, H]
+        if int8:
+            s2 = jnp.maximum(jnp.max(jnp.abs(prod), axis=2,
+                                     keepdims=True), 1e-8) / 127.0
+            p8 = jnp.clip(jnp.round(prod / s2), -127, 127
+                          ).astype(jnp.int8)
+            accd = lax.dot_general(p8, down, (((2,), (2,)), ((1,), (0,))),
+                                   preferred_element_type=jnp.int32)
+            # [E, M, K] * per-(token, expert) s2 * per-expert down scale
+            d = accd.astype(f32) * jnp.transpose(s2, (1, 0, 2)) \
+                * ds[:, None, None]
+        else:
+            d = lax.dot_general(prod, down, (((2,), (2,)), ((1,), (0,))),
+                                preferred_element_type=f32)
+        # combine: sum_e wexp[m, e] * d[e, m, :] (zeros kill non-top-k)
+        return jnp.sum(d * jnp.transpose(wexp)[:, :, None], axis=0)
+
+    def _moe(self, f):
+        """Route + experts (+ EP psum) on float input [M, K]."""
+        wexp = self._route(f)
+        quantized = "q_gate_w" in self._src()
+        if quantized:
+            gate, up, down = (self._p("q_gate_w"), self._p("q_up_w"),
+                              self._p("q_down_w"))
+            gs, us, ds = (self._p("gate_w_s"), self._p("up_w_s"),
+                          self._p("down_w_s"))
+        else:
+            gate, up, down = (self._p("gate_w"), self._p("up_w"),
+                              self._p("down_w"))
+            ones = jnp.ones((gate.shape[0],), jnp.float32)
+            gs = us = ds = ones
+        pa = self._active_axes() if self._tp_expert else None
+        if pa is not None:
+            # expert parallel: this shard's [E_local, ...] stacks; slice
+            # the matching routing-weight columns and psum the partial
+            # combines (bit-exact for top_k <= 2, see class docstring)
+            e_local = gate.shape[0]
+            idx = lax.axis_index(pa.model_axis)
+            w_local = lax.dynamic_slice_in_dim(wexp, idx * e_local,
+                                               e_local, 1)
+            part = self._experts(f, w_local, gate, up, down, gs, us, ds)
+            out = lax.psum(part, pa.model_axis)
+        else:
+            out = self._experts(f, wexp, gate, up, down, gs, us, ds)
+        _record_cost(self, 2 * 3 * f.shape[0] * self.dim * self.hidden
+                     * self.n_experts,
+                     f.size * 4 + out.size * 4
+                     + 3 * self.n_experts * self.dim * self.hidden)
+        return out
+
+    def __call__(self, x: Tensor) -> Tensor:
+        if x.shape[-1] != self.dim:
+            raise ValueError(
+                f"QuantMoE({self.dim}) got last-dim {x.shape[-1]}")
+        if not x.quantized:
+            out = self._moe(x.data)
+            if self.is_preparing:
+                self._observe(out)
+            return Tensor(out)
+        if not self.is_quantized:
+            raise RuntimeError("layer not converted; call convert() first")
+        f = quant_ops.dequantize_u8(x.data, x.scale, x.zero_point)
+        out = self._moe(f)
+        codes = quant_ops.quantize_u8(out, self.scale, self.zero_point,
+                                      self.config.rounding)
+        return Tensor(codes, self.scale, self.zero_point)
+
+
 class QuantPosEmbed(Layer):
     """Class token + learned positional embedding with calibrated output.
 

@@ -11,6 +11,7 @@ from .text_transformer import TextTransformer, torch_text_transformer
 from .googlenet import GoogLeNet, torch_googlenet
 from .squeezenet import SqueezeNet, torch_squeezenet
 from .llama import LlamaDecoder, torch_llama
+from .moe import MoEDecoder, torch_moe
 from .resnet import (ResNet18, ResNet34, ResNet50, ResNet101, ResNet152,
                      torch_resnet18, torch_resnet34, torch_resnet50,
                      torch_resnet101, torch_resnet152)
@@ -26,7 +27,7 @@ __all__ = [
     "ShuffleNetV2", "torch_shufflenet_v2",
     "ViT", "torch_vit",
     "TextTransformer", "torch_text_transformer",
-    "LlamaDecoder", "torch_llama",
+    "LlamaDecoder", "torch_llama", "MoEDecoder", "torch_moe",
     "ResNet34", "torch_resnet34",
     "ResNet50", "torch_resnet50",
     "ResNet101", "torch_resnet101", "ResNet152", "torch_resnet152",

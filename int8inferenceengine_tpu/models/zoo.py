@@ -248,6 +248,12 @@ def _llama_tiny(**kw):
     return LlamaDecoder(**kw)
 
 
+def _moe_tiny(**kw):
+    from .moe import MoEDecoder
+    kw.setdefault("kv_heads", 2)
+    return MoEDecoder(**kw)
+
+
 def _vit_tiny(**kw):
     from .vit import ViT
     return ViT(**kw)
@@ -296,6 +302,7 @@ MODEL_SPECS = {
     "text_tiny": _text_tiny,
     "gpt_tiny": _gpt_tiny,
     "llama_tiny": _llama_tiny,
+    "moe_tiny": _moe_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -470,6 +477,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "llama_tiny":
         from .llama import torch_llama
         return torch_llama(kv_heads=2, seed=seed)
+
+    elif name == "moe_tiny":
+        from .moe import torch_moe
+        return torch_moe(kv_heads=2, seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

@@ -89,6 +89,10 @@ class Module:
                 obj.load_weight(_maybe_torch(value))
             elif attr == "bias":
                 obj.load_bias(_maybe_torch(value))
+            elif hasattr(obj, "load_" + attr):
+                # multi-param layers (QuantMoE: router / gate_w / up_w /
+                # down_w) expose load_<param> setters
+                getattr(obj, "load_" + attr)(_maybe_torch(value))
             else:
                 raise KeyError(f"unrecognized state_dict key: {key}")
         self._jit_fn = None

@@ -40,6 +40,20 @@ def layer_param_specs(layer: Layer, model_axis: str, model_size: int,
     """
     layer._tp_local = False
     layer._tp_row = False
+    layer._tp_expert = False
+    if role == "expert":
+        # expert parallelism (QuantMoE): the [E, ...] stacked expert
+        # arrays shard on axis 0; the router (and the layer's routing
+        # math) replicates; forward computes local experts densely and
+        # psums partial combines (layers.QuantMoE._moe — bit-exact for
+        # top_k <= 2).
+        e = getattr(layer, "n_experts", 0)
+        if (e > 0 and model_size > 1 and e % model_size == 0
+                and not layer.quant_fallback):
+            layer._tp_expert = True
+            return {k: (P() if k == "router" else P(model_axis))
+                    for k in layer.params}
+        role = "col"                    # -> replicated fallback below
     if role == "row":
         in_channels = getattr(layer, "in_channels", 0)
         row_ok = (isinstance(layer, Linear) and model_size > 1

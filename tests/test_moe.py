@@ -1,0 +1,162 @@
+"""MoEDecoder / QuantMoE: top-k routed SwiGLU experts.
+
+FP32 parity vs the torch oracle, the inherited cached-decode invariant,
+expert-parallel bit-exactness (top-2 combine commutativity), checkpoint
+round-trip, and speculative decoding over the MoE stack."""
+
+import numpy as np
+import pytest
+import torch
+
+import int8inferenceengine_tpu as q
+from int8inferenceengine_tpu import QuantConfig, models, utils
+from int8inferenceengine_tpu.models.moe import MoEDecoder, torch_moe
+
+
+def _ids(b, t, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 1000, size=(b, t)).astype(np.int32)
+
+
+def _built(config=None, **kw):
+    kw.setdefault("kv_heads", 2)
+    m = MoEDecoder(config=config or QuantConfig(rounding="nearest"), **kw)
+    tw = torch_moe(**kw)
+    m.load(tw.state_dict())
+    return m, tw
+
+
+def _calibrated(m, seed=1):
+    m.prepare()
+    m(q.tensor(_ids(8, 64, seed)))
+    m.convert()
+    return m
+
+
+def test_fp32_parity_vs_torch():
+    m, tw = _built()
+    ids = _ids(4, 24)
+    want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+    got = m(q.tensor(ids)).numpy()
+    assert got.shape == want.shape == (4, 24, 1000)
+    assert np.abs(got - want).max() < 3e-4, np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("top_k,n_experts", [(1, 4), (2, 4), (3, 4)])
+def test_fp32_parity_topk_variants(top_k, n_experts):
+    m, tw = _built(top_k=top_k, n_experts=n_experts)
+    ids = _ids(2, 16, seed=top_k)
+    want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+    got = m(q.tensor(ids)).numpy()
+    assert np.abs(got - want).max() < 3e-4, np.abs(got - want).max()
+
+
+def test_int8_runs_and_tracks_fp32():
+    m, tw = _built()
+    ids = _ids(16, 32, seed=3)
+    want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+    _calibrated(m)
+    got = m(q.tensor(ids)).numpy()
+    assert np.isfinite(got).all()
+    agree = (got[:, -1].argmax(-1) == want[:, -1].argmax(-1)).mean()
+    assert agree >= 0.75, agree
+
+
+def test_cached_decode_bit_identical_to_full_forward():
+    """The MLP is positionwise, so the MoE swap must not disturb the
+    cached-decode == full-forward invariant."""
+    m, _ = _built()
+    _calibrated(m)
+    b, t0, steps = 3, 7, 8
+    prompt = _ids(b, t0, seed=5)
+    got = m.generate(prompt, steps)
+    seq = prompt.copy()
+    for s in range(steps):
+        nxt = m(q.tensor(seq)).numpy()[:, -1].argmax(-1).astype(np.int32)
+        np.testing.assert_array_equal(got[:, s], nxt, f"step {s}")
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+
+
+def test_expert_parallel_bit_exact():
+    """EP over mesh (4, 2): each device holds 2 of 4 experts; the psum
+    combine is bit-exact at top_k=2 (two-term IEEE addition commutes).
+    Forward AND generate."""
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+    m, _ = _built(max_len=32)
+    _calibrated(m)
+    ids = _ids(4, 12, seed=7)
+    want = m(q.tensor(ids)).numpy()
+    want_toks = m.generate(ids, 8)
+    m.shard(make_mesh((4, 2)))
+    assert m.moe1._tp_expert, "expert role did not engage"
+    assert m.wq1._tp_local and m.proj1._tp_row  # attention TP composes
+    got = m(q.tensor(ids)).numpy()
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(m.generate(ids, 8), want_toks)
+
+
+def test_expert_parallel_fp32_serving():
+    """shard() before convert (FP32 serving) also engages EP.  Same
+    contract as row-parallel FP32 Linear: allclose, not bit-exact — the
+    float expert GEMMs may tile (and so accumulate) differently between
+    the sharded and unsharded programs; the INT8 path is the bit-exact
+    one (integer inner dots + two-term f32 combine)."""
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+    m, _ = _built()
+    ids = _ids(4, 12, seed=9)
+    want = m(q.tensor(ids)).numpy()
+    m.shard(make_mesh((4, 2)))
+    got = m(q.tensor(ids)).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_experts_not_divisible_falls_back_replicated():
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+    m, _ = _built(n_experts=3, top_k=2)
+    _calibrated(m)
+    ids = _ids(4, 8, seed=11)
+    want = m(q.tensor(ids)).numpy()
+    m.shard(make_mesh((4, 2)))
+    assert not m.moe1._tp_expert          # 3 % 2 != 0 -> replicated
+    np.testing.assert_array_equal(m(q.tensor(ids)).numpy(), want)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m, _ = _built()
+    _calibrated(m)
+    ids = _ids(3, 10, seed=13)
+    base = m(q.tensor(ids)).numpy()
+    base_toks = m.generate(ids, 6)
+    path = str(tmp_path / "moe_int8.npz")
+    utils.save(m, path)
+    fresh = models.build("moe_tiny", config=QuantConfig(rounding="nearest"))
+    utils.load(fresh, path)
+    assert fresh.is_quant
+    np.testing.assert_array_equal(fresh(q.tensor(ids)).numpy(), base)
+    np.testing.assert_array_equal(fresh.generate(ids, 6), base_toks)
+
+
+def test_speculative_over_moe():
+    """A dense llama draft speculating for an MoE target — spec output
+    equals greedy generate (the verify pass runs the MoE extend path)."""
+    m, _ = _built()
+    _calibrated(m)
+    draft = models.build("gpt_tiny", dim=64, depth=1, heads=2)
+    from int8inferenceengine_tpu.models.text_decoder import \
+        torch_text_decoder
+    draft.load(torch_text_decoder(dim=64, depth=1, heads=2).state_dict())
+    draft.prepare(); draft(q.tensor(_ids(8, 64, 15))); draft.convert()
+    prompt = _ids(3, 9, seed=17)
+    want = m.generate(prompt, 10)
+    got = m.generate_speculative(draft, prompt, 10, k=3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_registry_builds():
+    m = models.build("moe_tiny", config=QuantConfig())
+    tw = models.torch_twin("moe_tiny")
+    m.load(tw.state_dict())
+    ids = _ids(2, 8)
+    want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+    got = m(q.tensor(ids)).numpy()
+    assert np.abs(got - want).max() < 3e-4
