@@ -42,6 +42,11 @@ MODES = {
                                  decode_attention="pallas"),
     "wo8": QuantConfig(weight_only=True),
     "w4": QuantConfig(weight_only=True, weight_bits=4),
+    # MoE (moe_tiny at the same attention geometry, E=4 top-2): dense
+    # dispatch reads ALL expert weights every step — expect ~E/top_k x
+    # the dense-MLP weight traffic; the measured number calibrates that
+    # trade-off honestly.
+    "moe": QuantConfig(rounding="nearest"),
 }
 
 
@@ -92,9 +97,11 @@ def kernel_leg():
 
 def decode_leg(mode):
     cfg = MODES[mode]
-    dec = models.build("llama_tiny", vocab_size=32000, max_len=T,
+    family = "moe_tiny" if mode == "moe" else "llama_tiny"
+    kw = dict(n_experts=4, top_k=2) if mode == "moe" else {}
+    dec = models.build(family, vocab_size=32000, max_len=T,
                        dim=H * D, depth=12, heads=H, kv_heads=KV,
-                       config=cfg)
+                       config=cfg, **kw)
     _load_random_weights(dec)
     rng = np.random.default_rng(0)
     ids = rng.integers(0, 32000, (B, 64)).astype(np.int32)
