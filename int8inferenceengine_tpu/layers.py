@@ -1037,14 +1037,21 @@ class QuantSoftmax(Layer):
             row = lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
             f = jnp.where(col <= row, f, -jnp.inf)
-        elif self.causal and tq > 1 and valid_len is None:
+        elif self.causal and tq > 1:
             # non-square multi-row scores are the cached multi-token
             # extend path, where the PER-ROW valid_len (pos + row + 1)
             # IS the causal mask over the cache — it must be supplied
-            raise ValueError(
-                f"causal softmax expects square scores, got {f.shape}; "
-                "cached decode passes valid_len (per-row for multi-row "
-                "extends) instead")
+            # AND be per-row shaped: a scalar/batch valid_len here would
+            # silently let every row see every later row's position
+            # (reported by the round-3 review; the check keeps the old
+            # loud-failure contract for that misuse).
+            if valid_len is None or not (
+                    getattr(valid_len, "ndim", 0) >= 2
+                    and valid_len.shape[-2] == tq):
+                raise ValueError(
+                    f"causal softmax expects square scores, got {f.shape}; "
+                    "cached multi-row decode passes a PER-ROW valid_len "
+                    "(shape [..., tq, 1], row j = pos + j + 1) instead")
         if valid_len is not None:
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
             f = jnp.where(col < valid_len, f, -jnp.inf)
@@ -1564,9 +1571,22 @@ class QuantMoE(Layer):
 
         ``gate``/``up`` [E, H, K], ``down`` [E, K, H] (s8 or f32 with
         unit scales), scales [E]; ``wexp`` [M, E] routing weights (the
-        caller slices the expert axis under EP sharding)."""
+        caller slices the expert axis under EP sharding).
+
+        s8 weights run the dynamic-W8A8 MXU path — EXCEPT in plain
+        weight_only mode, whose contract is float activations
+        everywhere (error = weight rounding only): there the s8 experts
+        dequantize on the fly and compute in f32, like every Linear.
+        ``weight_only + dynamic_act`` keeps the dynamic path (that IS
+        the dynamic mode).  ``weight_bits=4`` experts stay s8 (the W4
+        path is Linear-only by design, like convs)."""
         f32 = jnp.float32
         int8 = gate.dtype == jnp.int8
+        if int8 and self.config.weight_only and not self.config.dynamic_act:
+            gate = gate.astype(f32) * gs[:, None, None]
+            up = up.astype(f32) * us[:, None, None]
+            down = down.astype(f32) * ds[:, None, None]
+            int8 = False
         if int8:
             # dynamic per-token symmetric s8 activations (Linear's
             # dynamic_act convention)

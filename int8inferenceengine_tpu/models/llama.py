@@ -245,20 +245,18 @@ class LlamaDecoder(TextDecoder):
             o = fused_extend_attention(attn, smax, av, F.merge_heads(qh),
                                        kc, vc, pos + 1, self.head_dim)
             o = o.reshape(b * m, o.shape[-1])
-            o = getattr(self, f"proj{i}")(o)
-            x = getattr(self, f"add1_{i}")(x, o)
-            return self._mlp(i, x)
-        if kc.data.ndim == 3:               # flat u8 kv-compact cache
-            kh4, vh4 = (F.split_heads(kc, self.kv_heads),
-                        F.split_heads(vc, self.kv_heads))
-        else:                               # head-split float cache
-            kh4, vh4 = kc, vc
-        grp = qh.data.shape[1] // kh4.data.shape[1]
-        s = attn(qh, F.repeat_kv(kh4, grp))
-        p = smax(s, valid_len=valid)
-        o = av(p, F.repeat_kv(vh4, grp))
-        o = F.merge_heads(o)
-        o = o.reshape(b * m, o.shape[-1])
+        else:
+            if kc.data.ndim == 3:           # flat u8 kv-compact cache
+                kh4, vh4 = (F.split_heads(kc, self.kv_heads),
+                            F.split_heads(vc, self.kv_heads))
+            else:                           # head-split float cache
+                kh4, vh4 = kc, vc
+            grp = qh.data.shape[1] // kh4.data.shape[1]
+            s = attn(qh, F.repeat_kv(kh4, grp))
+            p = smax(s, valid_len=valid)
+            o = av(p, F.repeat_kv(vh4, grp))
+            o = F.merge_heads(o)
+            o = o.reshape(b * m, o.shape[-1])
         o = getattr(self, f"proj{i}")(o)
         x = getattr(self, f"add1_{i}")(x, o)
         return self._mlp(i, x)

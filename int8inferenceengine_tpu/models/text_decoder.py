@@ -151,6 +151,13 @@ class TextDecoder(Module):
         o = o.reshape(b * t, o.shape[-1])
         o = getattr(self, f"proj{i}")(o)
         x = getattr(self, f"add1_{i}")(x, o)
+        return self._mlp(i, x)
+
+    def _mlp(self, i, x):
+        """The block's MLP tail (ln2 -> fc1/gelu [fused] -> fc2 -> add2)
+        — ONE implementation shared by the prefill block, the decode
+        step, and the multi-token extend (LlamaDecoder overrides with
+        its SwiGLU, MoEDecoder with its expert MLP)."""
         h = getattr(self, f"ln2_{i}")(x)
         fc1, gelu = getattr(self, f"fc1_{i}"), getattr(self, f"gelu{i}")
         if fc1.is_quantized and self.config.fuse_linear_act:
@@ -326,14 +333,7 @@ class TextDecoder(Module):
             o = o.reshape(b, o.shape[-1])
         o = getattr(self, f"proj{i}")(o)
         x = getattr(self, f"add1_{i}")(x, o)
-        h = getattr(self, f"ln2_{i}")(x)
-        fc1, gelu = getattr(self, f"fc1_{i}"), getattr(self, f"gelu{i}")
-        if fc1.is_quantized and self.config.fuse_linear_act:
-            h = fused_linear_act(fc1, gelu, h)
-        else:
-            h = gelu(fc1(h))
-        h = getattr(self, f"fc2_{i}")(h)
-        return getattr(self, f"add2_{i}")(x, h)
+        return self._mlp(i, x)
 
     # -- cached multi-token extend (speculative decoding's verify pass) ------
     def _extend_step(self, cache, pos, toks):
@@ -425,38 +425,21 @@ class TextDecoder(Module):
                                        q2.reshape(b, m, -1), kc, vc,
                                        pos + 1, self.head_dim)
             o = o.reshape(b * m, o.shape[-1])
-            o = getattr(self, f"proj{i}")(o)
-            x = getattr(self, f"add1_{i}")(x, o)
-            h = getattr(self, f"ln2_{i}")(x)
-            fc1 = getattr(self, f"fc1_{i}")
-            gelu = getattr(self, f"gelu{i}")
-            if fc1.is_quantized and self.config.fuse_linear_act:
-                h = fused_linear_act(fc1, gelu, h)
-            else:
-                h = gelu(fc1(h))
-            h = getattr(self, f"fc2_{i}")(h)
-            return getattr(self, f"add2_{i}")(x, h)
-        qh = F.split_heads(q2.reshape(b, m, -1), self.heads)
-        if kc.data.ndim == 3:                 # flat u8 cache [B, T, C]
-            kh, vh = (F.split_heads(kc, self.kv_heads),
-                      F.split_heads(vc, self.kv_heads))
-        else:                                 # head-split float cache
-            kh, vh = kc, vc
-        s = attn(qh, kh)                      # [B, H, m, T_max]
-        p = smax(s, valid_len=valid)
-        o = av(p, vh)
-        o = F.merge_heads(o)
-        o = o.reshape(b * m, o.shape[-1])
+        else:
+            qh = F.split_heads(q2.reshape(b, m, -1), self.heads)
+            if kc.data.ndim == 3:             # flat u8 cache [B, T, C]
+                kh, vh = (F.split_heads(kc, self.kv_heads),
+                          F.split_heads(vc, self.kv_heads))
+            else:                             # head-split float cache
+                kh, vh = kc, vc
+            s = attn(qh, kh)                  # [B, H, m, T_max]
+            p = smax(s, valid_len=valid)
+            o = av(p, vh)
+            o = F.merge_heads(o)
+            o = o.reshape(b * m, o.shape[-1])
         o = getattr(self, f"proj{i}")(o)
         x = getattr(self, f"add1_{i}")(x, o)
-        h = getattr(self, f"ln2_{i}")(x)
-        fc1, gelu = getattr(self, f"fc1_{i}"), getattr(self, f"gelu{i}")
-        if fc1.is_quantized and self.config.fuse_linear_act:
-            h = fused_linear_act(fc1, gelu, h)
-        else:
-            h = gelu(fc1(h))
-        h = getattr(self, f"fc2_{i}")(h)
-        return getattr(self, f"add2_{i}")(x, h)
+        return self._mlp(i, x)
 
     def _head_scale_zp(self):
         return float(self.head.scale), int(self.head.zero_point)
@@ -612,6 +595,11 @@ class TextDecoder(Module):
         key = (b, t0, steps, k, id(draft))
         fn = self._spec_cache.get(key)
         if fn is None:
+            # bounded: each entry pins a compiled program AND the draft
+            # it closes over; varying (b, t0, steps, k) or rotating
+            # drafts must not accumulate forever (round-3 review)
+            if len(self._spec_cache) >= 8:
+                self._spec_cache.pop(next(iter(self._spec_cache)))
             width = steps + k + 1
 
             def run(tparams, dparams, prompt):

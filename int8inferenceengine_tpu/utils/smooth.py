@@ -44,12 +44,17 @@ def transformer_smooth_pairs(net) -> list:
     the same RMSNorm output) — detected by attribute presence."""
     pairs = []
     llama = hasattr(net, "gate1")
+    moe = hasattr(net, "moe1")
     for i in range(1, net.depth + 1):
         pairs.append((f"ln1_{i}", [f"wq{i}", f"wk{i}", f"wv{i}"]))
         if llama:
             pairs.append((f"ln2_{i}", [f"gate{i}", f"up{i}"]))
-        else:
+        elif not moe:
             pairs.append((f"ln2_{i}", [f"fc1_{i}"]))
+        # MoE: the ln2 boundary feeds the ROUTER plus every expert's
+        # gate/up — smoothing there would rescale the router's logit
+        # geometry (top-k selections are scale-sensitive per channel),
+        # so the ln2->MoE boundary deliberately stays unsmoothed.
     pairs.append(("ln_f", ["head"]))
     return pairs
 

@@ -72,3 +72,25 @@ def test_fused_attention_pallas_removed():
     with pytest.raises(ValueError, match="removed"):
         A.attention(qh, qh, qh, backend="pallas",
                     alpha=1.0, **_SCALES)
+
+
+def test_causal_softmax_multirow_requires_per_row_valid():
+    """Non-square causal scores with a SCALAR valid_len must raise (a
+    scalar there would silently break causality between the m rows —
+    round-3 review); the per-row form is accepted."""
+    import jax.numpy as jnp
+    import pytest
+    from int8inferenceengine_tpu.layers import QuantSoftmax
+
+    sm = QuantSoftmax(causal=True)
+    scores = jnp.zeros((2, 3, 4, 16), jnp.float32)   # m=4 rows, T=16
+    with pytest.raises(ValueError):
+        sm(q_tensor_like(scores), valid_len=jnp.int32(8))
+    ok = sm(q_tensor_like(scores),
+            valid_len=jnp.arange(5, 9).reshape(1, 1, 4, 1))
+    assert ok.shape == (2, 3, 4, 16)
+
+
+def q_tensor_like(arr):
+    from int8inferenceengine_tpu.tensor import Tensor
+    return Tensor(arr)

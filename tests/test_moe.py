@@ -160,3 +160,44 @@ def test_registry_builds():
     want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
     got = m(q.tensor(ids)).numpy()
     assert np.abs(got - want).max() < 3e-4
+
+
+def test_weight_only_float_activation_contract():
+    """weight_only=True: MoE experts must honor the mode's contract —
+    float activations end to end (error = weight rounding only), NOT
+    the dynamic-act path (round-3 review finding).  The output stays
+    close to the FP32 twin, and cached decode matches recompute."""
+    m, tw = _built(config=QuantConfig(weight_only=True))
+    m.convert()                       # no calibration in weight_only
+    ids = _ids(4, 12, seed=19)
+    want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+    got = m(q.tensor(ids)).numpy()
+    err = np.abs(got - want).max()
+    assert err < 0.15, err            # s8 weight rounding only
+    # the discriminator: dynamic-act (what the bug made weight_only run)
+    # adds activation-quantization noise on top
+    md, _ = _built(config=QuantConfig(weight_only=True, dynamic_act=True))
+    md.convert()
+    errd = np.abs(md(q.tensor(ids)).numpy() - want).max()
+    assert err < errd, (err, errd)
+    toks = m.generate(ids, 5)
+    seq = ids.copy()
+    for s in range(5):
+        nxt = m(q.tensor(seq)).numpy()[:, -1].argmax(-1).astype(np.int32)
+        np.testing.assert_array_equal(toks[:, s], nxt)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+
+
+def test_smooth_pairs_skip_moe_boundary():
+    """transformer_smooth_pairs on the MoE family: attention + head
+    boundaries smooth, the ln2->router/experts boundary is skipped
+    (router top-k selection is per-channel scale-sensitive) — and the
+    FP32 function is invariant (round-3 review: this used to KeyError)."""
+    m, _ = _built()
+    ids = _ids(4, 16, seed=21)
+    want = m(q.tensor(ids)).numpy()
+    pairs = utils.transformer_smooth_pairs(m)
+    assert not any("moe" in n for _, names in pairs for n in names)
+    utils.smooth(m, pairs, ids)
+    got = m(q.tensor(ids)).numpy()
+    assert np.abs(got - want).max() < 3e-4
