@@ -1432,12 +1432,16 @@ class QuantRoPE(Layer):
     """
 
     def __init__(self, head_dim: int, base: float = 10000.0,
-                 config: QuantConfig = DEFAULT_CONFIG):
+                 config: QuantConfig = DEFAULT_CONFIG, scaling=None):
         super().__init__(config)
         if head_dim % 2:
             raise ValueError(f"RoPE head_dim must be even, got {head_dim}")
         self.head_dim = int(head_dim)
         self.base = float(base)
+        # context-extension scaling ("linear"/"ntk", factor) —
+        # ops/rope.rope_angles; static in position, so the cache
+        # invariant is untouched
+        self.scaling = tuple(scaling) if scaling is not None else None
 
     def _quantize_weights(self):  # no weights to quantize
         pass
@@ -1448,11 +1452,13 @@ class QuantRoPE(Layer):
         pos = jnp.arange(t, dtype=jnp.int32)
         if getattr(start, "ndim", 0) == 1:          # per-slot [B] starts
             pos = start[:, None] + pos              # [B, T]
-            cos, sin = rope_angles(pos, self.head_dim, self.base)
+            cos, sin = rope_angles(pos, self.head_dim, self.base,
+                                   self.scaling)
             cos, sin = cos[:, None], sin[:, None]   # [B, 1, T, D/2]
         else:
             pos = start + pos                       # [T]
-            cos, sin = rope_angles(pos, self.head_dim, self.base)
+            cos, sin = rope_angles(pos, self.head_dim, self.base,
+                                   self.scaling)
         return apply_rope(f, cos, sin)
 
     def __call__(self, x: Tensor, start=0) -> Tensor:

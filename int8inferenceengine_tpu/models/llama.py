@@ -80,7 +80,8 @@ class LlamaDecoder(TextDecoder):
     def __init__(self, vocab_size: int = 1000, max_len: int = 64,
                  dim: int = 128, depth: int = 2, heads: int = 4,
                  kv_heads: int | None = None, mlp_hidden: int | None = None,
-                 rope_base: float = 10000.0, eps: float = 1e-6,
+                 rope_base: float = 10000.0, rope_scaling=None,
+                 eps: float = 1e-6,
                  config: QuantConfig = DEFAULT_CONFIG):
         Module.__init__(self, config)
         kv_heads = heads if kv_heads is None else int(kv_heads)
@@ -104,9 +105,11 @@ class LlamaDecoder(TextDecoder):
             setattr(self, f"wk{i}", Linear(dim, kv_dim, config=config))
             setattr(self, f"wv{i}", Linear(dim, kv_dim, config=config))
             setattr(self, f"rq{i}", QuantRoPE(self.head_dim, rope_base,
-                                              config=config))
+                                              config=config,
+                                              scaling=rope_scaling))
             setattr(self, f"rk{i}", QuantRoPE(self.head_dim, rope_base,
-                                              config=config))
+                                              config=config,
+                                              scaling=rope_scaling))
             setattr(self, f"attn{i}", QuantMatmul(
                 alpha=self.head_dim ** -0.5, transpose_b=True,
                 config=config))

@@ -31,19 +31,45 @@ import jax.numpy as jnp
 __all__ = ["rope_angles", "apply_rope"]
 
 
-def rope_angles(positions, head_dim: int, base: float = 10000.0):
+def rope_angles(positions, head_dim: int, base: float = 10000.0,
+                scaling=None):
     """cos/sin tables for ``positions`` (int32 [T] or [B, T]).
 
     Returns (cos, sin), each ``positions.shape + (head_dim // 2,)`` f32,
     using the llama/HF frequency layout: pair i = (x[i], x[i + D/2])
     rotated by ``theta_i = pos * base^(-2i/D)``.
+
+    ``scaling`` extends a checkpoint's trained context (the llama-family
+    serving levers; both keep the angles a STATIC function of position,
+    so the cached-decode bit-exactness invariant is untouched):
+
+    * ``("linear", f)`` — position interpolation (Chen et al. '23):
+      positions compress by f, so position p lands where the checkpoint
+      trained p/f.
+    * ``("ntk", f)`` — NTK-aware base scaling: base' = base *
+      f^(D/(D-2)) — high frequencies (local order) barely move, low
+      frequencies (long-range decay) stretch by ~f.
     """
     if head_dim % 2:
         raise ValueError(f"RoPE head_dim must be even, got {head_dim}")
+    pos = jnp.asarray(positions, jnp.float32)
+    if scaling is not None:
+        kind, factor = scaling
+        factor = float(factor)
+        if factor <= 0:
+            raise ValueError(f"RoPE scaling factor must be > 0, "
+                             f"got {factor}")
+        if kind == "linear":
+            pos = pos / factor
+        elif kind == "ntk":
+            base = float(base) * factor ** (head_dim / (head_dim - 2))
+        else:
+            raise ValueError(
+                f"unknown RoPE scaling {kind!r}; use 'linear' or 'ntk'")
     half = head_dim // 2
     inv_freq = jnp.float32(base) ** (
         -jnp.arange(half, dtype=jnp.float32) * (2.0 / head_dim))
-    ang = jnp.asarray(positions, jnp.float32)[..., None] * inv_freq
+    ang = pos[..., None] * inv_freq
     return jnp.cos(ang), jnp.sin(ang)
 
 

@@ -245,3 +245,45 @@ def test_tp_head_fallback_kv_not_divisible():
     assert m.down1._tp_row
     got = m(q.tensor(ids)).numpy()
     np.testing.assert_array_equal(got, want)
+
+
+def test_rope_scaling_linear_and_ntk():
+    """Context-extension RoPE scaling: linear interpolation maps
+    position p onto the unscaled checkpoint's p/f angles exactly; NTK
+    rescales the base (high frequencies ~unchanged, low stretched);
+    and the cached-decode == full-forward invariant survives scaling
+    (angles stay a static function of position)."""
+    import jax.numpy as jnp
+    from int8inferenceengine_tpu.ops.rope import rope_angles
+
+    c1, s1 = rope_angles(jnp.arange(0, 32, 2), 64, scaling=("linear", 2))
+    c2, s2 = rope_angles(jnp.arange(0, 16), 64)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+    _, sn = rope_angles(jnp.arange(1000), 64, scaling=("ntk", 4))
+    _, su = rope_angles(jnp.arange(1000), 64)
+    # highest frequency (pair 0) barely moves; the lowest stretches ~4x
+    # (compare sin — at these angles sin ~ angle, cos ~ 1 either way)
+    hi = np.abs(np.asarray(sn)[:, 0] - np.asarray(su)[:, 0]).max()
+    lo_ratio = (np.abs(np.asarray(su)[-1, -1])
+                / max(np.abs(np.asarray(sn)[-1, -1]), 1e-12))
+    assert hi < 0.2, hi
+    assert lo_ratio > 2.0, lo_ratio
+
+    m = LlamaDecoder(config=QuantConfig(), kv_heads=2, max_len=48,
+                     rope_scaling=("linear", 2.0))
+    tw = torch_llama(kv_heads=2, max_len=48)
+    m.load(tw.state_dict())
+    _calibrated(m)
+    prompt = _ids(2, 6, seed=31)
+    got = m.generate(prompt, 7)
+    seq = prompt.copy()
+    for s in range(7):
+        nxt = m(q.tensor(seq)).numpy()[:, -1].argmax(-1).astype(np.int32)
+        np.testing.assert_array_equal(got[:, s], nxt, f"step {s}")
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+
+    import pytest
+    with pytest.raises(ValueError):
+        rope_angles(jnp.arange(4), 64, scaling=("cubic", 2))
