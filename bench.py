@@ -62,7 +62,10 @@ def measure_fwd(fwd, params, x0, batch, tag, k_short=K_SHORT, k_long=K_LONG):
         # first post-compile dispatch over the tunnel runs cold: driver
         # runs measured 8% low until a second warm pass was added)
         best = float("inf")
-        for trial in range(4):
+        # 6 trials: a transient tunnel stall can poison a whole 4-trial
+        # window (observed 2026-08-20: 52.4k img/s in one run, 62.0k on
+        # the immediate repeat) — two extra minima are cheap insurance
+        for trial in range(6):
             x = x0 * (1.0 + 1e-6 * (trial + 1))      # defeat arg-result caches
             t0 = time.perf_counter()
             float(loop(params, x))                   # scalar fetch forces exec

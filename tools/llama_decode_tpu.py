@@ -41,6 +41,7 @@ MODES = {
     "static_pallas": QuantConfig(rounding="nearest",
                                  decode_attention="pallas"),
     "wo8": QuantConfig(weight_only=True),
+    "dyn": QuantConfig(weight_only=True, dynamic_act=True),
     "w4": QuantConfig(weight_only=True, weight_bits=4),
     # MoE (moe_tiny at the same attention geometry, E=4 top-2): dense
     # dispatch reads ALL expert weights every step — expect ~E/top_k x
