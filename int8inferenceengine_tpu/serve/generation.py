@@ -33,7 +33,9 @@ best-of-3 after warm — tools/genengine_sweep.py):
                   1079   1323   1556   1275
 
 ``chunk_steps=32`` is the measured default: big enough to amortize the
-host-sync round-trip, small enough to bound completion overshoot.
+host-sync round-trip, small enough to bound completion overshoot.  At
+24 slots the same chunk gives 1,669-1,693 tok/s (saturated load,
+overlap again neutral-to-negative) — +9% over 8 slots.
 ``overlap=True`` (dispatch chunk k+1 before fetching chunk k) helps at
 full load (+6% at 24 req) but WASTES device work at light load (-17%
 at 8 req): completion detection lags one chunk, so each request

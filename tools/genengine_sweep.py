@@ -31,6 +31,7 @@ ids = rng.integers(0, 50257, (8, 64)).astype(np.int32)
 dec.prepare(); dec(tensor(ids)); dec.convert()
 print("converted", flush=True)
 
+SLOTS = int(_os.environ.get("SWEEP_SLOTS", "8"))
 chunks = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
 
 
@@ -63,12 +64,13 @@ def run_load(eng, n_req, max_new=64):
 
 for cs in chunks:
     for overlap in (False, True):
-        eng = GenerationEngine(dec, slots=8, chunk_steps=cs,
+        eng = GenerationEngine(dec, slots=SLOTS, chunk_steps=cs,
                                overlap=overlap)
         try:
-            for n_req in (8, 24):
+            for n_req in (SLOTS, SLOTS * 3):
                 tps, p50, fill = run_load(eng, n_req)
-                print(f"chunk={cs:3d} overlap={int(overlap)} "
+                print(f"slots={SLOTS} chunk={cs:3d} "
+                      f"overlap={int(overlap)} "
                       f"req={n_req:2d}: {tps:6.0f} tok/s  "
                       f"p50 {p50:6.0f} ms  fill {fill:.0%}", flush=True)
         finally:
