@@ -1552,10 +1552,17 @@ class QuantMoE(Layer):
         if self.quant_fallback:
             return                      # FP32 island: weights stay float
         rnd = self.config.rounding
+        per_ch = self.config.weight_per_channel
         for nm in ("gate_w", "up_w", "down_w"):
             w = np.asarray(self.params[nm])
-            s = np.maximum(np.abs(w).max(axis=(1, 2)), 1e-12) / 127.0
-            q = w / s[:, None, None]
+            if per_ch:
+                # per-expert per-OUTPUT-row scales ([E, H] for gate/up,
+                # [E, K] for down — axis 1 is the output row)
+                s = np.maximum(np.abs(w).max(axis=2), 1e-12) / 127.0
+                q = w / s[:, :, None]
+            else:
+                s = np.maximum(np.abs(w).max(axis=(1, 2)), 1e-12) / 127.0
+                q = w / s[:, None, None]
             q = np.round(q) if rnd == "nearest" else np.trunc(q)
             self.params["q_" + nm] = jnp.asarray(
                 np.clip(q, -127, 127).astype(np.int8))
@@ -1588,10 +1595,16 @@ class QuantMoE(Layer):
         path is Linear-only by design, like convs)."""
         f32 = jnp.float32
         int8 = gate.dtype == jnp.int8
+
+        def srow(sc):
+            # scale per expert ([E] -> [E, 1, 1]) or per expert row
+            # ([E, rows] -> [E, rows, 1]); rows = the weight's axis 1
+            return sc[:, None, None] if sc.ndim == 1 else sc[:, :, None]
+
         if int8 and self.config.weight_only and not self.config.dynamic_act:
-            gate = gate.astype(f32) * gs[:, None, None]
-            up = up.astype(f32) * us[:, None, None]
-            down = down.astype(f32) * ds[:, None, None]
+            gate = gate.astype(f32) * srow(gs)
+            up = up.astype(f32) * srow(us)
+            down = down.astype(f32) * srow(ds)
             int8 = False
         if int8:
             # dynamic per-token symmetric s8 activations (Linear's
@@ -1603,9 +1616,12 @@ class QuantMoE(Layer):
                                    preferred_element_type=jnp.int32)
             accu = lax.dot_general(a, up, (((1,), (2,)), ((), ())),
                                    preferred_element_type=jnp.int32)
-            # [M, E, H] * per-token s_a * per-expert weight scale
-            g = accg.astype(f32) * s_a[:, :, None] * gs[None, :, None]
-            u = accu.astype(f32) * s_a[:, :, None] * us[None, :, None]
+            # [M, E, H] * per-token s_a * weight scale (per expert [E]
+            # or per expert-row [E, H])
+            gsb = gs[None, :, None] if gs.ndim == 1 else gs[None]
+            usb = us[None, :, None] if us.ndim == 1 else us[None]
+            g = accg.astype(f32) * s_a[:, :, None] * gsb
+            u = accu.astype(f32) * s_a[:, :, None] * usb
         else:
             g = lax.dot_general(f, gate, (((1,), (2,)), ((), ())),
                                 preferred_element_type=f32)
@@ -1619,9 +1635,10 @@ class QuantMoE(Layer):
                           ).astype(jnp.int8)
             accd = lax.dot_general(p8, down, (((2,), (2,)), ((1,), (0,))),
                                    preferred_element_type=jnp.int32)
-            # [E, M, K] * per-(token, expert) s2 * per-expert down scale
-            d = accd.astype(f32) * jnp.transpose(s2, (1, 0, 2)) \
-                * ds[:, None, None]
+            # [E, M, K] * per-(token, expert) s2 * down scale (per
+            # expert [E] or per expert-row [E, K])
+            dsb = ds[:, None, None] if ds.ndim == 1 else ds[:, None, :]
+            d = accd.astype(f32) * jnp.transpose(s2, (1, 0, 2)) * dsb
         else:
             d = lax.dot_general(prod, down, (((2,), (2,)), ((1,), (0,))),
                                 preferred_element_type=f32)

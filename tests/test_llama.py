@@ -287,3 +287,24 @@ def test_rope_scaling_linear_and_ntk():
     import pytest
     with pytest.raises(ValueError):
         rope_angles(jnp.arange(4), 64, scaling=("cubic", 2))
+
+
+def test_accuracy_levers_compose_on_llama():
+    """The full accuracy stack on the llama family: RMSNorm smoothing ->
+    prepare/calibrate -> GPTQ -> convert under per-channel + nearest +
+    bias correction — must compose without interference and track the
+    model's own FP32 argmax."""
+    from int8inferenceengine_tpu import utils
+    m, _ = _built(config=QuantConfig(
+        weight_per_channel=True, rounding="nearest", bias_correction=True))
+    ids_c, ids_t = _ids(8, 64, 41), _ids(16, 32, 42)
+    want = m(q.tensor(ids_t)).numpy()
+    utils.smooth(m, utils.transformer_smooth_pairs(m), ids_c)
+    m.prepare()
+    m(q.tensor(ids_c))
+    utils.gptq(m, ids_c)
+    m.convert()
+    got = m(q.tensor(ids_t)).numpy()
+    assert np.isfinite(got).all()
+    agree = (got[:, -1].argmax(-1) == want[:, -1].argmax(-1)).mean()
+    assert agree >= 0.85, agree

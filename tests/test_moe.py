@@ -201,3 +201,26 @@ def test_smooth_pairs_skip_moe_boundary():
     utils.smooth(m, pairs, ids)
     got = m(q.tensor(ids)).numpy()
     assert np.abs(got - want).max() < 3e-4
+
+
+def test_per_channel_expert_scales_reduce_error():
+    """weight_per_channel=True gives per-expert-ROW weight scales
+    ([E, H]/[E, K]); weight-only output error vs the FP32 twin must not
+    exceed the per-tensor-per-expert error (and typically improves)."""
+    ids = _ids(4, 12, seed=23)
+    errs = {}
+    for per_ch in (False, True):
+        m, tw = _built(config=QuantConfig(weight_only=True,
+                                          weight_per_channel=per_ch))
+        m.convert()
+        want = tw(torch.tensor(ids, dtype=torch.long)).detach().numpy()
+        errs[per_ch] = float(np.abs(m(q.tensor(ids)).numpy() - want).max())
+    assert errs[True] <= errs[False] * 1.05, errs
+    # and the EP-sharded INT8 static path stays bit-exact with them
+    from int8inferenceengine_tpu.parallel.mesh import make_mesh
+    m, _ = _built(config=QuantConfig(rounding="nearest",
+                                     weight_per_channel=True))
+    _calibrated(m)
+    want = m(q.tensor(ids)).numpy()
+    m.shard(make_mesh((4, 2)))
+    np.testing.assert_array_equal(m(q.tensor(ids)).numpy(), want)
