@@ -112,30 +112,37 @@ def w4_matmul_xla(x, packed, scales, bias, k: int, group: int = 128):
 # f64-oracle error for either), and slightly MORE accurate than XLA.
 
 
-def _w4_kernel(xe_ref, xo_ref, pk_ref, sc_ref, b_ref, out_ref, *,
-               n_groups: int, half_g: int):
+def _w4_kernel(xe_ref, xo_ref, pk_ref, sc_ref, b_ref, out_ref, wde, wdo,
+               *, n_groups: int, half_g: int):
     # Nibble extraction happens in i32: Mosaic v5e cannot lower u8 vector
     # shifts (arith.shrui on vector<i8> fails to legalize) — widen first,
     # then shift/mask in the 32-bit domain.
+    #
+    # v3 structure (round 3): dequantize into VMEM SCRATCH first —
+    # per-group scales apply as n_groups VPU multiplies with a [tn, 1]
+    # sublane broadcast (lane-broadcasting a scalar column is
+    # Mosaic-safe; it is the lane-REPEAT of a scale vector that is not)
+    # — then TWO dots total.  The round-2 kernel instead applied scales
+    # post-dot, costing 2 * n_groups SMALL dots per tile: at gpt2
+    # decode shapes that was 12+ MXU issue latencies per call, and W4
+    # decode (0.896 ms/step llama) lost to plain W8-float (0.448)
+    # despite reading half the weight bytes.
     pk = pk_ref[:].astype(jnp.int32)                     # [tn, K/2]
     hi = (pk >> 4) - 8
     lo = (pk & 0x0F) - 8
-    acc = None
     for g in range(n_groups):                            # static unroll
         c0 = g * half_g
-        part = (
-            lax.dot_general(xe_ref[:, c0:c0 + half_g],
-                            hi[:, c0:c0 + half_g].astype(jnp.float32),
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-            + lax.dot_general(xo_ref[:, c0:c0 + half_g],
-                              lo[:, c0:c0 + half_g].astype(jnp.float32),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-        )                                                # [M, tn]
-        part = part * sc_ref[:, g].reshape(1, -1)
-        acc = part if acc is None else acc + part
-    out_ref[:] = acc + b_ref[:]
+        sc = sc_ref[:, g].reshape(-1, 1)                 # [tn, 1]
+        wde[:, c0:c0 + half_g] = hi[:, c0:c0 + half_g] \
+            .astype(jnp.float32) * sc
+        wdo[:, c0:c0 + half_g] = lo[:, c0:c0 + half_g] \
+            .astype(jnp.float32) * sc
+    out_ref[:] = (
+        lax.dot_general(xe_ref[:], wde[:], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        + lax.dot_general(xo_ref[:], wdo[:], (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+        + b_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("group", "interpret"))
@@ -167,6 +174,10 @@ def _w4_pallas_impl(xe, xo, packed, scales, bias, *, group: int,
         out_specs=pl.BlockSpec((m, tn), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tn, kh), jnp.float32),   # dequantized even cols
+            pltpu.VMEM((tn, kh), jnp.float32),   # dequantized odd cols
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
