@@ -284,6 +284,14 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     # against ITS OWN cache tile — a block-diagonal K operand would
     # cost more than it saves.  So: the simple walk, kept.
     #
+    # Next measurable idea (round 4): merge the per-block dots — copy
+    # all live blocks into ONE contiguous VMEM buffer and emit a single
+    # dot per phase under a pl.when ladder over the (static) live-block
+    # count.  Cuts 2*nblk dots to 2 at decode-typical lengths; the
+    # B-scaling decomposition predicts ~0.4 us/instance (~3 us/call at
+    # B=8, ~0.04 ms/step) — worth it only if measured, cf. the v2
+    # lesson.
+    #
     # start/wait conditions must pair EXACTLY: a start without its
     # wait (e.g. valid == 0 — an empty serving slot) would leak a
     # semaphore count into the next grid step's wait on the same sem.
