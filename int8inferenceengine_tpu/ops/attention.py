@@ -378,17 +378,164 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
         ^ jnp.uint8(0x80)                            # [grp, C]
 
 
+# Exactness bound for the merged kernel's chunked V-phase dots: each f32
+# MXU dot contracts at most _DEC_SUB positions, so the partial sums stay
+# below 255 * 128 * 512 = 16,711,680 < 2^24 and f32 accumulation is
+# exact; cross-chunk accumulation is i32 (same argument as the per-block
+# walk, at 4x the granularity).  The K phase contracts the block-diagonal
+# query (<= d <= 128 live columns per row: 255 * 128 * 128), safe at any
+# chunk width.
+_DEC_SUB = 512
+
+
+def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
+                                    k_ref, v_ref, o_ref, kbuf, vbuf,
+                                    s_scr, a2_scr, ksem, vsem, *,
+                                    n_heads: int, n_kv: int, t: int,
+                                    d: int, blk: int, mq: int = 1):
+    """Merged-dot revision of the flat walk (the committed round-4 note
+    above): ONE contiguous DMA of the live [L*blk, C] cache prefix per
+    phase (a ``pl.when`` ladder over the live-block count L picks the
+    copy size; exactly one branch fires since valid >= 1) and ONE dot
+    per _DEC_SUB-column chunk — 2 * ceil(valid/512) MXU issues per
+    instance instead of the walk's 2 * ceil(valid/128), with the VPU
+    recenter/requant passes batched at the same granularity.  The
+    per-instance floor the B-scaling study measured (~1.9 us: 4 small
+    dots + serial VPU) is what this removes.
+
+    Dead-region contract (same argument as the walk, coarser grain):
+    buffer rows past the copied prefix are garbage but finite u8, so
+    K-phase scores there are finite garbage masked to -inf before
+    softmax, and V-phase probabilities there are EXACTLY zero (masked
+    positions quantize to exactly zp_p), so 0 * garbage == 0 in f32.
+    Integer math is bit-identical to the walk and the composed path.
+    """
+    f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
+    h = n_heads
+    grp = h // n_kv
+    r_rows = mq * h
+    slots = mq * grp
+    c = n_kv * d
+    nblk = t // blk
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    vmax = valid + (mq - 1)
+    rb = fp_ref[_RB]
+    c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
+    c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
+
+    def dot_t(x, y):                                 # x [M,K] . y [N,K]^T
+        return lax.dot_general(x, y, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32).astype(i32)
+
+    def dot_n(x, y):                                 # x [M,K] . y [K,N]
+        return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32).astype(i32)
+
+    # Block-diagonal query rows (identical to the walk kernel; see its
+    # comment for the kv-major row algebra).
+    seg = lax.broadcasted_iota(i32, (r_rows, c), 1) // d
+    rowkv = lax.broadcasted_iota(i32, (r_rows, c), 0) % n_kv
+    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)
+    aqf = a8.astype(f32) + f32(c_q)
+    aq_masked = jnp.where(seg == rowkv,
+                          jnp.broadcast_to(aqf, (r_rows, c)), 0.0)
+    aq_wide = aq_masked.astype(bf16)
+    rowsum_aq = jnp.sum(aq_masked, axis=1,
+                        keepdims=True).astype(i32)
+
+    def live_ladder(fn):
+        # run fn(L) for the single L = ceil(vmax/blk); exactly one
+        # branch fires (valid >= 1 by contract), so every DMA start has
+        # exactly one matching wait on its semaphore.
+        for L in range(1, nblk + 1):
+            @pl.when(((L - 1) * blk < vmax) & (vmax <= L * blk))
+            def _(L=L):
+                fn(L)
+
+    def kcp(L):
+        n = L * blk
+        return pltpu.make_async_copy(
+            k_ref.at[b, pl.ds(0, n), :], kbuf.at[pl.ds(0, n)], ksem)
+
+    def vcp(L):
+        n = L * blk
+        return pltpu.make_async_copy(
+            v_ref.at[b, pl.ds(0, n), :], vbuf.at[pl.ds(0, n)], vsem)
+
+    live_ladder(lambda L: kcp(L).start())            # both copies in
+    live_ladder(lambda L: vcp(L).start())            # flight up front
+
+    def chunks(n):                                   # [(start, width)]
+        return [(c0, min(_DEC_SUB, n - c0))
+                for c0 in range(0, n, _DEC_SUB)]
+
+    def k_phase(L):
+        kcp(L).wait()
+        for c0, cw in chunks(L * blk):
+            kf = pltpu.bitcast(kbuf[pl.ds(c0, cw)] ^ jnp.uint8(0x80),
+                               s8).astype(bf16)      # [cw, C] k - 128
+            scores = dot_t(aq_wide, kf)              # [R, cw] exact
+            acc = scores + c_k * rowsum_aq
+            codes = jnp.clip(
+                acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
+                0.0, 255.0)
+            codes = jnp.floor(codes + rb)
+            s_scr[:, c0:c0 + cw] = \
+                (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
+
+    live_ladder(k_phase)
+    # dead score regions stay garbage — the softmax mask covers them
+
+    colio = lax.broadcasted_iota(i32, (r_rows, t), 1)
+    rowj = lax.broadcasted_iota(i32, (r_rows, t), 0) // h
+    x = jnp.where(colio < valid + rowj, s_scr[...], -jnp.inf)
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
+    pcodes = jnp.floor(pcodes + rb)
+    pz = pcodes + f32(c_p - 128)                     # p - zp_p (dead -> 0)
+
+    a2_scr[...] = jnp.zeros((r_rows, c), i32)
+
+    def v_phase(L):
+        vcp(L).wait()
+        for c0, cw in chunks(L * blk):
+            vf = pltpu.bitcast(vbuf[pl.ds(c0, cw)] ^ jnp.uint8(0x80),
+                               s8).astype(bf16)      # [cw, C] v - 128
+            pzb = pz[:, c0:c0 + cw].astype(bf16)
+            a2_scr[...] += dot_n(pzb, vf)            # [R, C] i32 partials
+
+    live_ladder(v_phase)
+
+    rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)
+    corr = jnp.broadcast_to(c_v * rowsum_pz, (r_rows, c))
+    base = jnp.where(seg == rowkv, a2_scr[...] + corr, 0)
+    rowg = lax.broadcasted_iota(i32, (r_rows, c), 0) // n_kv
+    rows = [jnp.sum(jnp.where(rowg == g, base, 0), axis=0, keepdims=True)
+            for g in range(slots)]
+    acc2f = rows[0] if slots == 1 else jnp.concatenate(rows, axis=0)
+    qo = jnp.clip(acc2f.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
+                  0.0, 255.0)
+    qo = (qo + rb).astype(i32)
+    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
+        ^ jnp.uint8(0x80)                            # [slots, C]
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "n_kv", "mq",
-                                             "interpret"))
+                                             "merged", "interpret"))
 def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                            n_heads: int, n_kv: int, mq: int = 1,
-                           interpret: bool = False):
+                           merged: bool = True, interpret: bool = False):
     bsz, t, c = k3.shape                             # c = n_kv * d
     d = c // n_kv
     grp = n_heads // n_kv
     slots = mq * grp
     blk = _dec_blk(t)
-    kernel = functools.partial(_decode_attn_kernel_flat, n_heads=n_heads,
+    body = (_decode_attn_kernel_flat_merged if merged
+            else _decode_attn_kernel_flat)
+    kernel = functools.partial(body, n_heads=n_heads,
                                n_kv=n_kv, t=t, d=d, blk=blk, mq=mq)
     # [B, R, C] with block (1, R, C): the block's last two dims must be
     # (8, 128)-divisible or equal the array dims — (R, C) equals.
@@ -409,18 +556,26 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                   pl.BlockSpec(memory_space=pltpu.ANY)],  # v cache (HBM)
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, slots, c), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((blk, c), jnp.uint8),         # k tile buffer 0
-            pltpu.VMEM((blk, c), jnp.uint8),         # k tile buffer 1
-            pltpu.VMEM((blk, c), jnp.uint8),         # v tile buffer 0
-            pltpu.VMEM((blk, c), jnp.uint8),         # v tile buffer 1
-            pltpu.VMEM((mq * n_heads, t), jnp.float32),  # masked scores
-            pltpu.VMEM((mq * n_heads, c), jnp.int32),    # P@V accum
-            pltpu.SemaphoreType.DMA,                 # k sem 0
-            pltpu.SemaphoreType.DMA,                 # k sem 1
-            pltpu.SemaphoreType.DMA,                 # v sem 0
-            pltpu.SemaphoreType.DMA,                 # v sem 1
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((t, c), jnp.uint8),       # k live-prefix buf
+                pltpu.VMEM((t, c), jnp.uint8),       # v live-prefix buf
+                pltpu.VMEM((mq * n_heads, t), jnp.float32),  # scores
+                pltpu.VMEM((mq * n_heads, c), jnp.int32),    # P@V accum
+                pltpu.SemaphoreType.DMA,             # k sem
+                pltpu.SemaphoreType.DMA,             # v sem
+            ] if merged else [
+                pltpu.VMEM((blk, c), jnp.uint8),     # k tile buffer 0
+                pltpu.VMEM((blk, c), jnp.uint8),     # k tile buffer 1
+                pltpu.VMEM((blk, c), jnp.uint8),     # v tile buffer 0
+                pltpu.VMEM((blk, c), jnp.uint8),     # v tile buffer 1
+                pltpu.VMEM((mq * n_heads, t), jnp.float32),  # scores
+                pltpu.VMEM((mq * n_heads, c), jnp.int32),    # P@V accum
+                pltpu.SemaphoreType.DMA,             # k sem 0
+                pltpu.SemaphoreType.DMA,             # k sem 1
+                pltpu.SemaphoreType.DMA,             # v sem 0
+                pltpu.SemaphoreType.DMA,             # v sem 1
+            ]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -433,10 +588,18 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
     )(valid, fparams, iparams, qg, k3, v3)
 
 
+# Kernel revision the 'pallas' backend runs (module-level so A/B tools
+# can flip it process-wide).  True = the merged-dot kernel — on-chip
+# bit-exact at every geometry tried (MHA/GQA/mq, T to 2048) and faster
+# at every measured shape (tools/decode_kernel_v4.py, 2026-08-20:
+# walk 15-30 us/call -> merged 6-18 at B=8; T=2048 v=1900 96.7 -> 47.2).
+_MERGED_DEFAULT = True
+
+
 def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                           n_kv_heads: int | None = None,
-                          backend: str = "auto", interpret: bool = False,
-                          **kw):
+                          backend: str = "auto", merged: bool | None = None,
+                          interpret: bool = False, **kw):
     """Cached-decode attention on the T-major FLAT cache layout.
 
     q [B, H*D] u8 (pre-head-split projection row), k/v caches
@@ -460,6 +623,8 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
     max_len).  Exact for any T (see the kernel comment).
     """
     bsz, t, c = k3_u8.shape
+    if merged is None:
+        merged = _MERGED_DEFAULT
     n_kv = n_heads if n_kv_heads is None else n_kv_heads
     if n_heads % n_kv:
         raise ValueError(f"{n_heads} query heads not divisible by "
@@ -553,7 +718,8 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                        jnp.tile(qkvm, (1, 1, n_kv)), jnp.uint8(128))
     out3 = _decode_attn_flat_impl(qg, k3_u8, v3_u8, valid_b,
                                   fparams, iparams, n_heads=n_heads,
-                                  n_kv=n_kv, mq=mq, interpret=interpret)
+                                  n_kv=n_kv, mq=mq, merged=merged,
+                                  interpret=interpret)
     if grp == 1 and not multi:
         return out3.reshape(bsz, c)
     # [B, m*grp, C] slot rows (j, g), kv-major segments -> head-major

@@ -300,3 +300,33 @@ def test_flat_kernel_multiposition(h, kv, mrows):
         diff = np.abs(got_pl - want.astype(np.int32))
         assert diff.max() <= 1 and (diff > 0).mean() <= 0.002, (
             base, diff.max(), (diff > 0).sum())
+
+
+@pytest.mark.parametrize("h,kv,mq", [(4, 4, 1), (4, 1, 1), (6, 2, 3)])
+def test_flat_kernel_merged_matches_walk(h, kv, mq):
+    """The merged-dot kernel revision (one live-prefix DMA + one dot per
+    512-column chunk per phase — ops/attention.py round-4 note) must be
+    bit-identical to the per-block walk it replaced: same integer math,
+    same grain of exactness (each f32 chunk dot contracts <= 512
+    positions so partial sums stay < 2^24; cross-chunk accumulation is
+    i32).  On-chip evidence: tools/decode_kernel_v4.py (2026-08-20,
+    EXACT at valid 1/200/max for MHA/GQA/mq and T=2048; faster at every
+    measured shape)."""
+    d = 64
+    c = kv * d
+    t = 256
+    rng = np.random.default_rng(h * 100 + kv * 10 + mq)
+    qshape = (2, mq, h * d) if mq > 1 else (2, h * d)
+    q = jnp.asarray(rng.integers(0, 256, qshape), jnp.uint8)
+    k = jnp.asarray(rng.integers(0, 256, (2, t, c)), jnp.uint8)
+    v = jnp.asarray(rng.integers(0, 256, (2, t, c)), jnp.uint8)
+    kw = dict(PARAMS)
+    kw["alpha"] = d ** -0.5
+    for valid in (1, 100, t - mq):
+        outs = {}
+        for merged in (False, True):
+            outs[merged] = np.asarray(attn_ops.decode_attention_flat(
+                q, k, v, jnp.int32(valid), n_heads=h, n_kv_heads=kv,
+                backend="pallas", merged=merged, interpret=True,
+                rounding="trunc", **kw))
+        assert (outs[True] == outs[False]).all(), valid
