@@ -58,10 +58,13 @@ def swiglu_hidden(dim: int, multiple_of: int = 64) -> int:
     the Llama reference implementation), rounded UP to a multiple
     (Touvron et al. '23 use multiple_of=256; 64 keeps toy dims sane).
 
-    The floor matters: for dims where ``8*dim % 3 != 0`` a ceil before
-    rounding can land on a different multiple than a real checkpoint's
-    ``intermediate_size`` — real checkpoints should still pass
-    ``mlp_hidden`` explicitly when their config says so."""
+    The floor is kept for formula parity with the reference code, not
+    because it changes the result: for integer ``dim`` the pre-rounding
+    values ``(8*dim) // 3`` and ``(8*dim + 2) // 3`` never straddle a
+    multiple-of-64 boundary (8*dim is divisible by 8, which is
+    incompatible with 3*64j + 1 or 3*64j + 2), so floor and ceil round
+    up to the same width.  Real checkpoints should pass ``mlp_hidden``
+    explicitly when their config says so."""
     h = (8 * dim) // 3
     return -(-h // multiple_of) * multiple_of
 

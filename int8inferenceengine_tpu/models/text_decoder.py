@@ -622,7 +622,17 @@ class TextDecoder(Module):
                     def body(carry):
                         tcache, dcache, pos, tok, outbuf, n_out = carry
 
-                        # 1) draft k greedy tokens (cached scan)
+                        # 1) draft k greedy tokens (cached scan).  The
+                        # scan runs k+1 steps: step i writes the k/v of
+                        # its INPUT token (tok, d_1, ..) at pos+i, so
+                        # the extra step is what appends d_k's k/v at
+                        # pos+k — without it, a fully-accepted round
+                        # (a == k) advances pos past a never-written
+                        # draft row and every later draft step attends
+                        # over stale garbage there (output stays
+                        # target-exact; draft acceptance silently
+                        # degrades in exactly the high-acceptance
+                        # regime).  Its emitted token is discarded.
                         def dstep(c, _):
                             dc, dpos, dtok = c
                             codes, dc = draft._decode_step(dc, dpos,
@@ -631,8 +641,8 @@ class TextDecoder(Module):
                             return (dc, dpos + 1, nxt), nxt
 
                         (dcache, _, _), dtoks = lax.scan(
-                            dstep, (dcache, pos, tok), None, length=k)
-                        dtoks = jnp.swapaxes(dtoks, 0, 1)    # [B, k]
+                            dstep, (dcache, pos, tok), None, length=k + 1)
+                        dtoks = jnp.swapaxes(dtoks[:k], 0, 1)   # [B, k]
 
                         # 2) target verifies [tok, d_1..d_k] in one pass
                         toks_v = jnp.concatenate([tok[:, None], dtoks],
@@ -665,7 +675,8 @@ class TextDecoder(Module):
                             tok)
                         # the draft cache needs no rollback either: rows
                         # [pos, pos+a] hold the ACCEPTED tokens' k/v
-                        # (matched drafts), rows beyond are dead
+                        # (matched drafts; the k+1-length draft scan
+                        # covers a == k), rows beyond are dead
                         return (tcache, dcache, pos + na, tok, outbuf,
                                 n_out + na)
 

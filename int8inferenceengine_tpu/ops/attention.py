@@ -387,12 +387,38 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
 # chunk width.
 _DEC_SUB = 512
 
+# VMEM budget for the merged kernel's per-row cache-prefix buffers
+# (2 * rows * T * C bytes; ~16 MB/core total, leave room for scores/
+# accumulator scratch and the compiler's own buffers).
+_DEC_ROWS_VMEM = 8 << 20
+
+
+def _pick_rows(bsz: int, t: int, c: int) -> int:
+    """Batch rows per grid instance for the merged kernel: the largest
+    divisor of B (<= 8, code size) whose k/v prefix buffers fit the
+    VMEM budget, for caches up to 1024 rows.  Any choice is
+    bit-identical (per-row math is independent); this only sets the
+    overhead/VMEM trade.  Measured (one v5e, 2026-08-20, honest static
+    rows A/B after a jit-cache pitfall): T=512 C=768 rows=8 wins at
+    high valid (17.8 -> 14.3 us at v=512) and is noise-level at low;
+    T=2048 rows=2 REGRESSES 2.6x (47 -> 123 us at v=1900 — VMEM
+    pressure throttles the prefix DMA) and rows=4 OOMs scoped VMEM —
+    hence the t <= 1024 gate."""
+    if t > 1024:
+        return 1
+    cap = max(1, _DEC_ROWS_VMEM // (2 * t * c))
+    r = min(bsz, 8, cap)
+    while bsz % r:
+        r -= 1
+    return r
+
 
 def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
                                     k_ref, v_ref, o_ref, kbuf, vbuf,
                                     s_scr, a2_scr, ksem, vsem, *,
                                     n_heads: int, n_kv: int, t: int,
-                                    d: int, blk: int, mq: int = 1):
+                                    d: int, blk: int, mq: int = 1,
+                                    rows: int = 1):
     """Merged-dot revision of the flat walk (the committed round-4 note
     above): ONE contiguous DMA of the live [L*blk, C] cache prefix per
     phase (a ``pl.when`` ladder over the live-block count L picks the
@@ -402,6 +428,13 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
     recenter/requant passes batched at the same granularity.  The
     per-instance floor the B-scaling study measured (~1.9 us: 4 small
     dots + serial VPU) is what this removes.
+
+    ``rows`` batch rows share one grid instance (their 2*rows prefix
+    DMAs all start before any compute, so row j+1's cache streams in
+    behind row j's compute) — the remaining per-GRID-STEP overhead is
+    paid B/rows times instead of B times.  Each row keeps its own
+    buffers, semaphores, and valid ladder; the math per row is
+    untouched, so any (rows, grid) split is bit-identical.
 
     Dead-region contract (same argument as the walk, coarser grain):
     buffer rows past the copied prefix are garbage but finite u8, so
@@ -417,9 +450,7 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
     slots = mq * grp
     c = n_kv * d
     nblk = t // blk
-    b = pl.program_id(0)
-    valid = valid_ref[b]
-    vmax = valid + (mq - 1)
+    pid = pl.program_id(0)
     rb = fp_ref[_RB]
     c_q, c_k = ip_ref[_I_CQ], ip_ref[_I_CK]
     c_p, c_v = ip_ref[_I_CP], ip_ref[_I_CV]
@@ -432,109 +463,129 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
         return lax.dot_general(x, y, (((1,), (0,)), ((), ())),
                                preferred_element_type=f32).astype(i32)
 
-    # Block-diagonal query rows (identical to the walk kernel; see its
-    # comment for the kv-major row algebra).
+    # Block-diagonal query-row masks (identical to the walk kernel; see
+    # its comment for the kv-major row algebra); shared across rows.
     seg = lax.broadcasted_iota(i32, (r_rows, c), 1) // d
     rowkv = lax.broadcasted_iota(i32, (r_rows, c), 0) % n_kv
-    a8 = pltpu.bitcast(q_ref[0] ^ jnp.uint8(0x80), s8)
-    aqf = a8.astype(f32) + f32(c_q)
-    aq_masked = jnp.where(seg == rowkv,
-                          jnp.broadcast_to(aqf, (r_rows, c)), 0.0)
-    aq_wide = aq_masked.astype(bf16)
-    rowsum_aq = jnp.sum(aq_masked, axis=1,
-                        keepdims=True).astype(i32)
+    rowg = lax.broadcasted_iota(i32, (r_rows, c), 0) // n_kv
+    colio = lax.broadcasted_iota(i32, (r_rows, t), 1)
+    rowj = lax.broadcasted_iota(i32, (r_rows, t), 0) // h
 
-    def live_ladder(fn):
+    def vmax_of(j):
+        return valid_ref[pid * rows + j] + (mq - 1)
+
+    def live_ladder(j, fn):
         # run fn(L) for the single L = ceil(vmax/blk); exactly one
         # branch fires (valid >= 1 by contract), so every DMA start has
         # exactly one matching wait on its semaphore.
+        vmax = vmax_of(j)
         for L in range(1, nblk + 1):
             @pl.when(((L - 1) * blk < vmax) & (vmax <= L * blk))
             def _(L=L):
                 fn(L)
 
-    def kcp(L):
+    def kcp(j, L):
         n = L * blk
         return pltpu.make_async_copy(
-            k_ref.at[b, pl.ds(0, n), :], kbuf.at[pl.ds(0, n)], ksem)
+            k_ref.at[pid * rows + j, pl.ds(0, n), :],
+            kbuf.at[j, pl.ds(0, n), :], ksem.at[j])
 
-    def vcp(L):
+    def vcp(j, L):
         n = L * blk
         return pltpu.make_async_copy(
-            v_ref.at[b, pl.ds(0, n), :], vbuf.at[pl.ds(0, n)], vsem)
+            v_ref.at[pid * rows + j, pl.ds(0, n), :],
+            vbuf.at[j, pl.ds(0, n), :], vsem.at[j])
 
-    live_ladder(lambda L: kcp(L).start())            # both copies in
-    live_ladder(lambda L: vcp(L).start())            # flight up front
+    for j in range(rows):                            # all copies in
+        live_ladder(j, lambda L, j=j: kcp(j, L).start())  # flight up
+        live_ladder(j, lambda L, j=j: vcp(j, L).start())  # front
 
     def chunks(n):                                   # [(start, width)]
         return [(c0, min(_DEC_SUB, n - c0))
                 for c0 in range(0, n, _DEC_SUB)]
 
-    def k_phase(L):
-        kcp(L).wait()
-        for c0, cw in chunks(L * blk):
-            kf = pltpu.bitcast(kbuf[pl.ds(c0, cw)] ^ jnp.uint8(0x80),
-                               s8).astype(bf16)      # [cw, C] k - 128
-            scores = dot_t(aq_wide, kf)              # [R, cw] exact
-            acc = scores + c_k * rowsum_aq
-            codes = jnp.clip(
-                acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
-                0.0, 255.0)
-            codes = jnp.floor(codes + rb)
-            s_scr[:, c0:c0 + cw] = \
-                (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
+    for j in range(rows):
+        valid = valid_ref[pid * rows + j]
+        a8 = pltpu.bitcast(q_ref[j] ^ jnp.uint8(0x80), s8)
+        aqf = a8.astype(f32) + f32(c_q)
+        aq_masked = jnp.where(seg == rowkv,
+                              jnp.broadcast_to(aqf, (r_rows, c)), 0.0)
+        aq_wide = aq_masked.astype(bf16)
+        rowsum_aq = jnp.sum(aq_masked, axis=1,
+                            keepdims=True).astype(i32)
 
-    live_ladder(k_phase)
-    # dead score regions stay garbage — the softmax mask covers them
+        def k_phase(L, j=j, aq_wide=aq_wide, rowsum_aq=rowsum_aq):
+            kcp(j, L).wait()
+            for c0, cw in chunks(L * blk):
+                kf = pltpu.bitcast(
+                    kbuf[j, pl.ds(c0, cw), :] ^ jnp.uint8(0x80),
+                    s8).astype(bf16)                 # [cw, C] k - 128
+                scores = dot_t(aq_wide, kf)          # [R, cw] exact
+                acc = scores + c_k * rowsum_aq
+                codes = jnp.clip(
+                    acc.astype(f32) * fp_ref[_MULT_S] + fp_ref[_ZP_S],
+                    0.0, 255.0)
+                codes = jnp.floor(codes + rb)
+                s_scr[:, c0:c0 + cw] = \
+                    (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
 
-    colio = lax.broadcasted_iota(i32, (r_rows, t), 1)
-    rowj = lax.broadcasted_iota(i32, (r_rows, t), 0) // h
-    x = jnp.where(colio < valid + rowj, s_scr[...], -jnp.inf)
-    m = jnp.max(x, axis=1, keepdims=True)
-    e = jnp.exp(x - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)
-    pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
-    pcodes = jnp.floor(pcodes + rb)
-    pz = pcodes + f32(c_p - 128)                     # p - zp_p (dead -> 0)
+        live_ladder(j, k_phase)
+        # dead score regions stay garbage — the softmax mask covers them
 
-    a2_scr[...] = jnp.zeros((r_rows, c), i32)
+        x = jnp.where(colio < valid + rowj, s_scr[...], -jnp.inf)
+        m = jnp.max(x, axis=1, keepdims=True)
+        e = jnp.exp(x - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
+        pcodes = jnp.floor(pcodes + rb)
+        pz = pcodes + f32(c_p - 128)                 # p - zp_p (dead -> 0)
 
-    def v_phase(L):
-        vcp(L).wait()
-        for c0, cw in chunks(L * blk):
-            vf = pltpu.bitcast(vbuf[pl.ds(c0, cw)] ^ jnp.uint8(0x80),
-                               s8).astype(bf16)      # [cw, C] v - 128
-            pzb = pz[:, c0:c0 + cw].astype(bf16)
-            a2_scr[...] += dot_n(pzb, vf)            # [R, C] i32 partials
+        a2_scr[...] = jnp.zeros((r_rows, c), i32)
 
-    live_ladder(v_phase)
+        def v_phase(L, j=j, pz=pz):
+            vcp(j, L).wait()
+            for c0, cw in chunks(L * blk):
+                vf = pltpu.bitcast(
+                    vbuf[j, pl.ds(c0, cw), :] ^ jnp.uint8(0x80),
+                    s8).astype(bf16)                 # [cw, C] v - 128
+                pzb = pz[:, c0:c0 + cw].astype(bf16)
+                a2_scr[...] += dot_n(pzb, vf)        # [R, C] i32 partials
 
-    rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)
-    corr = jnp.broadcast_to(c_v * rowsum_pz, (r_rows, c))
-    base = jnp.where(seg == rowkv, a2_scr[...] + corr, 0)
-    rowg = lax.broadcasted_iota(i32, (r_rows, c), 0) // n_kv
-    rows = [jnp.sum(jnp.where(rowg == g, base, 0), axis=0, keepdims=True)
-            for g in range(slots)]
-    acc2f = rows[0] if slots == 1 else jnp.concatenate(rows, axis=0)
-    qo = jnp.clip(acc2f.astype(f32) * fp_ref[_MULT_O] + fp_ref[_ZP_C],
-                  0.0, 255.0)
-    qo = (qo + rb).astype(i32)
-    o_ref[0] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
-        ^ jnp.uint8(0x80)                            # [slots, C]
+        live_ladder(j, v_phase)
+
+        rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)
+        corr = jnp.broadcast_to(c_v * rowsum_pz, (r_rows, c))
+        base = jnp.where(seg == rowkv, a2_scr[...] + corr, 0)
+        outr = [jnp.sum(jnp.where(rowg == g, base, 0), axis=0,
+                        keepdims=True)
+                for g in range(slots)]               # slots x [1, C]
+        acc2f = outr[0] if slots == 1 else jnp.concatenate(outr, axis=0)
+        qo = jnp.clip(acc2f.astype(f32) * fp_ref[_MULT_O]
+                      + fp_ref[_ZP_C], 0.0, 255.0)
+        qo = (qo + rb).astype(i32)
+        o_ref[j] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
+            ^ jnp.uint8(0x80)                        # [slots, C]
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "n_kv", "mq",
-                                             "merged", "interpret"))
+                                             "merged", "rows",
+                                             "interpret"))
 def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                            n_heads: int, n_kv: int, mq: int = 1,
-                           merged: bool = True, interpret: bool = False):
+                           merged: bool = True, rows: int = 1,
+                           interpret: bool = False):
     bsz, t, c = k3.shape                             # c = n_kv * d
     d = c // n_kv
     grp = n_heads // n_kv
     slots = mq * grp
     blk = _dec_blk(t)
-    body = (_decode_attn_kernel_flat_merged if merged
-            else _decode_attn_kernel_flat)
+    if not merged:
+        rows = 1
+    if merged:
+        body = functools.partial(_decode_attn_kernel_flat_merged,
+                                 rows=rows)
+    else:
+        body = _decode_attn_kernel_flat
     kernel = functools.partial(body, n_heads=n_heads,
                                n_kv=n_kv, t=t, d=d, blk=blk, mq=mq)
     # [B, R, C] with block (1, R, C): the block's last two dims must be
@@ -543,14 +594,14 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
     # built in-kernel); GQA and multi-position extends pass the
     # wrapper-placed wide query (R_in = mq * n_heads).
     qr = qg.shape[1]
-    q_spec = pl.BlockSpec((1, qr, c), lambda i: (i, 0, 0),
+    q_spec = pl.BlockSpec((rows, qr, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, slots, c), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((rows, slots, c), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
-        grid=(bsz,),
+        grid=(bsz // rows,),
         in_specs=[smem, smem, smem, q_spec,
                   pl.BlockSpec(memory_space=pltpu.ANY),   # k cache (HBM)
                   pl.BlockSpec(memory_space=pltpu.ANY)],  # v cache (HBM)
@@ -558,12 +609,12 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
         out_shape=jax.ShapeDtypeStruct((bsz, slots, c), jnp.uint8),
         scratch_shapes=(
             [
-                pltpu.VMEM((t, c), jnp.uint8),       # k live-prefix buf
-                pltpu.VMEM((t, c), jnp.uint8),       # v live-prefix buf
+                pltpu.VMEM((rows, t, c), jnp.uint8),  # k live-prefix bufs
+                pltpu.VMEM((rows, t, c), jnp.uint8),  # v live-prefix bufs
                 pltpu.VMEM((mq * n_heads, t), jnp.float32),  # scores
                 pltpu.VMEM((mq * n_heads, c), jnp.int32),    # P@V accum
-                pltpu.SemaphoreType.DMA,             # k sem
-                pltpu.SemaphoreType.DMA,             # v sem
+                pltpu.SemaphoreType.DMA((rows,)),    # per-row k sems
+                pltpu.SemaphoreType.DMA((rows,)),    # per-row v sems
             ] if merged else [
                 pltpu.VMEM((blk, c), jnp.uint8),     # k tile buffer 0
                 pltpu.VMEM((blk, c), jnp.uint8),     # k tile buffer 1
@@ -719,6 +770,7 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
     out3 = _decode_attn_flat_impl(qg, k3_u8, v3_u8, valid_b,
                                   fparams, iparams, n_heads=n_heads,
                                   n_kv=n_kv, mq=mq, merged=merged,
+                                  rows=_pick_rows(bsz, t, c),
                                   interpret=interpret)
     if grp == 1 and not multi:
         return out3.reshape(bsz, c)
