@@ -78,8 +78,13 @@ class Module:
         """Ingest a torch-style flat state_dict ('name.weight'/'name.bias').
 
         Reference: i8ie/module.py:10-16 (single-dot keys only); dotted paths
-        into sub-Modules are also supported here.
+        into sub-Modules are also supported here.  HF-exported llama/gpt2
+        checkpoints (``model.layers.0.self_attn.q_proj.weight``, gpt2's
+        transposed Conv1D + fused ``c_attn``, tied embeddings) are
+        detected and translated automatically (utils/hf.py).
         """
+        from .utils.hf import maybe_from_hf
+        state_dict = maybe_from_hf(state_dict)
         for key, value in state_dict.items():
             path, attr = key.rsplit(".", 1)
             obj = self

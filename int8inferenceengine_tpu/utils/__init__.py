@@ -1,7 +1,8 @@
 """Utilities: checkpointing, observability."""
 
-from . import checkpoint, equalize, observe, roofline, validate
+from . import checkpoint, equalize, hf, observe, roofline, validate
 from .adaround import adaround
+from .hf import from_hf
 from .gptq import gptq
 from .smooth import smooth, transformer_smooth_pairs
 from .checkpoint import load, read_state_dict, save, state_dict
@@ -14,5 +15,5 @@ __all__ = [
     "equalize", "cross_layer_equalize", "adaround",
     "smooth", "transformer_smooth_pairs", "gptq",
     "quantization_report", "log_quantization_report", "trace",
-    "roofline", "validate",
+    "roofline", "validate", "hf", "from_hf",
 ]

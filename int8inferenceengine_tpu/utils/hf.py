@@ -1,0 +1,194 @@
+"""HuggingFace checkpoint name adaptation (llama / gpt2 families).
+
+The reference engine's core workflow is ingesting somebody ELSE's
+trained torch checkpoint (/root/reference/i8ie/module.py:10-16 — its
+``load`` eats a torch state_dict directly because its nets copy torch's
+attribute names).  The LM families here have their own attribute scheme
+(``wq{i}``, ``gate{i}``, ... — models/llama.py, models/text_decoder.py),
+so a real HF-exported state_dict (``model.layers.0.self_attn.q_proj.
+weight``) needs a name adapter.  This module provides it:
+
+* :func:`detect` sniffs the naming family from the key set;
+* :func:`from_hf` returns an equivalent state_dict in this framework's
+  names, handling the non-name differences too:
+    - llama: ``model.`` prefix optional, ``rotary_emb.inv_freq``
+      buffers dropped, TIED embeddings (no ``lm_head.weight`` -> the
+      embedding table is reused as the head weight);
+    - gpt2: ``transformer.`` prefix optional, Conv1D weights are stored
+      TRANSPOSED relative to nn.Linear ([in, out] -> [out, in]), the
+      fused ``c_attn`` [in, 3*dim] splits into wq/wk/wv (bias too), and
+      the ``attn.bias`` / ``attn.masked_bias`` causal-mask buffers are
+      dropped (the causal mask is structural here: QuantSoftmax
+      (causal=True));
+* ``Module.load`` calls :func:`maybe_from_hf` automatically, so
+  ``llama.load(read_state_dict("llama.safetensors"))`` just works.
+
+1-indexing: this framework's blocks are 1-based (``wq1`` is HF layer 0).
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["detect", "from_hf", "maybe_from_hf"]
+
+
+def _t(v):
+    """Transpose a torch tensor / numpy array (gpt2 Conv1D -> Linear)."""
+    if hasattr(v, "detach"):                         # torch tensor
+        return v.detach().cpu().numpy().T
+    import numpy as np
+    return np.asarray(v).T
+
+
+def _split3(v, axis):
+    """Split a fused-QKV tensor into thirds along ``axis``."""
+    n = v.shape[axis]
+    if n % 3:
+        raise ValueError(f"fused c_attn dim {n} not divisible by 3")
+    import numpy as np
+    arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return np.split(arr, 3, axis=axis)
+
+
+_LLAMA_PAT = re.compile(r"^(?:model\.)?layers\.(\d+)\.")
+_GPT2_PAT = re.compile(r"^(?:transformer\.)?h\.(\d+)\.")
+
+# per-block llama key tails -> framework layer names (1-indexed fmt)
+_LLAMA_BLOCK = {
+    "input_layernorm.weight": "ln1_{i}.weight",
+    "self_attn.q_proj.weight": "wq{i}.weight",
+    "self_attn.k_proj.weight": "wk{i}.weight",
+    "self_attn.v_proj.weight": "wv{i}.weight",
+    "self_attn.o_proj.weight": "proj{i}.weight",
+    "post_attention_layernorm.weight": "ln2_{i}.weight",
+    "mlp.gate_proj.weight": "gate{i}.weight",
+    "mlp.up_proj.weight": "up{i}.weight",
+    "mlp.down_proj.weight": "down{i}.weight",
+    # qkv/o biases exist in some llama-arch exports (e.g. Qwen-style)
+    "self_attn.q_proj.bias": "wq{i}.bias",
+    "self_attn.k_proj.bias": "wk{i}.bias",
+    "self_attn.v_proj.bias": "wv{i}.bias",
+    "self_attn.o_proj.bias": "proj{i}.bias",
+}
+
+_LLAMA_TOP = {
+    "model.embed_tokens.weight": "embed.weight",
+    "embed_tokens.weight": "embed.weight",
+    "model.norm.weight": "ln_f.weight",
+    "norm.weight": "ln_f.weight",
+    "lm_head.weight": "head.weight",
+}
+
+# gpt2 per-block tails (Conv1D weights transpose; c_attn splits)
+_GPT2_BLOCK_DIRECT = {
+    "ln_1.weight": "ln1_{i}.weight",
+    "ln_1.bias": "ln1_{i}.bias",
+    "ln_2.weight": "ln2_{i}.weight",
+    "ln_2.bias": "ln2_{i}.bias",
+}
+_GPT2_BLOCK_CONV1D = {
+    "attn.c_proj.weight": "proj{i}.weight",
+    "mlp.c_fc.weight": "fc1_{i}.weight",
+    "mlp.c_proj.weight": "fc2_{i}.weight",
+}
+_GPT2_BLOCK_BIAS = {
+    "attn.c_proj.bias": "proj{i}.bias",
+    "mlp.c_fc.bias": "fc1_{i}.bias",
+    "mlp.c_proj.bias": "fc2_{i}.bias",
+}
+_GPT2_TOP = {
+    "wte.weight": "embed.weight",
+    "transformer.wte.weight": "embed.weight",
+    "wpe.weight": "pe.weight",
+    "transformer.wpe.weight": "pe.weight",
+    "ln_f.weight": "ln_f.weight",
+    "ln_f.bias": "ln_f.bias",
+    "transformer.ln_f.weight": "ln_f.weight",
+    "transformer.ln_f.bias": "ln_f.bias",
+    "lm_head.weight": "head.weight",
+}
+
+
+def detect(keys) -> str | None:
+    """'llama' / 'gpt2' if the key set looks HF-exported, else None
+    (framework-native names pass through untouched)."""
+    for k in keys:
+        if _LLAMA_PAT.match(k) or k in ("model.embed_tokens.weight",
+                                        "embed_tokens.weight"):
+            return "llama"
+        if _GPT2_PAT.match(k) or k in ("transformer.wte.weight",
+                                       "wte.weight"):
+            return "gpt2"
+    return None
+
+
+def from_hf(state_dict: dict, arch: str | None = None) -> dict:
+    """Translate an HF llama/gpt2 state_dict into this framework's
+    names (see module docstring for the non-name transformations).
+    Unknown keys raise — silently dropping a weight would produce a
+    wrong model with no error."""
+    arch = arch or detect(state_dict.keys())
+    if arch is None:
+        raise ValueError("state_dict does not look HF-exported; "
+                         "load it directly")
+    out = {}
+    for key, v in state_dict.items():
+        if arch == "llama":
+            if key in _LLAMA_TOP:
+                out[_LLAMA_TOP[key]] = v
+                continue
+            m = _LLAMA_PAT.match(key)
+            if m:
+                i = int(m.group(1)) + 1
+                tail = key[m.end():]
+                if tail.startswith("self_attn.rotary_emb."):
+                    continue                         # derived buffer
+                if tail in _LLAMA_BLOCK:
+                    out[_LLAMA_BLOCK[tail].format(i=i)] = v
+                    continue
+            raise KeyError(f"unrecognized HF llama key: {key}")
+        else:                                        # gpt2
+            if key in _GPT2_TOP:
+                out[_GPT2_TOP[key]] = v
+                continue
+            m = _GPT2_PAT.match(key)
+            if m:
+                i = int(m.group(1)) + 1
+                tail = key[m.end():]
+                if tail in ("attn.bias", "attn.masked_bias"):
+                    continue                         # causal-mask buffer
+                if tail in _GPT2_BLOCK_DIRECT:
+                    out[_GPT2_BLOCK_DIRECT[tail].format(i=i)] = v
+                    continue
+                if tail in _GPT2_BLOCK_CONV1D:
+                    out[_GPT2_BLOCK_CONV1D[tail].format(i=i)] = _t(v)
+                    continue
+                if tail in _GPT2_BLOCK_BIAS:
+                    out[_GPT2_BLOCK_BIAS[tail].format(i=i)] = v
+                    continue
+                if tail == "attn.c_attn.weight":
+                    # Conv1D [in, 3*dim]: split along OUT then transpose
+                    for name, part in zip(("wq", "wk", "wv"),
+                                          _split3(v, axis=1)):
+                        out[f"{name}{i}.weight"] = part.T
+                    continue
+                if tail == "attn.c_attn.bias":
+                    for name, part in zip(("wq", "wk", "wv"),
+                                          _split3(v, axis=0)):
+                        out[f"{name}{i}.bias"] = part
+                    continue
+            raise KeyError(f"unrecognized HF gpt2 key: {key}")
+    if "head.weight" not in out and "embed.weight" in out:
+        # tied embeddings: HF llama/gpt2 exports without lm_head reuse
+        # the token table; Linear wants [out, in] = [vocab, dim] — the
+        # table's own orientation, no transpose.
+        out["head.weight"] = out["embed.weight"]
+    return out
+
+
+def maybe_from_hf(state_dict: dict) -> dict:
+    """``from_hf`` when the keys look HF-exported, identity otherwise
+    (the Module.load hook)."""
+    return (from_hf(state_dict) if detect(state_dict.keys())
+            else state_dict)
