@@ -1,0 +1,67 @@
+"""Task-quality accuracy on a TRAINED llama twin (round-4 VERDICT #2).
+
+Trains the torch twin on the order-2 Markov language (CPU, ~1-2 min at
+the tiny geometry) and pins the claims the untrained-toy metrics could
+not: FP32 parity at the perplexity level, INT8-nearest within a few
+percent of FP32 perplexity, and the llama-stack trunc-depth bias as a
+task-level regression (round-3's logit-rms finding, where it matters).
+The full-size lever table (incl. smooth / per-channel legs, filtered
+out here for suite time) lives in examples/accuracy_lm.py.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from examples.accuracy_lm import main  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def lm_results():
+    return main(["--vocab", "16", "--dim", "48", "--depth", "3",
+                 "--heads", "4", "--kv-heads", "2", "--seq", "48",
+                 "--steps", "120", "--batch", "32",
+                 "--legs", "engine FP32,trunc,INT8 nearest,W4"])
+
+
+def test_training_learned_structure(lm_results):
+    floor, (t_ppl, t_acc), _ = lm_results
+    # untrained ppl == vocab (uniform) = 16; trained must be far below
+    assert t_ppl < 10.0, t_ppl
+    # the order-2 argmax successor carries 55% of the mass; a model
+    # using attention beats the 1/vocab=6.3% guess by a wide margin
+    assert t_acc > 0.30, t_acc
+
+
+def test_engine_fp32_parity_at_task_level(lm_results):
+    _, (t_ppl, t_acc), res = lm_results
+    ppl, acc = res["engine FP32"]
+    assert abs(ppl - t_ppl) < 0.02 * t_ppl, (ppl, t_ppl)
+    assert abs(acc - t_acc) < 0.02, (acc, t_acc)
+
+
+def test_int8_nearest_near_fp32_perplexity(lm_results):
+    _, (t_ppl, _), res = lm_results
+    ppl, _ = res["INT8 nearest"]
+    # 8-bit logits + requant chain: a few percent of ppl, not tens
+    assert ppl < 1.10 * t_ppl, (ppl, t_ppl)
+
+
+def test_trunc_depth_bias_is_task_level(lm_results):
+    _, _, res = lm_results
+    trunc_ppl = res["INT8 trunc (default)"][0]
+    near_ppl = res["INT8 nearest"][0]
+    # round-3 root cause, now measured as task quality: the -s/2
+    # per-boundary DC bias compounds across the llama stack's requant
+    # boundaries.  trunc must be measurably worse than nearest.
+    assert trunc_ppl > near_ppl * 1.01, (trunc_ppl, near_ppl)
+
+
+def test_w4_finite_and_bounded(lm_results):
+    _, (t_ppl, _), res = lm_results
+    ppl, acc = res["W4 weight-only"]
+    assert np.isfinite(ppl) and ppl < 1.5 * t_ppl, ppl
+    g_ppl, _ = res["W4 + GPTQ"]
+    assert np.isfinite(g_ppl) and g_ppl < 1.5 * t_ppl, g_ppl
