@@ -199,6 +199,10 @@ def main(argv=None):
                                            weight_bits=4)),
         ("W4 + GPTQ", dict(use_gptq=True),
          QuantConfig(weight_only=True, weight_bits=4)),
+        ("W4A8 static (g=128)", {},
+         QuantConfig(weight_bits=4, rounding="nearest")),
+        ("W4A8 static (g=256)", {},
+         QuantConfig(weight_bits=4, rounding="nearest", w4_group=256)),
     ]
     if args.legs:
         wanted = [w.strip() for w in args.legs.split(",")]

@@ -295,6 +295,38 @@ class Linear(Layer):
             if per_channel:
                 self.params["w_scale"] = jnp.asarray(s_w, jnp.float32)
             return
+        if self.config.weight_bits == 4:
+            # W4A8 (round-4 VERDICT #4): 4-bit grouped weights riding the
+            # STATIC u8 activation pipeline — u8 codes in/out with the
+            # requant epilogue in-kernel (ops/w4.w4a8_matmul), so W4
+            # inherits the static path's glue instead of the float
+            # boundaries that made weight-only W4 lose to W8-float.
+            if self.config.dynamic_act:
+                raise ValueError(
+                    "dynamic_act requires s8 weights (weight_bits=8)")
+            if getattr(self, "_adaround_qw", None) is not None:
+                codes = (self._adaround_qw.astype(jnp.int32) + 8
+                         ).astype(jnp.uint8)
+                packed = (codes[:, 0::2] << 4) | codes[:, 1::2]
+                scales = self._adaround_scales
+            else:
+                packed, scales = w4_ops.pack_w4(
+                    self.params["weight"], self.config.w4_group,
+                    optimize=self.config.w4_mse_scales)
+            bias = self.params["bias"]
+            k_in = self.params["weight"].shape[1]
+            wdq = w4_ops.dequant_w4(packed, scales, k_in,
+                                    self.config.w4_group)
+            if self.config.bias_correction and \
+                    getattr(self, "_in_mean", None) is not None:
+                bias = bias + (self.params["weight"] - wdq) @ jnp.asarray(
+                    self._in_mean, jnp.float32)
+            self.params = {"w4_packed": packed, "w4_scales": scales,
+                           "bias": bias,
+                           # dequantized-weight row sums: the v2
+                           # kernel's zero-point fold (ops/w4.py)
+                           "w4_wsum": jnp.sum(wdq, axis=1)}
+            return
         if per_channel:
             q_w, q_b, s_w = quant_ops.quantize_weight_per_channel(
                 self.params["weight"], self.params["bias"], channel_axis=0,
@@ -455,6 +487,43 @@ class Linear(Layer):
             if self.fuse_relu:
                 qo = jnp.maximum(qo, jnp.uint8(self.zero_point))
             return Tensor(self._maybe_gather(qo, 1), self.scale,
+                          self.zero_point)
+        if self.config.weight_bits == 4 and not self.config.weight_only:
+            # W4A8: float accumulation over dequantized-in-VMEM 4-bit
+            # weights; the recentered u8 activations and the requant
+            # epilogue live in the kernel.  TP row-parallelism needs
+            # integer partials to psum exactly — not applicable to this
+            # float-acc path; use weight_bits=8 for 'row' roles.
+            if self._tp_row:
+                raise RuntimeError(
+                    "W4A8 Linear does not support row-parallel TP "
+                    "(float partial sums do not psum bit-exactly); "
+                    "keep weight_bits=8 on 'row'-role layers")
+            if act is not None:
+                raise RuntimeError(
+                    "W4A8 has no fused-act epilogue; callers gate on "
+                    "weight_bits (fused_linear_act)")
+            if x._tp_sharded:
+                from .parallel.sharding import gather_channels
+                x = Tensor(gather_channels(x.data, 1), x.scale,
+                           x.zero_point)
+            zpb = (jnp.float32(self.zero_point)
+                   + self._p("bias") / jnp.float32(self.scale))
+            out = w4_ops.w4a8_matmul(
+                x.data, self._p("w4_packed"), self._p("w4_scales"), zpb,
+                self.in_channels, self.config.w4_group,
+                backend=self.config.w4_kernel,
+                zp_x=int(x.zero_point),
+                mult=jnp.float32(x.scale) / jnp.float32(self.scale),
+                rounding=self.config.rounding,
+                wsum=self._p("w4_wsum"))
+            if self.fuse_relu:
+                out = jnp.maximum(out, jnp.uint8(self.zero_point))
+            _record_cost(self, 2 * out.shape[0] * self.in_channels
+                         * self.out_channels,
+                         x.data.size + out.size
+                         + self.in_channels * self.out_channels // 2)
+            return Tensor(self._maybe_gather(out, 1), self.scale,
                           self.zero_point)
         if self._tp_row:
             pa_row = self._active_axes()
@@ -1087,8 +1156,9 @@ def weight_quant_spec(layer):
         w, axis = layer.params["w_hwio"], 3
     b = layer.params["bias"]
     cfg = layer.config
-    if (cfg.weight_only and cfg.weight_bits == 4
-            and isinstance(layer, Linear)):
+    if cfg.weight_bits == 4 and isinstance(layer, Linear):
+        # both W4 weight-only and static W4A8 quantize Linear weights to
+        # grouped 4-bit codes — same spec for pre-convert optimizers
         from .ops.w4 import pack_w4
         _, scales = pack_w4(w, cfg.w4_group, optimize=cfg.w4_mse_scales)
         n, k = w.shape
@@ -1113,12 +1183,17 @@ def fused_qkv(wq: "Linear", wk: "Linear", wv: "Linear",
     ``QuantConfig.fuse_qkv``; falls back composed when not applicable
     (unconverted, float input, TP-sharded, fuse_relu)."""
     heads = (wq, wk, wv)
+    if wq.config.weight_bits == 4:
+        merged = fused_w4a8_multi(heads, x)
+        if merged is not None:
+            return merged
     fusable = (x.quantized
                and all(l.is_quantized and not l.quant_fallback
                        and not l.fuse_relu and not l._tp_sharded
                        for l in heads)
                and not x._tp_sharded
-               and not wq.config.weight_only)
+               and not wq.config.weight_only
+               and wq.config.weight_bits == 8)
     if not fusable:
         return wq(x), wk(x), wv(x)
     from .ops.gemm_int8 import qgemm_multi
@@ -1142,6 +1217,43 @@ def fused_qkv(wq: "Linear", wk: "Linear", wv: "Linear",
                  for l, o in zip(heads, outs))
 
 
+def fused_w4a8_multi(layers, x: Tensor):
+    """Several W4A8 Linears sharing input ``x`` as one kernel call
+    (ops/w4.w4a8_matmul_multi — the per-column requant makes the merge
+    bit-identical to per-layer calls).  Returns the per-layer output
+    Tensors, or None when the group isn't mergeable (then callers run
+    the layers individually).  Decode launch count is what this buys:
+    qkv 3 -> 1 and swiglu gate+up 2 -> 1 at ~4 us/launch."""
+    first = layers[0]
+    ok = (x.quantized and not x._tp_sharded
+          and not first.config.weight_only
+          and first.config.weight_bits == 4
+          and all(l.is_quantized and not l.quant_fallback
+                  and not l.fuse_relu and not l._tp_sharded
+                  and "w4_packed" in l.params for l in layers))
+    if not ok:
+        return None
+    from .ops.w4 import w4a8_matmul_multi
+    parts = []
+    for l in layers:
+        parts.append(dict(
+            packed=l._p("w4_packed"), scales=l._p("w4_scales"),
+            zpb=(jnp.float32(l.zero_point)
+                 + l._p("bias") / jnp.float32(l.scale)),
+            mult=jnp.float32(x.scale) / jnp.float32(l.scale),
+            wsum=l._p("w4_wsum")))
+    outs = w4a8_matmul_multi(
+        x.data, parts, first.in_channels, first.config.w4_group,
+        zp_x=int(x.zero_point), rounding=first.config.rounding,
+        backend=first.config.w4_kernel)
+    for l, o in zip(layers, outs):
+        _record_cost(l, 2 * o.shape[0] * l.in_channels * l.out_channels,
+                     x.data.size + o.size
+                     + l.in_channels * l.out_channels // 2)
+    return tuple(Tensor(o, l.scale, l.zero_point)
+                 for l, o in zip(layers, outs))
+
+
 def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:
     """Run a converted ``Linear`` -> ``QuantAct`` pair as one GEMM with the
     activation folded into the requant epilogue (ops/gemm_int8.KERNEL_ACTS).
@@ -1159,6 +1271,7 @@ def fused_linear_act(linear: "Linear", act: "QuantAct", x: Tensor) -> Tensor:
     from .ops.functional import ACTIVATIONS
     fusable = (linear.is_quantized and act.is_quantized
                and x.quantized and not linear.config.weight_only
+               and linear.config.weight_bits == 8   # W4A8: composed
                and not linear.quant_fallback
                and act.fn_name in KERNEL_ACTS
                # a custom callable may share a built-in's __name__; only

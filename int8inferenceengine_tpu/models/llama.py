@@ -44,7 +44,7 @@ from ..config import DEFAULT_CONFIG, QuantConfig
 from ..layers import (Linear, QuantAct, QuantAdd, QuantEmbed, QuantMatmul,
                       QuantMul, QuantRMSNorm, QuantRoPE, QuantSoftmax,
                       fused_decode_attention, fused_extend_attention,
-                      fused_linear_act)
+                      fused_linear_act, fused_w4a8_multi)
 from ..module import Module
 from ..ops import functional as F
 from ..tensor import Tensor
@@ -165,11 +165,20 @@ class LlamaDecoder(TextDecoder):
     def _mlp(self, i, x):
         h = getattr(self, f"ln2_{i}")(x)
         gate, silu = getattr(self, f"gate{i}"), getattr(self, f"silu{i}")
+        up = getattr(self, f"up{i}")
+        if self.config.weight_bits == 4 and not self.config.weight_only:
+            # W4A8: gate+up share h — one merged kernel call
+            # (bit-identical to the pair; layers.fused_w4a8_multi)
+            merged = fused_w4a8_multi((gate, up), h)
+            if merged is not None:
+                m = getattr(self, f"mul{i}")(silu(merged[0]), merged[1])
+                return getattr(self, f"add2_{i}")(
+                    x, getattr(self, f"down{i}")(m))
         if gate.is_quantized and self.config.fuse_linear_act:
             g = fused_linear_act(gate, silu, h)
         else:
             g = silu(gate(h))
-        m = getattr(self, f"mul{i}")(g, getattr(self, f"up{i}")(h))
+        m = getattr(self, f"mul{i}")(g, up(h))
         return getattr(self, f"add2_{i}")(x, getattr(self, f"down{i}")(m))
 
     def _block(self, i, x, b, t, capture=None, start=0):

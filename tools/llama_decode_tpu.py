@@ -43,6 +43,9 @@ MODES = {
     "wo8": QuantConfig(weight_only=True),
     "dyn": QuantConfig(weight_only=True, dynamic_act=True),
     "w4": QuantConfig(weight_only=True, weight_bits=4),
+    # W4A8 (round 4): 4-bit weights on the STATIC u8 activation path —
+    # half the weight bytes of 'static' with the same u8 glue
+    "w4a8": QuantConfig(weight_bits=4, rounding="nearest"),
     # MoE (moe_tiny at the same attention geometry, E=4 top-2): dense
     # dispatch reads ALL expert weights every step — expect ~E/top_k x
     # the dense-MLP weight traffic; the measured number calibrates that
