@@ -40,6 +40,13 @@ not underfitting noise):
                                   W4 here: with MSE-optimized group
                                   scales already on, the toy's margins
                                   leave it little to recover)
+    W4A8 static (g=128)           ppl 3.143  acc 0.550   (+1.0%: the u8
+                                  activation grid costs ~0.3% over
+                                  weight-only W4 — and serves 1.7x
+                                  faster than wo8, see README)
+    W4A8 static (g=256)           ppl 3.141  acc 0.551   (group 256 is
+                                  accuracy-NEUTRAL here and ~5% faster
+                                  — the serving default trade)
 
 At the smaller test geometry (dim 48 / depth 3, underfit at ppl ~5.9)
 the trunc penalty is larger (+8.4%) — the -s/2 DC bias compounds worse

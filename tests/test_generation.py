@@ -207,3 +207,54 @@ def test_engine_overlap_eos_and_sampling():
         assert len(s) <= 5 and ((s >= 0) & (s < 1000)).all()
     finally:
         eng.shutdown()
+
+
+def test_engine_multichunk_matches_single_sync():
+    """sync_chunks > 1 (the in-program multi-chunk while_loop with
+    on-device remaining/EOS counting) must emit bit-identical request
+    outputs to sync_chunks=1 and to standalone generate(), and must
+    actually take FEWER host syncs for long generations (the device
+    loop exits early when every slot drains, so chunk counts reflect
+    real work)."""
+    m = _model()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 1000, t0).astype(np.int32)
+               for t0 in (5, 9, 14)]
+    outs = {}
+    for sync in (1, 4):
+        eng = GenerationEngine(m, slots=2, chunk_steps=3,
+                               sync_chunks=sync)
+        try:
+            futs = [eng.submit(p, 13) for p in prompts]
+            outs[sync] = [f.result(timeout=120) for f in futs]
+        finally:
+            eng.shutdown()
+    for a, b, p in zip(outs[1], outs[4], prompts):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, m.generate(p[None, :], 13)[0])
+
+
+def test_engine_multichunk_eos_and_sampling():
+    m = _model()
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 1000, 6).astype(np.int32)
+    full = m.generate(prompt[None, :], 10)[0]
+    eos = int(full[4])
+    eng = GenerationEngine(m, slots=2, chunk_steps=3, eos_id=eos,
+                           sync_chunks=3)
+    try:
+        got = eng.submit(prompt, 10).result(timeout=120)
+        np.testing.assert_array_equal(got, full[:5])
+        # sampled request through the multichunk program: deterministic
+        # in (seed, position)
+        a = eng.submit(prompt, 8, temperature=0.7, seed=3).result(120)
+        b_eng = GenerationEngine(m, slots=2, chunk_steps=3,
+                                 eos_id=eos, sync_chunks=1)
+        try:
+            b = b_eng.submit(prompt, 8, temperature=0.7,
+                             seed=3).result(120)
+        finally:
+            b_eng.shutdown()
+        np.testing.assert_array_equal(a, b)
+    finally:
+        eng.shutdown()
