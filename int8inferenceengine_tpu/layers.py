@@ -1630,12 +1630,17 @@ class QuantMoE(Layer):
     """
 
     def __init__(self, dim: int, hidden: int, n_experts: int,
-                 top_k: int = 2, config: QuantConfig = DEFAULT_CONFIG):
+                 top_k: int = 2, config: QuantConfig = DEFAULT_CONFIG,
+                 dispatch: str = "auto"):
         super().__init__(config)
         if not 1 <= top_k <= n_experts:
             raise ValueError(f"top_k {top_k} not in [1, {n_experts}]")
+        if dispatch not in ("auto", "dense", "sparse"):
+            raise ValueError(f"dispatch {dispatch!r} not in "
+                             "auto/dense/sparse")
         self.dim, self.hidden = int(dim), int(hidden)
         self.n_experts, self.top_k = int(n_experts), int(top_k)
+        self.dispatch = dispatch
         e, h, k = self.n_experts, self.hidden, self.dim
         self.params = {
             "router": jnp.zeros((e, k), jnp.float32),
@@ -1681,6 +1686,16 @@ class QuantMoE(Layer):
                 np.clip(q, -127, 127).astype(np.int8))
             self.params[nm + "_s"] = jnp.asarray(s.astype(np.float32))
             del self.params[nm]
+
+    def _use_sparse(self, m: int) -> bool:
+        """'auto' dispatch rule (to be pinned by the on-chip E-sweep;
+        tools/llama_decode_tpu.py moe legs): sparse pays when enough
+        experts go unrouted to skip — P(expert unread) = (1 - k/E)^M —
+        AND the batch is small enough that per-expert scan serialization
+        beats the dense batched GEMM."""
+        if self.dispatch != "auto":
+            return self.dispatch == "sparse"
+        return self.n_experts >= 16 and m <= 16
 
     def _route(self, f):
         """Top-k routing weights [M, E]: softmax over the selected
@@ -1758,6 +1773,78 @@ class QuantMoE(Layer):
         # combine: sum_e wexp[m, e] * d[e, m, :] (zeros kill non-top-k)
         return jnp.sum(d * jnp.transpose(wexp)[:, :, None], axis=0)
 
+    def _experts_sparse(self, f, wexp, gate, up, down, gs, us, ds):
+        """Sparse dispatch: a lax.scan over experts with a lax.cond per
+        expert — UNROUTED experts' branches never execute, so their
+        weight HBM reads are skipped at runtime (real control flow, not
+        a mask).  This is the decode-batch lever the dense docstring
+        names: at batch M with top-k routing, an expert goes unread
+        with probability (1 - k/E)^M — negligible at E=4 (dense reads
+        win on batching), substantial at E >= 16 (M=8, top-2: ~34% of
+        expert weights skipped at E=16, ~60% at E=32).
+
+        Bit-exactness vs dense (INT8 path, any top_k): per-expert math
+        is identical (same integer dots, same per-token scales), the
+        combine accumulates in the same expert order e = 0..E-1, and
+        skipped experts contribute exactly the 0.0 their zero routing
+        weight contributes densely.  Pinned in tests/test_moe.py.
+
+        Not used under expert-parallel sharding: EP already slices the
+        expert axis across devices (each shard computes its local
+        experts densely) and a data-dependent cond inside shard_map
+        would desynchronize the psum schedule.
+        """
+        f32 = jnp.float32
+        m, k = f.shape
+        int8 = gate.dtype == jnp.int8
+        if int8 and self.config.weight_only \
+                and not self.config.dynamic_act:
+            int8 = False                 # f32 branch dequantizes per use
+        if int8:
+            s_a = jnp.maximum(jnp.max(jnp.abs(f), axis=1,
+                                      keepdims=True), 1e-8) / 127.0
+            a = jnp.clip(jnp.round(f / s_a), -127, 127).astype(jnp.int8)
+        hit = jnp.any(wexp > 0.0, axis=0)            # [E]
+
+        def sc_e(sc, e):
+            return sc[e] if sc.ndim == 1 else sc[e]  # [] or [rows]
+
+        def one(e):
+            ge, ue, de = gate[e], up[e], down[e]
+            gse, use, dse = sc_e(gs, e), sc_e(us, e), sc_e(ds, e)
+            if int8:
+                accg = jnp.dot(a, ge.T, preferred_element_type=jnp.int32)
+                accu = jnp.dot(a, ue.T, preferred_element_type=jnp.int32)
+                g = accg.astype(f32) * s_a * jnp.atleast_1d(gse)[None, :]
+                u = accu.astype(f32) * s_a * jnp.atleast_1d(use)[None, :]
+                prod = jax.nn.silu(g) * u
+                s2 = jnp.maximum(jnp.max(jnp.abs(prod), axis=1,
+                                         keepdims=True), 1e-8) / 127.0
+                p8 = jnp.clip(jnp.round(prod / s2), -127, 127
+                              ).astype(jnp.int8)
+                accd = jnp.dot(p8, de.T, preferred_element_type=jnp.int32)
+                return accd.astype(f32) * s2 \
+                    * jnp.atleast_1d(dse)[None, :]
+            gf = ge.astype(f32) * (gse if gs.ndim == 1
+                                   else gse[:, None])
+            uf = ue.astype(f32) * (use if us.ndim == 1
+                                   else use[:, None])
+            df = de.astype(f32) * (dse if ds.ndim == 1
+                                   else dse[:, None])
+            g = jnp.dot(f, gf.T, preferred_element_type=f32)
+            u = jnp.dot(f, uf.T, preferred_element_type=f32)
+            return jnp.dot(jax.nn.silu(g) * u, df.T,
+                           preferred_element_type=f32)
+
+        def body(acc, e):
+            d_e = lax.cond(hit[e], one,
+                           lambda _: jnp.zeros((m, k), f32), e)
+            return acc + d_e * wexp[:, e][:, None], None
+
+        acc, _ = lax.scan(body, jnp.zeros((m, k), f32),
+                          jnp.arange(gate.shape[0]))
+        return acc
+
     def _moe(self, f):
         """Route + experts (+ EP psum) on float input [M, K]."""
         wexp = self._route(f)
@@ -1783,6 +1870,9 @@ class QuantMoE(Layer):
                                                e_local, 1)
             part = self._experts(f, w_local, gate, up, down, gs, us, ds)
             out = lax.psum(part, pa.model_axis)
+        elif self._use_sparse(f.shape[0]):
+            out = self._experts_sparse(f, wexp, gate, up, down,
+                                       gs, us, ds)
         else:
             out = self._experts(f, wexp, gate, up, down, gs, us, ds)
         _record_cost(self, 2 * 3 * f.shape[0] * self.dim * self.hidden

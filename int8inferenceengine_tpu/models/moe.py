@@ -35,7 +35,8 @@ class MoEDecoder(LlamaDecoder):
                  kv_heads: int | None = None, mlp_hidden: int | None = None,
                  n_experts: int = 4, top_k: int = 2,
                  rope_base: float = 10000.0, eps: float = 1e-6,
-                 config: QuantConfig = DEFAULT_CONFIG):
+                 config: QuantConfig = DEFAULT_CONFIG,
+                 dispatch: str = "auto"):
         super().__init__(vocab_size=vocab_size, max_len=max_len, dim=dim,
                          depth=depth, heads=heads, kv_heads=kv_heads,
                          mlp_hidden=mlp_hidden, rope_base=rope_base,
@@ -46,7 +47,8 @@ class MoEDecoder(LlamaDecoder):
             for nm in ("gate", "silu", "up", "mul", "down"):
                 delattr(self, f"{nm}{i}")
             setattr(self, f"moe{i}", QuantMoE(
-                dim, self.mlp_hidden, n_experts, top_k, config=config))
+                dim, self.mlp_hidden, n_experts, top_k, config=config,
+                dispatch=dispatch))
 
     def tp_roles(self, model_size: int) -> dict:
         roles = super().tp_roles(model_size)

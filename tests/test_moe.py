@@ -224,3 +224,63 @@ def test_per_channel_expert_scales_reduce_error():
     want = m(q.tensor(ids)).numpy()
     m.shard(make_mesh((4, 2)))
     np.testing.assert_array_equal(m(q.tensor(ids)).numpy(), want)
+
+
+@pytest.mark.parametrize("n_experts,top_k", [(4, 2), (8, 2), (16, 1),
+                                             (8, 3)])
+def test_sparse_dispatch_bit_exact(n_experts, top_k):
+    """dispatch='sparse' (lax.scan over experts + lax.cond skipping
+    unrouted experts' weight reads at runtime — layers.QuantMoE) must
+    be BIT-identical to dense dispatch on the INT8 path: per-expert
+    math is unchanged, the combine accumulates in the same expert
+    order, and a skipped expert contributes exactly the 0.0 its zero
+    routing weight contributes densely."""
+    from int8inferenceengine_tpu.layers import QuantMoE
+    rng = np.random.default_rng(n_experts * 10 + top_k)
+    E, dim, hid = n_experts, 64, 128
+    W = dict(
+        router=rng.normal(scale=0.5, size=(E, dim)).astype(np.float32),
+        gate_w=rng.normal(scale=0.1, size=(E, hid, dim)).astype(
+            np.float32),
+        up_w=rng.normal(scale=0.1, size=(E, hid, dim)).astype(
+            np.float32),
+        down_w=rng.normal(scale=0.1, size=(E, dim, hid)).astype(
+            np.float32))
+    x = rng.normal(size=(8, dim)).astype(np.float32)
+    xi = np.clip(np.round(x / 0.02) + 128, 0, 255).astype(np.uint8)
+    outs = {}
+    for disp in ("dense", "sparse"):
+        m = QuantMoE(dim, hid, E, top_k, dispatch=disp)
+        for k, v in W.items():
+            getattr(m, "load_" + k)(v)
+        m.prepare()
+        m(q.tensor(x))
+        m.convert()
+        outs[disp] = np.asarray(m(q.Tensor(xi, 0.02, 128)).data)
+    assert np.array_equal(outs["dense"], outs["sparse"])
+
+
+def test_sparse_dispatch_model_level():
+    """moe_tiny with dispatch='sparse' generates identically to dense
+    (the in-model exactness surface: routing inside the decode scan)."""
+    from __graft_entry__ import _load_random_weights
+    outs = {}
+    for disp in ("dense", "sparse"):
+        m = models.build("moe_tiny", vocab_size=128, max_len=48,
+                         dim=64, depth=2, heads=4, kv_heads=2,
+                         n_experts=8, top_k=2, dispatch=disp,
+                         config=QuantConfig(rounding="nearest"))
+        _load_random_weights(m)
+        ids = np.random.default_rng(3).integers(0, 128, (2, 6)).astype(
+            np.int32)
+        m.prepare()
+        m(q.tensor(ids))
+        m.convert()
+        outs[disp] = np.asarray(m.generate(ids, 8))
+    assert np.array_equal(outs["dense"], outs["sparse"])
+
+
+def test_dispatch_validation():
+    from int8inferenceengine_tpu.layers import QuantMoE
+    with pytest.raises(ValueError, match="dispatch"):
+        QuantMoE(8, 16, 4, 2, dispatch="bogus")
