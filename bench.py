@@ -255,6 +255,43 @@ def main():
         log(f"llama decode (768d/12H/2KV, b{db}): {per_step*1e3:.3f} "
             f"ms/step -> {db/per_step:.0f} tokens/s")
 
+    # llama W4A8 leg (round 4): 4-bit weights on the static u8
+    # activation path (ops/w4.py v2 kernel, merged qkv/gate-up calls,
+    # g=256 — accuracy-neutral vs g=128 and ~5% faster, measured
+    # 2026-08-20: 0.433 ms/step, beats W8-float's 0.448 at half the
+    # weight bytes).  BENCH_W4A8=0 to skip.
+    w4a8_tok_s = None
+    w4a8_ms_step = None
+    if os.environ.get("BENCH_W4A8", "1") != "0":
+        db = int(os.environ.get("BENCH_DECODE_BATCH", "8"))
+        wdec = models.build("llama_tiny", vocab_size=32000, max_len=512,
+                            dim=768, depth=12, heads=12, kv_heads=2,
+                            config=QuantConfig(rounding="nearest",
+                                               weight_bits=4,
+                                               w4_group=256))
+        _load_random_weights(wdec)
+        wdec.prepare()
+        ids = np.random.default_rng(0).integers(
+            0, 32000, size=(db, 64)).astype(np.int32)
+        from int8inferenceengine_tpu import tensor as _tensor
+        wdec(_tensor(ids))
+        wdec.convert()
+        dtimes = {}
+        for steps in (32, 384):
+            wdec.generate(ids, steps)                   # compile
+            best = float("inf")
+            for trial in range(3):
+                p2 = (ids + trial + 1) % 32000
+                t1 = time.perf_counter()
+                wdec.generate(p2, steps)
+                best = min(best, time.perf_counter() - t1)
+            dtimes[steps] = best
+        per_step = (dtimes[384] - dtimes[32]) / (384 - 32)
+        w4a8_ms_step = round(per_step * 1e3, 3)
+        w4a8_tok_s = round(db / per_step, 1)
+        log(f"llama W4A8 decode (g=256, b{db}): {per_step*1e3:.3f} "
+            f"ms/step -> {db/per_step:.0f} tokens/s")
+
     from int8inferenceengine_tpu.utils import roofline
     rl = roofline.report(m_int8, models.AlexNet.INPUT_SHAPE, BATCH,
                          measured_s=BATCH / int8_img_s)
@@ -274,6 +311,9 @@ def main():
     if llama_tok_s is not None:
         rec["llama_decode_tokens_per_s_b8"] = llama_tok_s
         rec["llama_decode_ms_per_step"] = llama_ms_step
+    if w4a8_tok_s is not None:
+        rec["llama_w4a8_tokens_per_s_b8"] = w4a8_tok_s
+        rec["llama_w4a8_ms_per_step"] = w4a8_ms_step
     print(json.dumps(rec))
 
 

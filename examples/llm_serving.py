@@ -1,11 +1,14 @@
 """Modern-LM serving tour: llama-family INT8 PTQ end to end.
 
-The round-3 serving stack in one script — llama GQA decode, RMSNorm
-smoothing, the accuracy configuration for many-boundary stacks
-(rounding='nearest', see tests/test_llama.py), speculative decoding
-(draft model, target-exact greedy), the MoE family with expert
-parallelism, and a quantized-artifact checkpoint round-trip.  Runs on
-CPU in ~2 min (or on TPU as-is).
+The serving stack in one script — llama GQA decode, RMSNorm smoothing,
+the accuracy configuration for many-boundary stacks
+(rounding='nearest', see tests/test_llama.py), HF-named checkpoint
+ingestion (utils/hf.py), speculative decoding (draft model,
+target-exact greedy), the continuous-batching engine with multi-chunk
+syncing, W4A8 serving (4-bit weights on the u8 activation path — the
+fastest sub-W8 mode, README), the MoE family with expert parallelism
+and sparse dispatch, and a quantized-artifact checkpoint round-trip.
+Runs on CPU in ~2-3 min (or on TPU as-is).
 
     python examples/llm_serving.py
 """
@@ -63,16 +66,56 @@ def main():
     print(f"speculative == greedy generate: "
           f"{np.array_equal(spec, toks)}")
 
-    # --- continuous-batching engine -------------------------------------
-    eng = GenerationEngine(m, slots=2, chunk_steps=8)
+    # --- HF-named checkpoint ingestion ----------------------------------
+    # real llama exports use model.layers.N.self_attn.q_proj.weight
+    # naming; Module.load translates automatically (utils/hf.py)
+    import re as _re
+    hf_dict = {}
+    for k, v in tw.state_dict().items():
+        mm_ = _re.match(r"(wq|wk|wv|proj|gate|up|down|ln1_|ln2_)(\d+)"
+                        r"\.weight", k)
+        if mm_:
+            tail = {"wq": "self_attn.q_proj", "wk": "self_attn.k_proj",
+                    "wv": "self_attn.v_proj", "proj": "self_attn.o_proj",
+                    "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+                    "down": "mlp.down_proj", "ln1_": "input_layernorm",
+                    "ln2_": "post_attention_layernorm"}[mm_.group(1)]
+            hf_dict[f"model.layers.{int(mm_.group(2)) - 1}"
+                    f".{tail}.weight"] = v
+        else:
+            hf_dict[{"embed.weight": "model.embed_tokens.weight",
+                     "ln_f.weight": "model.norm.weight",
+                     "head.weight": "lm_head.weight"}[k]] = v
+    m_hf = models.build("llama_tiny", config=cfg)
+    m_hf.load(hf_dict)
+    m_nat = models.build("llama_tiny", config=cfg)
+    m_nat.load(tw.state_dict())
+    print(f"HF-named state_dict loads bit-identically: "
+          f"{np.array_equal(m_hf(q.tensor(prompt)).numpy(), m_nat(q.tensor(prompt)).numpy())}")
+
+    # --- continuous-batching engine (multi-chunk syncing) ---------------
+    eng = GenerationEngine(m, slots=2, chunk_steps=8, sync_chunks=4)
     try:
         futs = [eng.submit(prompt[i], 8) for i in range(4)]
         outs = [f.result(timeout=600) for f in futs]
         ok = all(np.array_equal(outs[i], m.generate(
             prompt[i:i + 1], 8)[0]) for i in range(4))
-        print(f"engine == standalone generate per request: {ok}")
+        print(f"engine (sync_chunks=4) == standalone generate: {ok}")
     finally:
         eng.shutdown()
+
+    # --- W4A8: 4-bit weights on the static u8 activation path -----------
+    w4 = models.build("llama_tiny",
+                      config=QuantConfig(rounding="nearest",
+                                         weight_bits=4, w4_group=256))
+    w4.load(tw.state_dict())
+    w4.prepare()
+    w4(q.tensor(cal))
+    w4.convert()
+    w4_out = w4(q.tensor(prompt)).numpy()
+    w4_agree = (w4_out[:, -1].argmax(-1) == ref[:, -1].argmax(-1)).mean()
+    print(f"W4A8 (half the weight bytes, u8 serving glue) next-token "
+          f"agreement: {w4_agree:.2f}")
 
     # --- quantized-artifact checkpoint ----------------------------------
     with tempfile.TemporaryDirectory() as d:

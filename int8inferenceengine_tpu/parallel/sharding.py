@@ -54,12 +54,15 @@ def layer_param_specs(layer: Layer, model_axis: str, model_size: int,
             return {k: (P() if k == "router" else P(model_axis))
                     for k in layer.params}
         role = "col"                    # -> replicated fallback below
+    w4a8 = (isinstance(layer, Linear) and not layer.config.weight_only
+            and layer.config.weight_bits == 4)
     if role == "row":
         in_channels = getattr(layer, "in_channels", 0)
         row_ok = (isinstance(layer, Linear) and model_size > 1
                   and in_channels % model_size == 0
                   and not layer.quant_fallback
-                  and not layer.config.weight_only)
+                  and not layer.config.weight_only
+                  and not w4a8)       # W4A8: no integer partials to psum
         if row_ok:
             layer._tp_row = True
             layer._tp_sharded = False
@@ -81,8 +84,13 @@ def layer_param_specs(layer: Layer, model_axis: str, model_size: int,
     # slices, so they stay replicated (depthwise convs are k^2*C cheap — the
     # 1x1 pointwise convs around them carry the FLOPs and still shard).
     grouped = getattr(layer, "groups", 1) > 1
+    # W4A8 Linears stay REPLICATED under TP: their param scheme
+    # (w4_packed/w4_scales/w4_wsum + float bias) has no sharding rules
+    # here, and a half-sharded layer (bias split, packed weights whole)
+    # would be silently wrong — DP still applies; use weight_bits=8 for
+    # tensor-parallel serving.
     shardable = (out_channels > 0 and out_channels % model_size == 0
-                 and model_size > 1 and not grouped)
+                 and model_size > 1 and not grouped and not w4a8)
     layer._tp_sharded = shardable
     layer._tp_local = shardable and role == "col_local"
     if not shardable:
