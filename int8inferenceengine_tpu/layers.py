@@ -1599,14 +1599,17 @@ class QuantMoE(Layer):
 
     TPU-native design decisions (each deliberate, none reference-bound):
 
-    * **Stacked experts, dense dispatch**: expert weights live as
-      [E, ...] arrays and every expert computes over every token, with
-      the router's top-k softmax weights (exact zeros elsewhere)
-      combining the results.  No gather/scatter, fully static shapes —
-      the XLA-friendly form at moderate E — and the [E] leading axis IS
-      the expert-parallel sharding axis (role 'expert': each device
-      holds E/model_size whole experts, computes them densely, and ONE
-      psum combines partial outputs).
+    * **Stacked experts, measured dispatch**: expert weights live as
+      [E, ...] arrays.  Dense dispatch (every expert computes over
+      every token; the router's top-k softmax weights — exact zeros
+      elsewhere — combine the results) is the XLA-friendly static form
+      and wins at small E; ``dispatch='sparse'`` scans experts with a
+      ``lax.cond`` gate so unrouted experts' weight reads are SKIPPED
+      at runtime, winning from E=8 up at decode batches ('auto' picks
+      by the measured crossover — see ``_use_sparse``).  The [E]
+      leading axis IS the expert-parallel sharding axis (role
+      'expert': each device holds E/model_size whole experts, computes
+      them densely, and ONE psum combines partial outputs).
     * **FP32 router**: the router matmul is [M, K] x [K, E] — tiny —
       and quantizing its logits could FLIP top-k selections, an
       accuracy cliff with no bandwidth payoff.
@@ -1688,14 +1691,23 @@ class QuantMoE(Layer):
             del self.params[nm]
 
     def _use_sparse(self, m: int) -> bool:
-        """'auto' dispatch rule (to be pinned by the on-chip E-sweep;
-        tools/llama_decode_tpu.py moe legs): sparse pays when enough
-        experts go unrouted to skip — P(expert unread) = (1 - k/E)^M —
-        AND the batch is small enough that per-expert scan serialization
-        beats the dense batched GEMM."""
+        """'auto' dispatch rule, pinned by the on-chip E-sweep
+        (moe_tiny 768d/12L decode, b8 top-2, one v5e, 2026-08-20):
+
+            E      dense        sparse       winner
+            4      0.319 ms     0.621 ms     dense  (1.9x)
+            8      0.800        0.754        sparse (+6%)
+            16     1.283        1.027        sparse (+25%)
+
+        Exactly the P(expert unread) = (1 - k/E)^M story: at E=4/M=8
+        nearly every expert is routed (skip probability 10%) and the
+        per-expert scan+cond serialization costs more than it saves; at
+        E=16 a third of the expert weights go unread.  Crossover E=8;
+        sparse also needs a small batch (prefill M=B*T re-routes every
+        expert — dense batches better there)."""
         if self.dispatch != "auto":
             return self.dispatch == "sparse"
-        return self.n_experts >= 16 and m <= 16
+        return self.n_experts >= 8 and m <= 16
 
     def _route(self, f):
         """Top-k routing weights [M, E]: softmax over the selected

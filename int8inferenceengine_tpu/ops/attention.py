@@ -284,13 +284,14 @@ def _decode_attn_kernel_flat(valid_ref, fp_ref, ip_ref, q_ref, k_ref,
     # against ITS OWN cache tile — a block-diagonal K operand would
     # cost more than it saves.  So: the simple walk, kept.
     #
-    # Next measurable idea (round 4): merge the per-block dots — copy
-    # all live blocks into ONE contiguous VMEM buffer and emit a single
-    # dot per phase under a pl.when ladder over the (static) live-block
-    # count.  Cuts 2*nblk dots to 2 at decode-typical lengths; the
-    # B-scaling decomposition predicts ~0.4 us/instance (~3 us/call at
-    # B=8, ~0.04 ms/step) — worth it only if measured, cf. the v2
-    # lesson.
+    # Round 4 BUILT the merged-dot idea this note proposed —
+    # ``_decode_attn_kernel_flat_merged`` below (one live-prefix DMA +
+    # one dot per 512-column chunk per phase + live-prefix softmax),
+    # measured faster at every in-model shape (gpt2 0.40 -> 0.37
+    # ms/step, llama 0.19 -> 0.155; tools/decode_model_ab_v4.py) — and
+    # is the 'auto' kernel.  This walk revision is kept selectable
+    # (merged=False) as the bit-identity oracle for the merged kernel's
+    # tests.
     #
     # start/wait conditions must pair EXACTLY: a start without its
     # wait (e.g. valid == 0 — an empty serving slot) would leak a
@@ -415,7 +416,7 @@ def _pick_rows(bsz: int, t: int, c: int) -> int:
 
 def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
                                     k_ref, v_ref, o_ref, kbuf, vbuf,
-                                    s_scr, a2_scr, ksem, vsem, *,
+                                    s_scr, ksem, vsem, *,
                                     n_heads: int, n_kv: int, t: int,
                                     d: int, blk: int, mq: int = 1,
                                     rows: int = 1):
@@ -532,39 +533,58 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
         live_ladder(j, k_phase)
         # dead score regions stay garbage — the softmax mask covers them
 
-        x = jnp.where(colio < valid + rowj, s_scr[...], -jnp.inf)
-        m = jnp.max(x, axis=1, keepdims=True)
-        e = jnp.exp(x - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P], 0.0, 255.0)
-        pcodes = jnp.floor(pcodes + rb)
-        pz = pcodes + f32(c_p - 128)                 # p - zp_p (dead -> 0)
-
-        a2_scr[...] = jnp.zeros((r_rows, c), i32)
-
-        def v_phase(L, j=j, pz=pz):
+        # the whole post-K tail (softmax -> probability requant -> P@V
+        # dots -> extraction -> output) runs under ONE live-prefix
+        # ladder branch, so every VPU pass is L*blk wide instead of
+        # T wide.  Measured (2026-08-20): standalone wins at high valid
+        # (gpt2 v=512 17.8 -> 12.9 us/call, mq=2 11.5 -> 7.2) and
+        # T=2048 long-context; IN-MODEL the step is neutral (llama
+        # 0.148-0.157 vs 0.151-0.163, gpt2 0.377-0.379 vs 0.369-0.375
+        # — inside the chip-hour noise band), so this is kept for the
+        # high-valid serving regime, not a step-time claim.  pz stays a
+        # value (an earlier revision rewrote the score scratch in place
+        # and stored rowsums through a side scratch; Mosaic's lowering
+        # crashed on the aliased window — 'limits[i] <= dim(i)'), and
+        # the mask iotas are built PER BRANCH at [R, n] (slicing
+        # pre-built [R, T] iotas also crashed the lowering).
+        # Exactness: the live-only rowsum equals the full-T sum exactly
+        # (dead pz contributed exact zeros; integer values, f32-exact).
+        def tail_phase(L, j=j, valid=valid):
+            n = L * blk
+            colio_n = lax.broadcasted_iota(i32, (r_rows, n), 1)
+            rowj_n = lax.broadcasted_iota(i32, (r_rows, n), 0) // h
+            x = jnp.where(colio_n < valid + rowj_n,
+                          s_scr[:, :n], -jnp.inf)
+            mx = jnp.max(x, axis=1, keepdims=True)
+            e = jnp.exp(x - mx)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            pcodes = jnp.clip(p / fp_ref[_S_P] + fp_ref[_ZP_P],
+                              0.0, 255.0)
+            pcodes = jnp.floor(pcodes + rb)
+            pz = pcodes + f32(c_p - 128)             # p - zp_p
             vcp(j, L).wait()
-            for c0, cw in chunks(L * blk):
+            a2 = jnp.zeros((r_rows, c), i32)
+            for c0, cw in chunks(n):
                 vf = pltpu.bitcast(
                     vbuf[j, pl.ds(c0, cw), :] ^ jnp.uint8(0x80),
                     s8).astype(bf16)                 # [cw, C] v - 128
                 pzb = pz[:, c0:c0 + cw].astype(bf16)
-                a2_scr[...] += dot_n(pzb, vf)        # [R, C] i32 partials
+                a2 = a2 + dot_n(pzb, vf)             # [R, C] i32 partials
+            rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)
+            corr = jnp.broadcast_to(c_v * rowsum_pz, (r_rows, c))
+            base = jnp.where(seg == rowkv, a2 + corr, 0)
+            outr = [jnp.sum(jnp.where(rowg == g, base, 0), axis=0,
+                            keepdims=True)
+                    for g in range(slots)]           # slots x [1, C]
+            acc2f = (outr[0] if slots == 1
+                     else jnp.concatenate(outr, axis=0))
+            qo = jnp.clip(acc2f.astype(f32) * fp_ref[_MULT_O]
+                          + fp_ref[_ZP_C], 0.0, 255.0)
+            qo = (qo + rb).astype(i32)
+            o_ref[j] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
+                ^ jnp.uint8(0x80)                    # [slots, C]
 
-        live_ladder(j, v_phase)
-
-        rowsum_pz = jnp.sum(pz, axis=1, keepdims=True).astype(i32)
-        corr = jnp.broadcast_to(c_v * rowsum_pz, (r_rows, c))
-        base = jnp.where(seg == rowkv, a2_scr[...] + corr, 0)
-        outr = [jnp.sum(jnp.where(rowg == g, base, 0), axis=0,
-                        keepdims=True)
-                for g in range(slots)]               # slots x [1, C]
-        acc2f = outr[0] if slots == 1 else jnp.concatenate(outr, axis=0)
-        qo = jnp.clip(acc2f.astype(f32) * fp_ref[_MULT_O]
-                      + fp_ref[_ZP_C], 0.0, 255.0)
-        qo = (qo + rb).astype(i32)
-        o_ref[j] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
-            ^ jnp.uint8(0x80)                        # [slots, C]
+        live_ladder(j, tail_phase)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "n_kv", "mq",
@@ -612,7 +632,6 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                 pltpu.VMEM((rows, t, c), jnp.uint8),  # k live-prefix bufs
                 pltpu.VMEM((rows, t, c), jnp.uint8),  # v live-prefix bufs
                 pltpu.VMEM((mq * n_heads, t), jnp.float32),  # scores
-                pltpu.VMEM((mq * n_heads, c), jnp.int32),    # P@V accum
                 pltpu.SemaphoreType.DMA((rows,)),    # per-row k sems
                 pltpu.SemaphoreType.DMA((rows,)),    # per-row v sems
             ] if merged else [
