@@ -1087,12 +1087,20 @@ class QuantSoftmax(Layer):
     ``valid_len`` positions are live.  Masked positions quantize to
     exactly the zero_point code, so they contribute exactly zero to the
     downstream P@V zero-point math (ops/qmatmul.py).
+
+    ``window`` (mistral-family sliding-window attention): each position
+    additionally ignores columns more than ``window`` back — the square
+    causal mask gains ``col > row - window``, the valid_len forms gain
+    ``col >= valid_len - window``.  The decode paths mirror it in the
+    flat kernel's span ladder (ops/attention.py), which also caps decode
+    DMA/compute at ~window regardless of context length.
     """
 
     def __init__(self, config: QuantConfig = DEFAULT_CONFIG,
-                 causal: bool = False):
+                 causal: bool = False, window: int | None = None):
         super().__init__(config)
         self.causal = causal
+        self.window = None if window is None else int(window)
 
     def _quantize_weights(self):  # no weights to quantize
         pass
@@ -1105,7 +1113,10 @@ class QuantSoftmax(Layer):
             # compose, neither replaces the other
             row = lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            f = jnp.where(col <= row, f, -jnp.inf)
+            keep = col <= row
+            if self.window is not None:
+                keep = keep & (col > row - self.window)
+            f = jnp.where(keep, f, -jnp.inf)
         elif self.causal and tq > 1:
             # non-square multi-row scores are the cached multi-token
             # extend path, where the PER-ROW valid_len (pos + row + 1)
@@ -1123,7 +1134,10 @@ class QuantSoftmax(Layer):
                     "(shape [..., tq, 1], row j = pos + j + 1) instead")
         if valid_len is not None:
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-            f = jnp.where(col < valid_len, f, -jnp.inf)
+            keep = col < valid_len
+            if self.window is not None:
+                keep = keep & (col >= valid_len - self.window)
+            f = jnp.where(keep, f, -jnp.inf)
         return f
 
     def __call__(self, x: Tensor, valid_len=None) -> Tensor:
@@ -1365,7 +1379,8 @@ def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
         scale_s=attn.scale, zp_s=attn.zero_point,
         scale_p=smax.scale, zp_p=smax.zero_point,
         scale_c=av.scale, zp_c=av.zero_point,
-        alpha=attn.alpha, rounding=attn.config.rounding)
+        alpha=attn.alpha, rounding=attn.config.rounding,
+        window=getattr(smax, "window", None))
     t = kc.data.shape[-2]
     _record_cost(attn, 2 * q2.data.size * t,
                  q2.data.size + kc.data.size)
@@ -1416,7 +1431,8 @@ def fused_extend_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
         scale_s=attn.scale, zp_s=attn.zero_point,
         scale_p=smax.scale, zp_p=smax.zero_point,
         scale_c=av.scale, zp_c=av.zero_point,
-        alpha=attn.alpha, rounding=attn.config.rounding)
+        alpha=attn.alpha, rounding=attn.config.rounding,
+        window=getattr(smax, "window", None))
     t = kc.data.shape[-2]
     _record_cost(attn, 2 * q3.data.size * t, q3.data.size + kc.data.size)
     _record_cost(av, 2 * out.size * t, vc.data.size + out.size)

@@ -84,6 +84,7 @@ class LlamaDecoder(TextDecoder):
                  dim: int = 128, depth: int = 2, heads: int = 4,
                  kv_heads: int | None = None, mlp_hidden: int | None = None,
                  rope_base: float = 10000.0, rope_scaling=None,
+                 sliding_window: int | None = None,
                  eps: float = 1e-6,
                  config: QuantConfig = DEFAULT_CONFIG):
         Module.__init__(self, config)
@@ -99,6 +100,15 @@ class LlamaDecoder(TextDecoder):
         self.head_dim = dim // heads
         self.mlp_hidden = (swiglu_hidden(dim) if mlp_hidden is None
                            else int(mlp_hidden))
+        # mistral-family sliding-window attention: every position
+        # attends to at most the last ``sliding_window`` positions.
+        # The windowed causal mask runs in QuantSoftmax (prefill / full
+        # forward) and in the flat decode kernel's span ladder (decode
+        # DMA + compute capped at ~window regardless of context; see
+        # ops/attention.py).  The KV cache still holds max_len rows (a
+        # rolling ring cache is the follow-on memory lever).
+        self.sliding_window = (None if sliding_window is None
+                               else int(sliding_window))
         self.INPUT_SHAPE = (max_len,)
         kv_dim = kv_heads * self.head_dim
         self.embed = QuantEmbed(vocab_size, dim, config=config)
@@ -116,8 +126,8 @@ class LlamaDecoder(TextDecoder):
             setattr(self, f"attn{i}", QuantMatmul(
                 alpha=self.head_dim ** -0.5, transpose_b=True,
                 config=config))
-            setattr(self, f"smax{i}", QuantSoftmax(config=config,
-                                                   causal=True))
+            setattr(self, f"smax{i}", QuantSoftmax(
+                config=config, causal=True, window=self.sliding_window))
             setattr(self, f"av{i}", QuantMatmul(config=config))
             setattr(self, f"proj{i}", Linear(dim, dim, config=config))
             setattr(self, f"add1_{i}", QuantAdd(config=config))

@@ -419,7 +419,8 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
                                     s_scr, ksem, vsem, *,
                                     n_heads: int, n_kv: int, t: int,
                                     d: int, blk: int, mq: int = 1,
-                                    rows: int = 1):
+                                    rows: int = 1,
+                                    window: int | None = None):
     """Merged-dot revision of the flat walk (the committed round-4 note
     above): ONE contiguous DMA of the live [L*blk, C] cache prefix per
     phase (a ``pl.when`` ladder over the live-block count L picks the
@@ -443,6 +444,16 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
     softmax, and V-phase probabilities there are EXACTLY zero (masked
     positions quantize to exactly zp_p), so 0 * garbage == 0 in f32.
     Integer math is bit-identical to the walk and the composed path.
+
+    ``window`` (mistral-family sliding-window attention, static): each
+    row attends only to columns [valid + j - window, valid + j), so the
+    DMA'd region becomes a dynamic-start SEGMENT [lb*blk, hb*blk) (the
+    block range covering row 0's lower edge through the last row's
+    horizon) instead of the [0, hb*blk) prefix — decode DMA + compute
+    are capped at ~window regardless of context length.  The span
+    ladder replaces the prefix ladder; masks gain the absolute-column
+    lower bound.  Masked-out history quantizes to exactly zp_p — the
+    same exact-zero contract as the upper bound.
     """
     f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
     h = n_heads
@@ -472,34 +483,50 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
     colio = lax.broadcasted_iota(i32, (r_rows, t), 1)
     rowj = lax.broadcasted_iota(i32, (r_rows, t), 0) // h
 
-    def vmax_of(j):
-        return valid_ref[pid * rows + j] + (mq - 1)
+    def edges_of(j):
+        # block range [lb, hb) this row's live (windowed) region needs;
+        # lb == 0 without a window (the prefix ladder case)
+        valid = valid_ref[pid * rows + j]
+        vmax = valid + (mq - 1)
+        hb = (vmax + blk - 1) // blk
+        if window is None:
+            return jnp.int32(0), hb
+        lb = jnp.maximum(valid - window, 0) // blk   # row 0's edge
+        return lb, hb
 
-    def live_ladder(j, fn):
-        # run fn(L) for the single L = ceil(vmax/blk); exactly one
-        # branch fires (valid >= 1 by contract), so every DMA start has
-        # exactly one matching wait on its semaphore.
-        vmax = vmax_of(j)
-        for L in range(1, nblk + 1):
-            @pl.when(((L - 1) * blk < vmax) & (vmax <= L * blk))
-            def _(L=L):
-                fn(L)
+    # span ladder: exactly one S == hb - lb branch fires per row/phase
+    # (valid >= 1 by contract), so every DMA start has exactly one
+    # matching wait on its semaphore.  Without a window S spans
+    # [1, nblk]; with one, S <= ceil((window + mq - 1)/blk) + 2 (the
+    # lower edge floors to a block boundary, the horizon ceils).
+    if window is None:
+        smax_span = nblk
+    else:
+        smax_span = min(nblk, -(-(window + mq - 1) // blk) + 2)
 
-    def kcp(j, L):
-        n = L * blk
+    def span_ladder(j, fn):
+        lb, hb = edges_of(j)
+        span = hb - lb
+        for S in range(1, smax_span + 1):
+            @pl.when(span == S)
+            def _(S=S):
+                fn(S, lb)
+
+    def kcp(j, S, lb):
+        n = S * blk
         return pltpu.make_async_copy(
-            k_ref.at[pid * rows + j, pl.ds(0, n), :],
+            k_ref.at[pid * rows + j, pl.ds(lb * blk, n), :],
             kbuf.at[j, pl.ds(0, n), :], ksem.at[j])
 
-    def vcp(j, L):
-        n = L * blk
+    def vcp(j, S, lb):
+        n = S * blk
         return pltpu.make_async_copy(
-            v_ref.at[pid * rows + j, pl.ds(0, n), :],
+            v_ref.at[pid * rows + j, pl.ds(lb * blk, n), :],
             vbuf.at[j, pl.ds(0, n), :], vsem.at[j])
 
     for j in range(rows):                            # all copies in
-        live_ladder(j, lambda L, j=j: kcp(j, L).start())  # flight up
-        live_ladder(j, lambda L, j=j: vcp(j, L).start())  # front
+        span_ladder(j, lambda S, lb, j=j: kcp(j, S, lb).start())
+        span_ladder(j, lambda S, lb, j=j: vcp(j, S, lb).start())
 
     def chunks(n):                                   # [(start, width)]
         return [(c0, min(_DEC_SUB, n - c0))
@@ -515,9 +542,9 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
         rowsum_aq = jnp.sum(aq_masked, axis=1,
                             keepdims=True).astype(i32)
 
-        def k_phase(L, j=j, aq_wide=aq_wide, rowsum_aq=rowsum_aq):
-            kcp(j, L).wait()
-            for c0, cw in chunks(L * blk):
+        def k_phase(S, lb, j=j, aq_wide=aq_wide, rowsum_aq=rowsum_aq):
+            kcp(j, S, lb).wait()
+            for c0, cw in chunks(S * blk):
                 kf = pltpu.bitcast(
                     kbuf[j, pl.ds(c0, cw), :] ^ jnp.uint8(0x80),
                     s8).astype(bf16)                 # [cw, C] k - 128
@@ -530,7 +557,7 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
                 s_scr[:, c0:c0 + cw] = \
                     (codes - fp_ref[_ZP_S]) * fp_ref[_S_S]
 
-        live_ladder(j, k_phase)
+        span_ladder(j, k_phase)
         # dead score regions stay garbage — the softmax mask covers them
 
         # the whole post-K tail (softmax -> probability requant -> P@V
@@ -549,12 +576,17 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
         # pre-built [R, T] iotas also crashed the lowering).
         # Exactness: the live-only rowsum equals the full-T sum exactly
         # (dead pz contributed exact zeros; integer values, f32-exact).
-        def tail_phase(L, j=j, valid=valid):
-            n = L * blk
-            colio_n = lax.broadcasted_iota(i32, (r_rows, n), 1)
+        def tail_phase(S, lb, j=j, valid=valid):
+            n = S * blk
+            # buffer-relative iotas + the dynamic block base give
+            # absolute cache positions for the masks
+            abs_col = (lax.broadcasted_iota(i32, (r_rows, n), 1)
+                       + lb * blk)
             rowj_n = lax.broadcasted_iota(i32, (r_rows, n), 0) // h
-            x = jnp.where(colio_n < valid + rowj_n,
-                          s_scr[:, :n], -jnp.inf)
+            keep = abs_col < valid + rowj_n
+            if window is not None:
+                keep = keep & (abs_col >= valid + rowj_n - window)
+            x = jnp.where(keep, s_scr[:, :n], -jnp.inf)
             mx = jnp.max(x, axis=1, keepdims=True)
             e = jnp.exp(x - mx)
             p = e / jnp.sum(e, axis=1, keepdims=True)
@@ -562,7 +594,7 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
                               0.0, 255.0)
             pcodes = jnp.floor(pcodes + rb)
             pz = pcodes + f32(c_p - 128)             # p - zp_p
-            vcp(j, L).wait()
+            vcp(j, S, lb).wait()
             a2 = jnp.zeros((r_rows, c), i32)
             for c0, cw in chunks(n):
                 vf = pltpu.bitcast(
@@ -584,15 +616,16 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
             o_ref[j] = pltpu.bitcast((qo - 128).astype(s8), jnp.uint8) \
                 ^ jnp.uint8(0x80)                    # [slots, C]
 
-        live_ladder(j, tail_phase)
+        span_ladder(j, tail_phase)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "n_kv", "mq",
-                                             "merged", "rows",
+                                             "merged", "rows", "window",
                                              "interpret"))
 def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                            n_heads: int, n_kv: int, mq: int = 1,
                            merged: bool = True, rows: int = 1,
+                           window: int | None = None,
                            interpret: bool = False):
     bsz, t, c = k3.shape                             # c = n_kv * d
     d = c // n_kv
@@ -606,8 +639,16 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                                  rows=rows)
     else:
         body = _decode_attn_kernel_flat
-    kernel = functools.partial(body, n_heads=n_heads,
-                               n_kv=n_kv, t=t, d=d, blk=blk, mq=mq)
+    if merged and window is not None:
+        kernel = functools.partial(body, n_heads=n_heads, n_kv=n_kv,
+                                   t=t, d=d, blk=blk, mq=mq,
+                                   window=int(window))
+        # windowed buffers/scores only ever hold the span
+        buf_t = min(t, (-(-(int(window) + mq - 1) // blk) + 2) * blk)
+    else:
+        kernel = functools.partial(body, n_heads=n_heads,
+                                   n_kv=n_kv, t=t, d=d, blk=blk, mq=mq)
+        buf_t = t
     # [B, R, C] with block (1, R, C): the block's last two dims must be
     # (8, 128)-divisible or equal the array dims — (R, C) equals.
     # Single-position MHA passes the projection row (R_in = 1, diagonal
@@ -629,9 +670,9 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
         out_shape=jax.ShapeDtypeStruct((bsz, slots, c), jnp.uint8),
         scratch_shapes=(
             [
-                pltpu.VMEM((rows, t, c), jnp.uint8),  # k live-prefix bufs
-                pltpu.VMEM((rows, t, c), jnp.uint8),  # v live-prefix bufs
-                pltpu.VMEM((mq * n_heads, t), jnp.float32),  # scores
+                pltpu.VMEM((rows, buf_t, c), jnp.uint8),  # k live bufs
+                pltpu.VMEM((rows, buf_t, c), jnp.uint8),  # v live bufs
+                pltpu.VMEM((mq * n_heads, buf_t), jnp.float32),  # scores
                 pltpu.SemaphoreType.DMA((rows,)),    # per-row k sems
                 pltpu.SemaphoreType.DMA((rows,)),    # per-row v sems
             ] if merged else [
@@ -669,6 +710,7 @@ _MERGED_DEFAULT = True
 def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                           n_kv_heads: int | None = None,
                           backend: str = "auto", merged: bool | None = None,
+                          window: int | None = None,
                           interpret: bool = False, **kw):
     """Cached-decode attention on the T-major FLAT cache layout.
 
@@ -695,6 +737,10 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
     bsz, t, c = k3_u8.shape
     if merged is None:
         merged = _MERGED_DEFAULT
+    if window is not None and not merged:
+        # the span ladder lives in the merged kernel only; the walk
+        # oracle has no windowed form — compose instead
+        backend = "xla"
     n_kv = n_heads if n_kv_heads is None else n_kv_heads
     if n_heads % n_kv:
         raise ValueError(f"{n_heads} query heads not divisible by "
@@ -745,7 +791,7 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                     // grp).reshape(1, 1, mq * grp, 1)
             vmask = vmask + rowj
         out4 = decode_attention_xla(q4, to4(k3_u8), to4(v3_u8), vmask,
-                                    **kw)
+                                    window=window, **kw)
         if multi:
             # [B, Hkv, m*grp, D] rows (kv, j, g) -> [B, m, H*D]
             return jnp.transpose(
@@ -790,6 +836,8 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                                   fparams, iparams, n_heads=n_heads,
                                   n_kv=n_kv, mq=mq, merged=merged,
                                   rows=_pick_rows(bsz, t, c),
+                                  window=(None if window is None
+                                          else int(window)),
                                   interpret=interpret)
     if grp == 1 and not multi:
         return out3.reshape(bsz, c)
@@ -802,12 +850,17 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
 def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,
                          scale_k, zp_k, scale_v, zp_v, scale_s, zp_s,
                          scale_p, zp_p, scale_c, zp_c, alpha: float,
-                         rounding: str = "trunc"):
+                         rounding: str = "trunc",
+                         window: int | None = None):
     """Composed decode attention (the oracle): literally QuantMatmul ->
     QuantSoftmax(valid_len) -> QuantMatmul on [B, H, 1, T] scores.
 
     ``valid`` broadcasts against the score columns: a scalar (generate's
     single position) or [B, 1, 1, 1] (per-slot serving positions).
+    ``window`` (mistral-family sliding-window attention): each query
+    additionally ignores columns below ``valid - window`` — masked
+    positions quantize to exactly zp_p, the same exact-zero story as
+    the upper bound.
     """
     s = qmatmul_act(q_u8, k_u8, scale_a=scale_q, zp_a=zp_q,
                     scale_b=scale_k, zp_b=zp_k, scale_c=scale_s, zp_c=zp_s,
@@ -815,7 +868,10 @@ def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,
     f = quant_ops.dequantize_u8(s, scale_s, zp_s)
     tq, tk = f.shape[-2], f.shape[-1]
     col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-    f = jnp.where(col < valid, f, -jnp.inf)
+    keep = col < valid
+    if window is not None:
+        keep = keep & (col >= valid - int(window))
+    f = jnp.where(keep, f, -jnp.inf)
     p = quant_ops.quantize_u8(jax.nn.softmax(f, axis=-1), scale_p, zp_p,
                               rounding)
     return qmatmul_act(p, v_u8, scale_a=scale_p, zp_a=zp_p,
