@@ -763,10 +763,16 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
     v_arr = jnp.asarray(valid, jnp.int32)
     if backend == "auto":
         # MHA and GQA both run the kernel.  interpret counts as a kernel
-        # target so interpret-mode 'auto' tests the kernel.
+        # target so interpret-mode 'auto' tests the kernel.  Large-mq
+        # extends (chunked prefill through _extend_step) blow the
+        # kernel's scores scratch (mq*H*T f32 — 12.6 MB at mq=128,
+        # H=12, T=2048: measured scoped-VMEM OOM at 25.5M/16M); the
+        # composed path is the prefill-style compute anyway there.
         on_kernel_target = jax.default_backend() == "tpu" or interpret
+        scores_vmem = mq * n_heads * t * 4
         backend = ("pallas" if on_kernel_target
-                   and kernel_eligible(t, c) else "xla")
+                   and kernel_eligible(t, c)
+                   and scores_vmem <= (4 << 20) else "xla")
     elif backend == "pallas":
         if not _dec_blk(t):
             raise ValueError(

@@ -146,7 +146,8 @@ class GenerationEngine:
 
     def __init__(self, model, slots: int = 8, chunk_steps: int = 32,
                  eos_id: int | None = None, overlap: bool = False,
-                 sync_chunks: int = 4):
+                 sync_chunks: int = 4,
+                 prefill_chunk: int | None = None):
         if not model.is_quant:
             raise RuntimeError("GenerationEngine requires a converted model")
         if getattr(model, "_mesh", None) is not None:
@@ -179,6 +180,18 @@ class GenerationEngine:
         # remaining engine bottleneck).  With queued work the engine
         # still syncs every chunk so finished slots refill promptly.
         self.sync_chunks = max(1, int(sync_chunks))
+        # prefill_chunk: prompts LONGER than this prefill through ONE
+        # fixed-size compiled extend program (chunks of prefill_chunk
+        # tokens over the cached multi-token step `_extend_step`, one
+        # request at a time) instead of a per-(bucket, n) prefill
+        # compile.  The bucket path compiles a fresh program per power-
+        # of-two prompt bucket — at T=2048 that is a 3-5 minute compile
+        # (tools/prefill_ttft.py); the chunked path compiles ONCE and
+        # serves any length.  Bit-identical to the bucket path:
+        # `_extend_step` == m sequential steps == full prefill (the
+        # cached-decode invariant chain, tests/test_generation.py).
+        self.prefill_chunk = (None if prefill_chunk is None
+                              else int(prefill_chunk))
         self._queue: queue.Queue[_GenRequest | None] = queue.Queue()
         self._params = model._gather_params()
         if model.config.weight_only:
@@ -390,11 +403,89 @@ class GenerationEngine:
             self._multi_fns[sampled] = fn
         return fn
 
+    def _extend_fn(self):
+        """One-slot chunked-prefill program: slice the slot's cache
+        rows, run `_extend_step` on the [1, prefill_chunk] token chunk,
+        write the rows back.  Compiled ONCE (shapes are fixed by
+        prefill_chunk), reused for every chunk of every long prompt."""
+        fn = getattr(self, "_extend_jit", None)
+        if fn is None:
+            m = self.model
+
+            def run(params, caches, slot, chunk, base):
+                m._bind(params)
+                try:
+                    sub = {
+                        i: (lax.dynamic_slice_in_dim(k, slot, 1, 0),
+                            lax.dynamic_slice_in_dim(v, slot, 1, 0))
+                        for i, (k, v) in caches.items()}
+                    codes, sub = m._extend_step(
+                        sub, jnp.full((1,), base, jnp.int32),
+                        chunk[None])
+                    out = {
+                        i: (lax.dynamic_update_slice_in_dim(
+                                caches[i][0], sub[i][0], slot, 0),
+                            lax.dynamic_update_slice_in_dim(
+                                caches[i][1], sub[i][1], slot, 0))
+                        for i in caches}
+                    return out, codes[0]
+                finally:
+                    m._bind(None)
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._extend_jit = fn
+        return fn
+
+    def _admit_chunked(self, slot: int, req: _GenRequest) -> None:
+        """Prefill one long prompt through fixed-size extend chunks."""
+        P = self.prefill_chunk
+        t0 = len(req.prompt)
+        nch = -(-t0 // P)
+        pad = np.zeros((nch * P,), np.int32)
+        pad[:t0] = req.prompt
+        self._active[slot] = req           # register before device work
+        fn = self._extend_fn()
+        slot_j = jnp.int32(slot)
+        codes = None
+        for ci in range(nch):
+            self._caches, codes = fn(
+                self._params, self._caches, slot_j,
+                jnp.asarray(pad[ci * P:(ci + 1) * P]),
+                jnp.int32(ci * P))
+        last = (t0 - 1) % P
+        row = codes[last]                   # u8 logit codes [vocab]
+        if req.temperature > 0:
+            key = jnp.asarray(jax.random.PRNGKey(req.seed), jnp.uint32)
+            self._keys = self._keys.at[slot].set(key)
+            self._temp = self._temp.at[slot].set(
+                jnp.float32(req.temperature))
+            tok0 = int(self._pick(
+                row[None], jnp.full((1,), req.temperature, jnp.float32),
+                key[None], jnp.full((1,), t0 - 1, jnp.int32))[0])
+        else:
+            tok0 = int(jnp.argmax(row))
+        self.stats.prefills += 1
+        self._tok = self._tok.at[slot].set(tok0)
+        self._pos = self._pos.at[slot].set(t0)
+        req.tokens.append(tok0)
+        if self._done(req, tok0):
+            self._finish(slot)
+
     # -- scheduler loop ----------------------------------------------------------
     def _admit_batch(self, pairs) -> None:
         """Prefill a burst of admissions in as few device calls as
         possible: group by prompt bucket, split groups to power-of-two
-        sizes, one batched prefill (+ ONE host sync) per sub-group."""
+        sizes, one batched prefill (+ ONE host sync) per sub-group.
+        With ``prefill_chunk`` set, prompts longer than it take the
+        chunked single-slot path instead (one compile total)."""
+        if self.prefill_chunk is not None:
+            rest = []
+            for slot, req in pairs:
+                if len(req.prompt) > self.prefill_chunk:
+                    self._admit_chunked(slot, req)
+                else:
+                    rest.append((slot, req))
+            pairs = rest
         by_bucket: dict[int, list] = {}
         for slot, req in pairs:
             # power-of-two bucket, capped at max_len (t0 <= max_len is

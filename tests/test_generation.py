@@ -258,3 +258,25 @@ def test_engine_multichunk_eos_and_sampling():
         np.testing.assert_array_equal(a, b)
     finally:
         eng.shutdown()
+
+
+def test_engine_chunked_prefill_matches_generate():
+    """prefill_chunk: prompts longer than the chunk prefill through ONE
+    fixed-size compiled extend program (any length, one compile) —
+    outputs must equal standalone generate() exactly; shorter prompts
+    still take the bucketed batch path."""
+    m = _model()
+    eng = GenerationEngine(m, slots=2, chunk_steps=4, prefill_chunk=8)
+    rng = np.random.default_rng(21)
+    try:
+        futs = []
+        prompts = [rng.integers(0, 1000, t0).astype(np.int32)
+                   for t0 in (20, 17, 5, 24)]        # 3 chunked, 1 bucket
+        for p in prompts:
+            futs.append(eng.submit(p, 7))
+        for p, fut in zip(prompts, futs):
+            got = fut.result(timeout=120)
+            want = m.generate(p[None, :], 7)[0]
+            np.testing.assert_array_equal(got, want)
+    finally:
+        eng.shutdown()

@@ -157,3 +157,33 @@ def test_detect_and_errors():
 def test_native_dicts_pass_through_unchanged():
     d = {"wq1.weight": np.zeros((4, 4), np.float32)}
     assert hf.maybe_from_hf(d) is d
+
+
+def test_llama_hf_qkv_biases_qwen_style():
+    """Qwen2-style exports are llama-arch + qkv biases; the adapter
+    maps self_attn.*.bias into the (zero-initialized) Linear biases."""
+    geo = dict(vocab_size=97, max_len=32, dim=64, depth=1, heads=4,
+               kv_heads=2)
+    rng = np.random.default_rng(5)
+    d = {"model.embed_tokens.weight":
+         rng.normal(scale=0.1, size=(97, 64)).astype(np.float32),
+         "model.norm.weight": np.ones(64, np.float32),
+         "lm_head.weight":
+         rng.normal(scale=0.1, size=(97, 64)).astype(np.float32)}
+    for nm, shp in [("self_attn.q_proj", (64, 64)),
+                    ("self_attn.k_proj", (32, 64)),
+                    ("self_attn.v_proj", (32, 64)),
+                    ("self_attn.o_proj", (64, 64)),
+                    ("mlp.gate_proj", (192, 64)),
+                    ("mlp.up_proj", (192, 64)),
+                    ("mlp.down_proj", (64, 192))]:
+        d[f"model.layers.0.{nm}.weight"] = rng.normal(
+            scale=0.1, size=shp).astype(np.float32)
+    bq = rng.normal(scale=0.05, size=(64,)).astype(np.float32)
+    d["model.layers.0.self_attn.q_proj.bias"] = bq
+    d["model.layers.0.input_layernorm.weight"] = np.ones(64, np.float32)
+    d["model.layers.0.post_attention_layernorm.weight"] = \
+        np.ones(64, np.float32)
+    m = models.build("llama_tiny", mlp_hidden=192, **geo)
+    m.load(d)
+    assert np.array_equal(np.asarray(m.wq1.params["bias"]), bq)
