@@ -1107,6 +1107,7 @@ class QuantSoftmax(Layer):
 
     def _masked(self, f, valid_len):
         tq, tk = f.shape[-2], f.shape[-1]
+        window_done = False
         if self.causal and tq > 1 and tq == tk:
             # square scores: triangular causal mask; a valid_len on top
             # (right-padded prefill) masks columns too — the masks
@@ -1115,8 +1116,13 @@ class QuantSoftmax(Layer):
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
             keep = col <= row
             if self.window is not None:
+                # the PER-ROW window; the valid_len clause below must
+                # not re-apply a valid_len-relative bound here (it
+                # would void every row < valid_len - window -> NaN
+                # softmax; round-4 review finding)
                 keep = keep & (col > row - self.window)
             f = jnp.where(keep, f, -jnp.inf)
+            window_done = True
         elif self.causal and tq > 1:
             # non-square multi-row scores are the cached multi-token
             # extend path, where the PER-ROW valid_len (pos + row + 1)
@@ -1135,7 +1141,11 @@ class QuantSoftmax(Layer):
         if valid_len is not None:
             col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
             keep = col < valid_len
-            if self.window is not None:
+            if self.window is not None and not window_done:
+                # valid_len IS the per-row horizon on the non-square
+                # paths (decode / cached extend), so the window lower
+                # bound hangs off it; on the square-causal compose path
+                # the row-relative window already applied above
                 keep = keep & (col >= valid_len - self.window)
             f = jnp.where(keep, f, -jnp.inf)
         return f
@@ -1834,12 +1844,9 @@ class QuantMoE(Layer):
             a = jnp.clip(jnp.round(f / s_a), -127, 127).astype(jnp.int8)
         hit = jnp.any(wexp > 0.0, axis=0)            # [E]
 
-        def sc_e(sc, e):
-            return sc[e] if sc.ndim == 1 else sc[e]  # [] or [rows]
-
         def one(e):
             ge, ue, de = gate[e], up[e], down[e]
-            gse, use, dse = sc_e(gs, e), sc_e(us, e), sc_e(ds, e)
+            gse, use, dse = gs[e], us[e], ds[e]   # [] or [rows]
             if int8:
                 accg = jnp.dot(a, ge.T, preferred_element_type=jnp.int32)
                 accu = jnp.dot(a, ue.T, preferred_element_type=jnp.int32)

@@ -215,7 +215,6 @@ class GenerationEngine:
         self._tok = jnp.zeros((slots,), jnp.int32)
         self._temp = jnp.zeros((slots,), jnp.float32)   # 0 = greedy
         self._keys = jnp.zeros((slots, 2), jnp.uint32)  # per-slot PRNG
-        self._remaining = jnp.zeros((slots,), jnp.int32)  # device counts
         self._active = [None] * slots      # slot -> _GenRequest | None
         self.stats = GenerationStats()
         self._prefill_fns: dict[int, object] = {}
@@ -378,24 +377,27 @@ class GenerationEngine:
                         return (caches, pos, nxt, act, rem), nxt
 
                     def chunk(state):
-                        caches, pos, tok, act, rem, out, c = state
+                        caches, pos, tok, act, rem, out, c, work = state
+                        work = work + jnp.sum(act.astype(jnp.int32))
                         (caches, pos, tok, act, rem), toks = lax.scan(
                             step, (caches, pos, tok, act, rem), None,
                             length=steps)
                         out = lax.dynamic_update_slice(
                             out, jnp.swapaxes(toks, 0, 1),
                             (jnp.int32(0), c * steps))
-                        return (caches, pos, tok, act, rem, out, c + 1)
+                        return (caches, pos, tok, act, rem, out, c + 1,
+                                work)
 
                     def cond(state):
                         return (state[6] < kmax) & jnp.any(state[3])
 
                     out0 = jnp.zeros((slots, kmax * steps), jnp.int32)
-                    caches, pos, tok, act, rem, out, c = lax.while_loop(
+                    (caches, pos, tok, act, rem, out, c,
+                     work) = lax.while_loop(
                         cond, chunk,
                         (caches, pos, tok, active, remaining, out0,
-                         jnp.int32(0)))
-                    return caches, pos, tok, act, rem, out, c
+                         jnp.int32(0), jnp.int32(0)))
+                    return caches, pos, tok, act, rem, out, c, work
                 finally:
                     m._bind(None)
 
@@ -440,19 +442,27 @@ class GenerationEngine:
         """Prefill one long prompt through fixed-size extend chunks."""
         P = self.prefill_chunk
         t0 = len(req.prompt)
-        nch = -(-t0 // P)
-        pad = np.zeros((nch * P,), np.int32)
+        max_len = self.model.max_len
+        starts = list(range(0, t0, P))
+        if starts[-1] + P > max_len:
+            # the rounded-up final chunk must not write cache rows past
+            # max_len (dynamic_update_slice would CLAMP the start and
+            # silently overwrite earlier real rows — round-4 review
+            # finding).  Slide it back to end exactly at max_len: the
+            # overlapped rows rewrite with identical tokens at
+            # identical positions -> identical k/v codes, bit-exact.
+            starts[-1] = max_len - P
+        pad = np.zeros((max_len,), np.int32)
         pad[:t0] = req.prompt
         self._active[slot] = req           # register before device work
         fn = self._extend_fn()
         slot_j = jnp.int32(slot)
         codes = None
-        for ci in range(nch):
+        for c0 in starts:
             self._caches, codes = fn(
                 self._params, self._caches, slot_j,
-                jnp.asarray(pad[ci * P:(ci + 1) * P]),
-                jnp.int32(ci * P))
-        last = (t0 - 1) % P
+                jnp.asarray(pad[c0:c0 + P]), jnp.int32(c0))
+        last = (t0 - 1) - starts[-1]
         row = codes[last]                   # u8 logit codes [vocab]
         if req.temperature > 0:
             key = jnp.asarray(jax.random.PRNGKey(req.seed), jnp.uint32)
@@ -631,15 +641,17 @@ class GenerationEngine:
                     for s, r in enumerate(snapshot):
                         if r is not None:
                             rem[s] = max(1, r.max_new - len(r.tokens))
-                    (self._caches, self._pos, self._tok, _,
-                     self._remaining, toks, nchunks) = \
+                    (self._caches, self._pos, self._tok, _, _rem,
+                     toks, nchunks, work) = \
                         self._multichunk(sampled)(
                             self._params, self._caches, self._pos,
                             self._tok, active, jnp.asarray(rem),
                             self._temp, self._keys)
-                    nch = int(nchunks)
-                    self.stats.chunks += nch
-                    self.stats.chunk_slots_active += n_act * nch
+                    self.stats.chunks += int(nchunks)
+                    # on-device per-chunk live-slot counts: slots drain
+                    # mid-program, so n_act * nchunks would overstate
+                    # fill (round-4 review finding)
+                    self.stats.chunk_slots_active += int(work)
                     fetch = (toks, snapshot)
                 else:
                     self.stats.chunks += 1

@@ -280,3 +280,24 @@ def test_engine_chunked_prefill_matches_generate():
             np.testing.assert_array_equal(got, want)
     finally:
         eng.shutdown()
+
+
+def test_engine_chunked_prefill_near_max_len():
+    """The rounded-up final prefill chunk must not write cache rows
+    past max_len (dynamic_update_slice would clamp and corrupt earlier
+    rows — round-4 review finding): the last chunk slides back to end
+    at max_len, rewriting overlapped rows with identical content."""
+    m = _model()                     # max_len = 64 (gpt_tiny default)
+    max_len = m.max_len
+    P = 6
+    t0 = max_len - 3                 # ceil(61/6)*6 = 66 > 64
+    assert -(-t0 // P) * P > max_len
+    eng = GenerationEngine(m, slots=1, chunk_steps=2, prefill_chunk=P)
+    rng = np.random.default_rng(31)
+    prompt = rng.integers(0, 1000, t0).astype(np.int32)
+    try:
+        got = eng.submit(prompt, 3).result(timeout=120)
+        want = m.generate(prompt[None, :], 3)[0]
+        np.testing.assert_array_equal(got, want)
+    finally:
+        eng.shutdown()

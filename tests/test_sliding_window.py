@@ -139,3 +139,17 @@ def test_windowed_engine_matches_generate():
             assert (outs[i] == want).all()
     finally:
         eng.shutdown()
+
+
+def test_windowed_square_causal_with_valid_len_no_nan():
+    """Square-causal + valid_len compose (right-padded prefill): the
+    window must stay ROW-relative — a valid_len-relative lower bound
+    would void every row < valid_len - window and NaN the softmax
+    (round-4 review finding)."""
+    sm = q.layers.QuantSoftmax(causal=True, window=4)
+    x = np.random.default_rng(2).normal(size=(1, 1, 12, 12)).astype(
+        np.float32)
+    out = np.asarray(sm(q.tensor(x), valid_len=jnp.int32(9)).data)
+    assert np.isfinite(out).all()
+    # rows < valid_len still normalize over their causal window
+    np.testing.assert_allclose(out[0, 0, :9].sum(-1), 1.0, rtol=1e-5)
