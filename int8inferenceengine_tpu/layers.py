@@ -1094,18 +1094,30 @@ class QuantSoftmax(Layer):
     ``col >= valid_len - window``.  The decode paths mirror it in the
     flat kernel's span ladder (ops/attention.py), which also caps decode
     DMA/compute at ~window regardless of context length.
+
+    ``softcap`` (gemma family): scores pass ``softcap * tanh(x /
+    softcap)`` BEFORE masking+softmax — tanh is monotone, so greedy
+    argmax over the downstream codes is unaffected; the probability
+    distribution (sampling) is what changes.  Applied on the
+    dequantized f32 scores in both the composed path and the decode
+    kernel's tail (ops/attention.py).
     """
 
     def __init__(self, config: QuantConfig = DEFAULT_CONFIG,
-                 causal: bool = False, window: int | None = None):
+                 causal: bool = False, window: int | None = None,
+                 softcap: float | None = None):
         super().__init__(config)
         self.causal = causal
         self.window = None if window is None else int(window)
+        self.softcap = None if softcap is None else float(softcap)
 
     def _quantize_weights(self):  # no weights to quantize
         pass
 
     def _masked(self, f, valid_len):
+        if self.softcap is not None:
+            c = jnp.float32(self.softcap)
+            f = c * jnp.tanh(f / c)
         tq, tk = f.shape[-2], f.shape[-1]
         window_done = False
         if self.causal and tq > 1 and tq == tk:
@@ -1390,7 +1402,8 @@ def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
         scale_p=smax.scale, zp_p=smax.zero_point,
         scale_c=av.scale, zp_c=av.zero_point,
         alpha=attn.alpha, rounding=attn.config.rounding,
-        window=getattr(smax, "window", None))
+        window=getattr(smax, "window", None),
+        softcap=getattr(smax, "softcap", None))
     t = kc.data.shape[-2]
     _record_cost(attn, 2 * q2.data.size * t,
                  q2.data.size + kc.data.size)
@@ -1442,7 +1455,8 @@ def fused_extend_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
         scale_p=smax.scale, zp_p=smax.zero_point,
         scale_c=av.scale, zp_c=av.zero_point,
         alpha=attn.alpha, rounding=attn.config.rounding,
-        window=getattr(smax, "window", None))
+        window=getattr(smax, "window", None),
+        softcap=getattr(smax, "softcap", None))
     t = kc.data.shape[-2]
     _record_cost(attn, 2 * q3.data.size * t, q3.data.size + kc.data.size)
     _record_cost(av, 2 * out.size * t, vc.data.size + out.size)
@@ -1514,14 +1528,21 @@ class QuantRMSNorm(Layer):
     Same INT8 design as QuantLayerNorm: gamma stays FP32, the f32
     interior runs on the VPU between the int8 GEMMs, and the output is
     requantized to this layer's calibrated range.
+
+    ``unit_offset=True`` (gemma family): the stored weight is a DELTA
+    around one — ``y = x * rsqrt(mean(x^2) + eps) * (1 + weight)`` —
+    matching gemma checkpoints' zero-initialized norm weights.
     """
 
     def __init__(self, dim: int, eps: float = 1e-6,
-                 config: QuantConfig = DEFAULT_CONFIG):
+                 config: QuantConfig = DEFAULT_CONFIG,
+                 unit_offset: bool = False):
         super().__init__(config)
         self.dim = int(dim)
         self.eps = float(eps)
-        self.params = {"weight": jnp.ones((dim,), jnp.float32)}
+        self.unit_offset = bool(unit_offset)
+        init = jnp.zeros if unit_offset else jnp.ones
+        self.params = {"weight": init((dim,), jnp.float32)}
 
     def load_weight(self, w):
         self.params["weight"] = self._load_array(w, (self.dim,),
@@ -1533,7 +1554,10 @@ class QuantRMSNorm(Layer):
 
     def _norm(self, f):
         ms = jnp.mean(jnp.square(f), axis=-1, keepdims=True)
-        return f * lax.rsqrt(ms + self.eps) * self._p("weight")
+        g = self._p("weight")
+        if self.unit_offset:
+            g = 1.0 + g
+        return f * lax.rsqrt(ms + self.eps) * g
 
     def __call__(self, x: Tensor) -> Tensor:
         if x.shape[-1] != self.dim:

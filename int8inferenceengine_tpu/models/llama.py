@@ -172,6 +172,11 @@ class LlamaDecoder(TextDecoder):
         rk, wv = getattr(self, f"rk{i}"), getattr(self, f"wv{i}")
         return (rk.scale, rk.zero_point), (wv.scale, wv.zero_point)
 
+    def _attn_out(self, i, o):
+        # hook: the gemma family post-norms the attention output before
+        # the residual add (models/gemma.py); llama is the identity
+        return o
+
     def _mlp(self, i, x):
         h = getattr(self, f"ln2_{i}")(x)
         gate, silu = getattr(self, f"gate{i}"), getattr(self, f"silu{i}")
@@ -211,7 +216,7 @@ class LlamaDecoder(TextDecoder):
         o = getattr(self, f"av{i}")(p, F.repeat_kv(vh, grp))
         o = F.merge_heads(o)
         o = o.reshape(b * t, o.shape[-1])
-        o = getattr(self, f"proj{i}")(o)
+        o = self._attn_out(i, getattr(self, f"proj{i}")(o))
         x = getattr(self, f"add1_{i}")(x, o)
         return self._mlp(i, x)
 
@@ -245,7 +250,7 @@ class LlamaDecoder(TextDecoder):
             o = av(p, F.repeat_kv(vc, grp))
             o = F.merge_heads(o)
             o = o.reshape(b, o.shape[-1])
-        o = getattr(self, f"proj{i}")(o)
+        o = self._attn_out(i, getattr(self, f"proj{i}")(o))
         x = getattr(self, f"add1_{i}")(x, o)
         return self._mlp(i, x)
 
@@ -282,7 +287,7 @@ class LlamaDecoder(TextDecoder):
             o = av(p, F.repeat_kv(vh4, grp))
             o = F.merge_heads(o)
             o = o.reshape(b * m, o.shape[-1])
-        o = getattr(self, f"proj{i}")(o)
+        o = self._attn_out(i, getattr(self, f"proj{i}")(o))
         x = getattr(self, f"add1_{i}")(x, o)
         return self._mlp(i, x)
 

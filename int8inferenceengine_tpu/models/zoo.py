@@ -254,6 +254,12 @@ def _moe_tiny(**kw):
     return MoEDecoder(**kw)
 
 
+def _gemma_tiny(**kw):
+    from .gemma import GemmaDecoder
+    kw.setdefault("kv_heads", 2)
+    return GemmaDecoder(**kw)
+
+
 def _vit_tiny(**kw):
     from .vit import ViT
     return ViT(**kw)
@@ -303,6 +309,7 @@ MODEL_SPECS = {
     "gpt_tiny": _gpt_tiny,
     "llama_tiny": _llama_tiny,
     "moe_tiny": _moe_tiny,
+    "gemma_tiny": _gemma_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -481,6 +488,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "moe_tiny":
         from .moe import torch_moe
         return torch_moe(kv_heads=2, seed=seed)
+
+    elif name == "gemma_tiny":
+        from .gemma import torch_gemma
+        return torch_gemma(kv_heads=2, seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

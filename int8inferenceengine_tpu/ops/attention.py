@@ -420,7 +420,8 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
                                     n_heads: int, n_kv: int, t: int,
                                     d: int, blk: int, mq: int = 1,
                                     rows: int = 1,
-                                    window: int | None = None):
+                                    window: int | None = None,
+                                    softcap: float | None = None):
     """Merged-dot revision of the flat walk (the committed round-4 note
     above): ONE contiguous DMA of the live [L*blk, C] cache prefix per
     phase (a ``pl.when`` ladder over the live-block count L picks the
@@ -586,7 +587,11 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
             keep = abs_col < valid + rowj_n
             if window is not None:
                 keep = keep & (abs_col >= valid + rowj_n - window)
-            x = jnp.where(keep, s_scr[:, :n], -jnp.inf)
+            sv = s_scr[:, :n]
+            if softcap is not None:
+                cc = f32(softcap)
+                sv = cc * jnp.tanh(sv / cc)
+            x = jnp.where(keep, sv, -jnp.inf)
             mx = jnp.max(x, axis=1, keepdims=True)
             e = jnp.exp(x - mx)
             p = e / jnp.sum(e, axis=1, keepdims=True)
@@ -621,11 +626,12 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "n_kv", "mq",
                                              "merged", "rows", "window",
-                                             "interpret"))
+                                             "softcap", "interpret"))
 def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                            n_heads: int, n_kv: int, mq: int = 1,
                            merged: bool = True, rows: int = 1,
                            window: int | None = None,
+                           softcap: float | None = None,
                            interpret: bool = False):
     bsz, t, c = k3.shape                             # c = n_kv * d
     d = c // n_kv
@@ -639,15 +645,17 @@ def _decode_attn_flat_impl(qg, k3, v3, valid, fparams, iparams, *,
                                  rows=rows)
     else:
         body = _decode_attn_kernel_flat
+    capkw = {} if softcap is None else {"softcap": float(softcap)}
     if merged and window is not None:
         kernel = functools.partial(body, n_heads=n_heads, n_kv=n_kv,
                                    t=t, d=d, blk=blk, mq=mq,
-                                   window=int(window))
+                                   window=int(window), **capkw)
         # windowed buffers/scores only ever hold the span
         buf_t = min(t, (-(-(int(window) + mq - 1) // blk) + 2) * blk)
     else:
         kernel = functools.partial(body, n_heads=n_heads,
-                                   n_kv=n_kv, t=t, d=d, blk=blk, mq=mq)
+                                   n_kv=n_kv, t=t, d=d, blk=blk, mq=mq,
+                                   **capkw)
         buf_t = t
     # [B, R, C] with block (1, R, C): the block's last two dims must be
     # (8, 128)-divisible or equal the array dims — (R, C) equals.
@@ -711,6 +719,7 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                           n_kv_heads: int | None = None,
                           backend: str = "auto", merged: bool | None = None,
                           window: int | None = None,
+                          softcap: float | None = None,
                           interpret: bool = False, **kw):
     """Cached-decode attention on the T-major FLAT cache layout.
 
@@ -797,7 +806,7 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                     // grp).reshape(1, 1, mq * grp, 1)
             vmask = vmask + rowj
         out4 = decode_attention_xla(q4, to4(k3_u8), to4(v3_u8), vmask,
-                                    window=window, **kw)
+                                    window=window, softcap=softcap, **kw)
         if multi:
             # [B, Hkv, m*grp, D] rows (kv, j, g) -> [B, m, H*D]
             return jnp.transpose(
@@ -844,6 +853,8 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                                   rows=_pick_rows(bsz, t, c),
                                   window=(None if window is None
                                           else int(window)),
+                                  softcap=(None if softcap is None
+                                           else float(softcap)),
                                   interpret=interpret)
     if grp == 1 and not multi:
         return out3.reshape(bsz, c)
@@ -857,7 +868,8 @@ def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,
                          scale_k, zp_k, scale_v, zp_v, scale_s, zp_s,
                          scale_p, zp_p, scale_c, zp_c, alpha: float,
                          rounding: str = "trunc",
-                         window: int | None = None):
+                         window: int | None = None,
+                         softcap: float | None = None):
     """Composed decode attention (the oracle): literally QuantMatmul ->
     QuantSoftmax(valid_len) -> QuantMatmul on [B, H, 1, T] scores.
 
@@ -872,6 +884,9 @@ def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,
                     scale_b=scale_k, zp_b=zp_k, scale_c=scale_s, zp_c=zp_s,
                     alpha=alpha, transpose_b=True, rounding=rounding)
     f = quant_ops.dequantize_u8(s, scale_s, zp_s)
+    if softcap is not None:
+        cc = jnp.float32(softcap)
+        f = cc * jnp.tanh(f / cc)
     tq, tk = f.shape[-2], f.shape[-1]
     col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
     keep = col < valid

@@ -39,6 +39,8 @@ ACTIVATIONS = {
     "sigmoid": jax.nn.sigmoid,
     "silu": jax.nn.silu,
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    # the tanh-approximate form (gemma family's gelu_pytorch_tanh)
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
 }
 
 

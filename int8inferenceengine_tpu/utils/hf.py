@@ -72,6 +72,23 @@ _LLAMA_BLOCK = {
     "self_attn.o_proj.bias": "proj{i}.bias",
 }
 
+# gemma-2 block tails: same attention/mlp names as llama, but FOUR
+# norms — post_attention_layernorm is the SANDWICH norm (postn1), not
+# llama's pre-mlp norm (ln2 = pre_feedforward_layernorm here)
+_GEMMA_BLOCK = {
+    "input_layernorm.weight": "ln1_{i}.weight",
+    "self_attn.q_proj.weight": "wq{i}.weight",
+    "self_attn.k_proj.weight": "wk{i}.weight",
+    "self_attn.v_proj.weight": "wv{i}.weight",
+    "self_attn.o_proj.weight": "proj{i}.weight",
+    "post_attention_layernorm.weight": "postn1_{i}.weight",
+    "pre_feedforward_layernorm.weight": "ln2_{i}.weight",
+    "post_feedforward_layernorm.weight": "postn2_{i}.weight",
+    "mlp.gate_proj.weight": "gate{i}.weight",
+    "mlp.up_proj.weight": "up{i}.weight",
+    "mlp.down_proj.weight": "down{i}.weight",
+}
+
 _LLAMA_TOP = {
     "model.embed_tokens.weight": "embed.weight",
     "embed_tokens.weight": "embed.weight",
@@ -111,8 +128,13 @@ _GPT2_TOP = {
 
 
 def detect(keys) -> str | None:
-    """'llama' / 'gpt2' if the key set looks HF-exported, else None
-    (framework-native names pass through untouched)."""
+    """'gemma' / 'llama' / 'gpt2' if the key set looks HF-exported,
+    else None (framework-native names pass through untouched).  gemma
+    is llama-named EXCEPT for its four-norm blocks — the
+    pre_feedforward_layernorm key is the discriminator."""
+    keys = list(keys)
+    if any("pre_feedforward_layernorm" in k for k in keys):
+        return "gemma"
     for k in keys:
         if _LLAMA_PAT.match(k) or k in ("model.embed_tokens.weight",
                                         "embed_tokens.weight"):
@@ -134,8 +156,9 @@ def from_hf(state_dict: dict, arch: str | None = None) -> dict:
                          "load it directly")
     out = {}
     for key, v in state_dict.items():
-        if arch == "llama":
-            if key in _LLAMA_TOP:
+        if arch in ("llama", "gemma"):
+            block = _GEMMA_BLOCK if arch == "gemma" else _LLAMA_BLOCK
+            if key in _LLAMA_TOP:                # same top-level names
                 out[_LLAMA_TOP[key]] = v
                 continue
             m = _LLAMA_PAT.match(key)
@@ -144,10 +167,14 @@ def from_hf(state_dict: dict, arch: str | None = None) -> dict:
                 tail = key[m.end():]
                 if tail.startswith("self_attn.rotary_emb."):
                     continue                         # derived buffer
-                if tail in _LLAMA_BLOCK:
+                if tail in block:
+                    out[block[tail].format(i=i)] = v
+                    continue
+                if arch == "gemma" and tail in _LLAMA_BLOCK:
+                    # qkv biases etc. shared with the llama map
                     out[_LLAMA_BLOCK[tail].format(i=i)] = v
                     continue
-            raise KeyError(f"unrecognized HF llama key: {key}")
+            raise KeyError(f"unrecognized HF {arch} key: {key}")
         else:                                        # gpt2
             if key in _GPT2_TOP:
                 out[_GPT2_TOP[key]] = v

@@ -187,3 +187,48 @@ def test_llama_hf_qkv_biases_qwen_style():
     m = models.build("llama_tiny", mlp_hidden=192, **geo)
     m.load(d)
     assert np.array_equal(np.asarray(m.wq1.params["bias"]), bq)
+
+
+def test_gemma_hf_load_bit_identical():
+    """gemma-2 exports are llama-named EXCEPT the four-norm blocks:
+    post_attention_layernorm is the SANDWICH norm (postn1), and
+    pre/post_feedforward_layernorm map to ln2/postn2.  Tied head."""
+    from int8inferenceengine_tpu.models.gemma import (GemmaDecoder,
+                                                      torch_gemma)
+    geo = dict(vocab_size=151, max_len=32, dim=64, depth=2, heads=4,
+               kv_heads=2, sliding_window=8)
+    tw = torch_gemma(**geo)
+    native = tw.state_dict()
+    import re
+    d = {}
+    for k, v in native.items():
+        if k == "embed.weight":
+            d["model.embed_tokens.weight"] = v
+        elif k == "ln_f.weight":
+            d["model.norm.weight"] = v
+        elif k == "head.weight":
+            continue                         # tied export
+        else:
+            m = re.match(r"(wq|wk|wv|proj|gate|up|down|ln1_|ln2_|"
+                         r"postn1_|postn2_)(\d+)\.weight", k)
+            assert m, k
+            tail = {"wq": "self_attn.q_proj", "wk": "self_attn.k_proj",
+                    "wv": "self_attn.v_proj", "proj": "self_attn.o_proj",
+                    "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+                    "down": "mlp.down_proj",
+                    "ln1_": "input_layernorm",
+                    "postn1_": "post_attention_layernorm",
+                    "ln2_": "pre_feedforward_layernorm",
+                    "postn2_": "post_feedforward_layernorm"}[m.group(1)]
+            d[f"model.layers.{int(m.group(2)) - 1}.{tail}.weight"] = v
+    assert hf.detect(d.keys()) == "gemma"
+    m_hf = GemmaDecoder(**geo)
+    m_hf.load(d)
+    m_nat = GemmaDecoder(**geo)
+    native2 = dict(native)
+    native2["head.weight"] = native["embed.weight"]  # tie manually
+    m_nat.load(native2)
+    x = np.random.default_rng(0).integers(0, 151, (2, 10)).astype(
+        np.int32)
+    assert (np.asarray(m_hf(tensor(x)).data)
+            == np.asarray(m_nat(tensor(x)).data)).all()
