@@ -57,6 +57,16 @@ measured task-level regression, not a proxy metric.
 
 from __future__ import annotations
 
+import os
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # this host pre-imports jax with the remote axon TPU platform;
+    # honoring the env var needs a post-import config update
+    # (CLAUDE.md gotcha)
+    jax.config.update("jax_platforms", "cpu")
+
 import argparse
 import sys
 import time

@@ -16,6 +16,17 @@ Runs on CPU in ~2-3 min (or on TPU as-is).
 import sys
 import tempfile
 
+import os
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # this host pre-imports jax with the remote axon TPU platform;
+    # honoring the env var needs a post-import config update
+    # (CLAUDE.md gotcha)
+    jax.config.update("jax_platforms", "cpu")
+
+
 sys.path.insert(0, ".")
 
 import numpy as np
@@ -88,10 +99,11 @@ def main():
                      "head.weight": "lm_head.weight"}[k]] = v
     m_hf = models.build("llama_tiny", config=cfg)
     m_hf.load(hf_dict)
-    m_nat = models.build("llama_tiny", config=cfg)
-    m_nat.load(tw.state_dict())
-    print(f"HF-named state_dict loads bit-identically: "
-          f"{np.array_equal(m_hf(q.tensor(prompt)).numpy(), m_nat(q.tensor(prompt)).numpy())}")
+    ok_hf = all(
+        np.array_equal(np.asarray(getattr(m_hf, nm).params["weight"]),
+                       getattr(tw, nm).weight.detach().numpy())
+        for nm in ("wq1", "gate1", "down1", "head"))
+    print(f"HF-named state_dict loads bit-identically: {ok_hf}")
 
     # --- continuous-batching engine (multi-chunk syncing) ---------------
     eng = GenerationEngine(m, slots=2, chunk_steps=8, sync_chunks=4)
