@@ -57,7 +57,9 @@ def _gptq_layer(layer, x, damp: float):
     h += np.eye(k) * (damp * float(np.mean(np.diag(h))) + 1e-8)
     hinv = np.linalg.inv(h)
 
-    w4 = cfg.weight_only and cfg.weight_bits == 4
+    # both weight-only W4 and static W4A8 quantize Linear weights to
+    # grouped 4-bit codes (layers.weight_quant_spec is the shared policy)
+    w4 = cfg.weight_bits == 4
     if w4:
         from ..layers import weight_quant_spec
         g = min(cfg.w4_group, k)

@@ -144,3 +144,27 @@ def test_w4a8_checkpoint_roundtrip(tmp_path):
     assert (got == want).all()
     assert (np.asarray(dec2.generate(ids, 4))
             == np.asarray(dec.generate(ids, 4))).all()
+
+
+def test_w4a8_with_gptq_and_adaround():
+    """Pre-convert optimizers ride the shared weight_quant_spec policy
+    for static W4A8 too: GPTQ's stale weight_only gate sent W4A8 layers
+    down the s8 path and tripped its bound assertion (round-4 fix).
+    Both optimizers must produce 4-bit codes the static convert
+    consumes, end to end."""
+    from int8inferenceengine_tpu import utils
+    cfg = QuantConfig(weight_bits=4, rounding="nearest")
+    ids = np.random.default_rng(7).integers(0, 128, (4, 12)).astype(
+        np.int32)
+    for opt in ("gptq", "adaround"):
+        dec = _decoder(config=cfg)
+        dec.prepare()
+        dec(q.tensor(ids))
+        if opt == "gptq":
+            utils.gptq(dec, ids)
+        else:
+            utils.adaround(dec, ids, iters=30)
+        dec.convert()
+        out = np.asarray(dec(q.tensor(ids)).data).astype(np.float32)
+        assert np.isfinite(out).all()
+        assert "w4_packed" in dec.wq1.params
