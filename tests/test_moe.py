@@ -284,3 +284,35 @@ def test_dispatch_validation():
     from int8inferenceengine_tpu.layers import QuantMoE
     with pytest.raises(ValueError, match="dispatch"):
         QuantMoE(8, 16, 4, 2, dispatch="bogus")
+
+
+def test_sparse_dispatch_weight_only_close():
+    """Float serving modes through sparse dispatch: per-expert f32 dots
+    may tile differently than the dense batched dot (the known float
+    program-variant caveat), so allclose — the INT8 path is the
+    bit-exact one."""
+    from int8inferenceengine_tpu.layers import QuantMoE
+    rng = np.random.default_rng(3)
+    E, dim, hid = 8, 64, 128
+    W = dict(
+        router=rng.normal(scale=0.5, size=(E, dim)).astype(np.float32),
+        gate_w=rng.normal(scale=0.1, size=(E, hid, dim)).astype(
+            np.float32),
+        up_w=rng.normal(scale=0.1, size=(E, hid, dim)).astype(
+            np.float32),
+        down_w=rng.normal(scale=0.1, size=(E, dim, hid)).astype(
+            np.float32))
+    x = rng.normal(size=(8, dim)).astype(np.float32)
+    outs = {}
+    for disp in ("dense", "sparse"):
+        m = QuantMoE(dim, hid, E, 2,
+                     config=QuantConfig(weight_only=True),
+                     dispatch=disp)
+        for k, v in W.items():
+            getattr(m, "load_" + k)(v)
+        m.prepare()
+        m(q.tensor(x))
+        m.convert()
+        outs[disp] = np.asarray(m(q.tensor(x)).data)
+    np.testing.assert_allclose(outs["dense"], outs["sparse"],
+                               atol=1e-5, rtol=1e-5)
