@@ -153,3 +153,22 @@ def test_windowed_square_causal_with_valid_len_no_nan():
     assert np.isfinite(out).all()
     # rows < valid_len still normalize over their causal window
     np.testing.assert_allclose(out[0, 0, :9].sum(-1), 1.0, rtol=1e-5)
+
+
+def test_windowed_chunked_prefill_engine():
+    """Window x chunked prefill x engine compose: the large-mq extend
+    runs the composed windowed path (the VMEM auto-guard), the decode
+    chunks run the span-ladder kernel — outputs must equal standalone
+    generate()."""
+    from int8inferenceengine_tpu.serve.generation import GenerationEngine
+    dec, _ = _built(12, geo=dict(vocab_size=128, max_len=64, dim=64,
+                                 depth=2, heads=4, kv_heads=2))
+    eng = GenerationEngine(dec, slots=1, chunk_steps=4, prefill_chunk=8)
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(0, 128, 21).astype(np.int32)   # 3 chunks
+    try:
+        got = eng.submit(prompt, 8).result(timeout=300)
+        want = np.asarray(dec.generate(prompt[None, :], 8))[0]
+        assert (got == want).all()
+    finally:
+        eng.shutdown()
