@@ -16,10 +16,13 @@ hooks:
 * **Attention logit softcapping**: scores pass
   ``cap * tanh(x / cap)`` before masking+softmax
   (``QuantSoftmax(softcap=)``; the decode kernel applies the same cap
-  in its tail — ops/attention.py).  The in-kernel tanh is
-  interpret-validated; if a Mosaic version ever rejects the tanh
-  lowering on real hardware, ``QuantConfig(decode_attention="xla")``
-  routes gemma decode through the composed path unchanged.
+  in its tail — ops/attention.py).  The in-kernel tanh LOWERS AND RUNS
+  on v5e (tools/gemma_window_chip.py, 2026-08-21: bit-exact vs the
+  composed path at T=2048, valid 1/300/1900, every window x softcap
+  combination; the cap costs ~0.4-2 us/call).  If a future Mosaic
+  version ever rejects the tanh lowering,
+  ``QuantConfig(decode_attention="xla")`` routes gemma decode through
+  the composed path unchanged.
 * **Final logit softcapping**: applied on the FP32 forward (torch
   parity); on the INT8 path tanh is monotone so greedy argmax over the
   logit codes is unchanged — the cap is a no-op for greedy decoding
