@@ -47,7 +47,57 @@ from ..module import Module
 from ..ops import functional as F
 from ..tensor import Tensor
 
-__all__ = ["TextDecoder", "torch_text_decoder"]
+__all__ = ["TextDecoder", "torch_text_decoder", "nucleus_code_floor",
+           "nucleus_float_cutoff"]
+
+
+def nucleus_code_floor(codes, s_over_t, p):
+    """Smallest u8 logit code inside the nucleus (top-p) set, per row.
+
+    ``codes`` [B, V] u8 logit codes, ``s_over_t`` [B] = head scale /
+    temperature, ``p`` [B] in (0, 1].  Returns u8 [B]: mask tokens with
+    ``code < floor`` to -inf, then sample.
+
+    TPU-native nucleus: on the 8-bit logit grid every token with the
+    same code has the SAME probability, so the descending-probability
+    order groups into at most 256 code classes and nucleus selection is
+    a CODE THRESHOLD — like the documented top_k-as-threshold, ties at
+    the boundary keep the whole class.  Build the per-row 256-bin code
+    histogram (one scatter-add, O(V)), weight class v by its
+    unnormalized softmax mass ``n_v * exp((v - 255) * s/T)`` (the
+    (zp, 255) shift is a constant factor that cancels against the
+    total), reverse-cumulative-sum (O(256)), and the floor is the
+    largest v whose suffix mass still reaches ``p * total``.  No
+    vocab-length sort — the [B, V]-sized work is one scatter and one
+    compare, so (unlike a static top_k) the threshold is fully dynamic
+    and can differ per row in one compiled program (the serving
+    engine's per-slot top_p rides this).
+
+    f32 note: classes more than ~88/(s/T) codes below the max underflow
+    ``exp`` to exactly 0 mass and are excluded even at p = 1.0 — their
+    true probability is < 1e-38, unreachable by f32 categorical anyway.
+    """
+    hist = jax.vmap(
+        lambda c: jnp.zeros(256, jnp.float32).at[c].add(1.0))(codes)
+    v = jnp.arange(256, dtype=jnp.float32)
+    w = hist * jnp.exp((v[None, :] - 255.0) * s_over_t[:, None])
+    revcum = jnp.cumsum(w[:, ::-1], -1)[:, ::-1]   # [B,256]: sum_{u>=v}
+    ok = revcum >= p[:, None] * revcum[:, :1]
+    return jnp.max(jnp.where(ok, jnp.arange(256), 0), -1).astype(jnp.uint8)
+
+
+def nucleus_float_cutoff(logits_t, p):
+    """Per-row minimum kept logit for nucleus sampling on FLOAT logits
+    (the weight_only serving path has no code grid): sort descending,
+    softmax, keep the smallest prefix whose cumulative mass reaches
+    ``p`` (a position stays iff the mass strictly BEFORE it is < p, so
+    ties at the cutoff keep every tied logit).  ``logits_t`` [B, V]
+    already divided by temperature; ``p`` [B].  Returns [B, 1]."""
+    srt = -jnp.sort(-logits_t, -1)
+    probs = jax.nn.softmax(srt, -1)
+    before = jnp.cumsum(probs, -1) - probs
+    return jnp.min(jnp.where(before < p[:, None], srt, jnp.inf), -1,
+                   keepdims=True)
 
 
 class TextDecoder(Module):
@@ -444,7 +494,8 @@ class TextDecoder(Module):
     def _head_scale_zp(self):
         return float(self.head.scale), int(self.head.zero_point)
 
-    def _pick(self, codes, rng_key, temperature: float, top_k):
+    def _pick(self, codes, rng_key, temperature: float, top_k,
+              top_p=None):
         """Next-token choice from u8 logit codes [B, V].
 
         temperature == 0 -> greedy argmax directly on the codes (the
@@ -452,9 +503,12 @@ class TextDecoder(Module):
         dequantizes).  Otherwise sample jax.random.categorical on the
         dequantized logits / temperature, optionally restricted to the
         top_k codes (ties at the k-th value keep every tied code —
-        top-k on an 8-bit grid is a threshold, not a sort)."""
+        top-k on an 8-bit grid is a threshold, not a sort) and/or the
+        nucleus (top_p) set — on the 8-bit grid nucleus is ALSO a code
+        threshold (``nucleus_code_floor``), no vocab-length sort."""
         if temperature == 0:
             return jnp.argmax(codes, -1).astype(jnp.int32)
+        b = codes.shape[0]
         if codes.dtype == jnp.uint8:
             scale, zp = self._head_scale_zp()
             logits = (codes.astype(jnp.float32) - jnp.float32(zp)) \
@@ -464,17 +518,31 @@ class TextDecoder(Module):
         if top_k is not None:
             kth = lax.top_k(codes, top_k)[0][:, -1:]
             logits = jnp.where(codes >= kth, logits, -jnp.inf)
+        if top_p is not None and top_p < 1.0:
+            p = jnp.full((b,), top_p, jnp.float32)
+            if codes.dtype == jnp.uint8:
+                sot = jnp.full((b,), scale / temperature, jnp.float32)
+                floor = nucleus_code_floor(codes, sot, p)
+                logits = jnp.where(codes >= floor[:, None], logits,
+                                   -jnp.inf)
+            else:
+                lt = logits / jnp.float32(temperature)
+                logits = jnp.where(lt >= nucleus_float_cutoff(lt, p),
+                                   logits, -jnp.inf)
         return jax.random.categorical(
             rng_key, logits / jnp.float32(temperature), -1).astype(jnp.int32)
 
     def generate(self, ids, steps: int, temperature: float = 0.0,
-                 top_k: int | None = None, seed: int = 0):
+                 top_k: int | None = None, top_p: float | None = None,
+                 seed: int = 0):
         """Decode ``steps`` tokens after the prompt ``ids`` [B, T0].
 
         One jitted program: causal prefill + a lax.scan of cached decode
         steps, the PRNG key threaded through the carry.  INT8-only (call
         after convert()).  temperature=0 (default) is greedy; >0 samples
-        softmax(logits/T), optionally over the top_k codes.
+        softmax(logits/T), optionally over the top_k codes and/or the
+        nucleus top_p set (both given: the intersection, standard
+        semantics).
 
         After ``shard()`` the whole program runs under ``shard_map`` on
         the mesh: the batch splits over the data axis and the transformer
@@ -496,8 +564,11 @@ class TextDecoder(Module):
             raise ValueError(
                 f"prompt {t0} + steps {steps} exceeds max_len "
                 f"{self.max_len}")
+        if top_p is not None and not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         mesh = getattr(self, "_mesh", None)
-        key = (b, t0, steps, float(temperature), top_k, id(mesh))
+        key = (b, t0, steps, float(temperature), top_k,
+               None if top_p is None else float(top_p), id(mesh))
         if not hasattr(self, "_gen_cache"):
             self._gen_cache = {}
         fn = self._gen_cache.get(key)
@@ -508,13 +579,15 @@ class TextDecoder(Module):
                     logits0, cache = self._prefill(
                         Tensor(prompt.astype(jnp.float32)))
                     k0, rng = jax.random.split(rng0)
-                    tok0 = self._pick(logits0, k0, temperature, top_k)
+                    tok0 = self._pick(logits0, k0, temperature, top_k,
+                                      top_p)
 
                     def body(carry, _):
                         cache, pos, tok, rng = carry
                         logits, cache = self._decode_step(cache, pos, tok)
                         k, rng = jax.random.split(rng)
-                        nxt = self._pick(logits, k, temperature, top_k)
+                        nxt = self._pick(logits, k, temperature, top_k,
+                                         top_p)
                         return (cache, pos + 1, nxt, rng), nxt
 
                     if steps > 1:

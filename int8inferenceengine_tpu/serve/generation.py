@@ -71,7 +71,14 @@ standalone ``generate()``'s carried-key stream by construction).  The
 greedy-only chunk program carries no sampling cost — a second chunk
 variant compiles only when a sampled request is active.  ``top_k`` is a
 ``generate()``-only feature (a static k can't vary per slot in one
-compiled step).  Optional ``eos_id`` stops a slot early.
+compiled step) — but ``submit(..., top_p=p)`` nucleus sampling IS
+per-request: on the u8 logit grid the nucleus set is a DYNAMIC code
+threshold (a 256-bin histogram reverse-cumsum —
+models.text_decoder.nucleus_code_floor — not a vocab sort), so a
+traced per-slot top_p vector rides the one compiled chunk program;
+a top_p-free sampled program never pays the histogram (separate
+variant, same economics as greedy-vs-sampled).  Optional ``eos_id``
+stops a slot early.
 """
 
 from __future__ import annotations
@@ -116,14 +123,16 @@ class GenerationStats:
 
 class _GenRequest:
     __slots__ = ("prompt", "max_new", "future", "tokens", "t_submit",
-                 "temperature", "seed")
+                 "temperature", "seed", "top_p")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
-                 temperature: float = 0.0, seed: int = 0):
+                 temperature: float = 0.0, seed: int = 0,
+                 top_p: float = 1.0):
         self.prompt = prompt
         self.max_new = max_new
         self.temperature = float(temperature)
         self.seed = int(seed)
+        self.top_p = float(top_p)
         self.future: Future = Future()
         self.tokens: list[int] = []
         self.t_submit = time.perf_counter()
@@ -214,6 +223,7 @@ class GenerationEngine:
         self._pos = jnp.zeros((slots,), jnp.int32)
         self._tok = jnp.zeros((slots,), jnp.int32)
         self._temp = jnp.zeros((slots,), jnp.float32)   # 0 = greedy
+        self._topp = jnp.ones((slots,), jnp.float32)    # 1 = no nucleus
         self._keys = jnp.zeros((slots, 2), jnp.uint32)  # per-slot PRNG
         self._active = [None] * slots      # slot -> _GenRequest | None
         self.stats = GenerationStats()
@@ -226,7 +236,8 @@ class GenerationEngine:
 
     # -- public API -----------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int,
-               temperature: float = 0.0, seed: int = 0) -> Future:
+               temperature: float = 0.0, seed: int = 0,
+               top_p: float = 1.0) -> Future:
         if not self._running:
             raise RuntimeError("engine is shut down")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
@@ -234,11 +245,14 @@ class GenerationEngine:
             raise ValueError("empty prompt")
         if temperature < 0:
             raise ValueError(f"temperature must be >= 0, got {temperature}")
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         if len(prompt) + max_new_tokens > self.model.max_len:
             raise ValueError(
                 f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
                 f"max_len {self.model.max_len}")
-        req = _GenRequest(prompt, max_new_tokens, temperature, seed)
+        req = _GenRequest(prompt, max_new_tokens, temperature, seed,
+                          top_p)
         self._queue.put(req)
         return req.future
 
@@ -252,18 +266,41 @@ class GenerationEngine:
             self._thread.join()
 
     # -- jitted device programs ------------------------------------------------
-    def _pick(self, codes, temps, keys, pos):
+    def _pick(self, codes, temps, keys, pos, topps=None):
         """Per-slot next-token choice: argmax for temp == 0, Gumbel-max
         sampling of logits/temp otherwise.  ``keys`` are per-slot raw
         PRNG keys; the draw is keyed by fold_in(key, pos) so it is
-        deterministic in (seed, position) with no carried key state."""
+        deterministic in (seed, position) with no carried key state.
+
+        ``topps`` (per-slot nucleus top_p, 1.0 = off) is a TRACED
+        vector: the u8 nucleus is a dynamic code threshold
+        (models.text_decoder.nucleus_code_floor — a 256-bin histogram
+        cumsum, no vocab sort), so unlike a static ``top_k`` it can
+        differ per slot inside one compiled chunk program.  The
+        argument is None in the no-top_p program variants so purely
+        temperature-sampled serving never pays the histogram."""
         greedy = jnp.argmax(codes, -1).astype(jnp.int32)
-        if codes.dtype == jnp.uint8:
+        is_u8 = codes.dtype == jnp.uint8
+        if is_u8:
             scale, zp = self.model._head_scale_zp()
             logits = (codes.astype(jnp.float32) - jnp.float32(zp)) \
                 * jnp.float32(scale)
         else:                               # weight_only: float logits
             logits = codes.astype(jnp.float32)
+        if topps is not None:
+            from ..models.text_decoder import (nucleus_code_floor,
+                                               nucleus_float_cutoff)
+            t_safe = jnp.maximum(temps, 1e-6)
+            if is_u8:
+                floor = nucleus_code_floor(codes, scale / t_safe, topps)
+                keep = codes >= floor[:, None]
+            else:
+                lt = logits / t_safe[:, None]
+                keep = lt >= nucleus_float_cutoff(lt, topps)
+            # topps == 1.0 keeps every occupied class; the explicit
+            # gate also spares greedy slots the filter entirely
+            keep = keep | (topps >= 1.0)[:, None]
+            logits = jnp.where(keep, logits, -jnp.inf)
 
         def draw(key, lg, t, p):
             u = jax.random.uniform(jax.random.fold_in(key, p),
@@ -275,18 +312,18 @@ class GenerationEngine:
                                  pos).astype(jnp.int32)
         return jnp.where(temps > 0, sampled, greedy)
 
-    def _prefill_fn(self, bucket: int, n: int):
+    def _prefill_fn(self, bucket: int, n: int, use_topp: bool = False):
         """Batched prefill: ``n`` same-bucket prompts in ONE forward,
         their caches scattered to their slots in one call.  One compile
         per (bucket, n) pair — admits are grouped to power-of-two ``n``
         so the variant count stays tiny while a burst of arrivals costs
         one device round-trip instead of one per request."""
-        fn = self._prefill_fns.get((bucket, n))
+        fn = self._prefill_fns.get((bucket, n, use_topp))
         if fn is None:
             m = self.model
 
             def run(params, caches, slots, prompts_pad, t0s, temps,
-                    keys):
+                    keys, topps):
                 m._bind(params)
                 try:
                     codes, cache1 = m._prefill(
@@ -297,32 +334,38 @@ class GenerationEngine:
                 for i, (k1, v1) in cache1.items():   # [n, T_max, C]
                     gk, gv = caches[i]
                     out[i] = (gk.at[slots].set(k1), gv.at[slots].set(v1))
-                toks = self._pick(codes, temps, keys, t0s - 1)   # [n]
+                toks = self._pick(codes, temps, keys, t0s - 1,
+                                  topps if use_topp else None)   # [n]
                 return out, toks
 
             # donate the cache: it is dead after the call (rebound to
             # the result) and copying the whole multi-layer KV cache per
             # prefill would be pure HBM overhead
             fn = jax.jit(run, donate_argnums=(1,))
-            self._prefill_fns[(bucket, n)] = fn
+            self._prefill_fns[(bucket, n, use_topp)] = fn
         return fn
 
-    def _chunk(self, sampled: bool):
+    def _chunk(self, sampled: bool, use_topp: bool = False):
         """The decode-chunk program; the ``sampled`` variant adds the
         per-slot Gumbel draw and compiles only once a sampled request is
-        actually admitted — pure-greedy serving never pays for it."""
-        fn = self._chunk_fns.get(sampled)
+        actually admitted — pure-greedy serving never pays for it (and
+        the ``use_topp`` variant likewise gates the nucleus histogram
+        on a top_p request being active)."""
+        fn = self._chunk_fns.get((sampled, use_topp))
         if fn is None:
             m, steps = self.model, self.chunk_steps
 
-            def run(params, caches, pos, tok, active, temps, keys):
+            def run(params, caches, pos, tok, active, temps, keys,
+                    topps):
                 m._bind(params)
                 try:
                     def body(carry, _):
                         caches, pos, tok, act = carry
                         codes, caches = m._decode_step(caches, pos, tok)
                         if sampled:
-                            nxt = self._pick(codes, temps, keys, pos)
+                            nxt = self._pick(
+                                codes, temps, keys, pos,
+                                topps if use_topp else None)
                         else:
                             nxt = jnp.argmax(codes, -1).astype(jnp.int32)
                         nxt = jnp.where(act, nxt, tok)
@@ -339,10 +382,10 @@ class GenerationEngine:
                     m._bind(None)
 
             fn = jax.jit(run, donate_argnums=(1, 2, 3))
-            self._chunk_fns[sampled] = fn
+            self._chunk_fns[(sampled, use_topp)] = fn
         return fn
 
-    def _multichunk(self, sampled: bool):
+    def _multichunk(self, sampled: bool, use_topp: bool = False):
         """Up to ``sync_chunks`` chunks as ONE device program: a
         lax.while_loop whose condition counts per-slot remaining tokens
         and EOS on DEVICE, so a saturated engine syncs to the host once
@@ -352,20 +395,22 @@ class GenerationEngine:
         STOPS a slot where the host's counting would have dropped its
         tokens anyway, so request outputs stay bit-identical to
         standalone generate()."""
-        fn = self._multi_fns.get(sampled)
+        fn = self._multi_fns.get((sampled, use_topp))
         if fn is None:
             m, steps = self.model, self.chunk_steps
             kmax, slots = self.sync_chunks, self.slots
 
             def run(params, caches, pos, tok, active, remaining,
-                    temps, keys):
+                    temps, keys, topps):
                 m._bind(params)
                 try:
                     def step(carry, _):
                         caches, pos, tok, act, rem = carry
                         codes, caches = m._decode_step(caches, pos, tok)
                         if sampled:
-                            nxt = self._pick(codes, temps, keys, pos)
+                            nxt = self._pick(
+                                codes, temps, keys, pos,
+                                topps if use_topp else None)
                         else:
                             nxt = jnp.argmax(codes, -1).astype(jnp.int32)
                         nxt = jnp.where(act, nxt, tok)
@@ -402,7 +447,7 @@ class GenerationEngine:
                     m._bind(None)
 
             fn = jax.jit(run, donate_argnums=(1, 2, 3))
-            self._multi_fns[sampled] = fn
+            self._multi_fns[(sampled, use_topp)] = fn
         return fn
 
     def _extend_fn(self):
@@ -469,9 +514,12 @@ class GenerationEngine:
             self._keys = self._keys.at[slot].set(key)
             self._temp = self._temp.at[slot].set(
                 jnp.float32(req.temperature))
+            self._topp = self._topp.at[slot].set(jnp.float32(req.top_p))
             tok0 = int(self._pick(
                 row[None], jnp.full((1,), req.temperature, jnp.float32),
-                key[None], jnp.full((1,), t0 - 1, jnp.int32))[0])
+                key[None], jnp.full((1,), t0 - 1, jnp.int32),
+                (jnp.full((1,), req.top_p, jnp.float32)
+                 if req.top_p < 1.0 else None))[0])
         else:
             tok0 = int(jnp.argmax(row))
         self.stats.prefills += 1
@@ -522,16 +570,19 @@ class GenerationEngine:
             self._active[slot] = req
         temps = np.asarray([req.temperature for _, req in part],
                            np.float32)
+        topps = np.asarray([req.top_p for _, req in part], np.float32)
         keys = np.stack([
             np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
             for _, req in part])
         slots_j = jnp.asarray(slots)
         self._temp = self._temp.at[slots_j].set(jnp.asarray(temps))
+        self._topp = self._topp.at[slots_j].set(jnp.asarray(topps))
         self._keys = self._keys.at[slots_j].set(jnp.asarray(keys))
-        self._caches, toks = self._prefill_fn(bucket, n)(
+        use_topp = bool((topps < 1.0).any())
+        self._caches, toks = self._prefill_fn(bucket, n, use_topp)(
             self._params, self._caches, slots_j,
             jnp.asarray(pad), jnp.asarray(t0s), jnp.asarray(temps),
-            jnp.asarray(keys))
+            jnp.asarray(keys), jnp.asarray(topps))
         toks = np.asarray(toks)
         self.stats.prefills += n
         self._tok = self._tok.at[slots_j].set(jnp.asarray(toks))
@@ -551,6 +602,8 @@ class GenerationEngine:
         self._active[slot] = None
         if req.temperature > 0:       # freed slot reverts to greedy
             self._temp = self._temp.at[slot].set(0.0)
+        if req.top_p < 1.0:
+            self._topp = self._topp.at[slot].set(1.0)
         self.stats.requests += 1
         self.stats.tokens += min(len(req.tokens), req.max_new)
         if len(self.stats.latencies_s) < 10_000:
@@ -631,6 +684,8 @@ class GenerationEngine:
                 n_act = int(sum(r is not None for r in snapshot))
                 sampled = any(r is not None and r.temperature > 0
                               for r in snapshot)
+                use_topp = any(r is not None and r.top_p < 1.0
+                               for r in snapshot)
                 # with nothing queued, no slot refill is possible — run
                 # up to sync_chunks chunks device-side before syncing
                 # (newly submitted requests then wait at most one
@@ -643,10 +698,10 @@ class GenerationEngine:
                             rem[s] = max(1, r.max_new - len(r.tokens))
                     (self._caches, self._pos, self._tok, _, _rem,
                      toks, nchunks, work) = \
-                        self._multichunk(sampled)(
+                        self._multichunk(sampled, use_topp)(
                             self._params, self._caches, self._pos,
                             self._tok, active, jnp.asarray(rem),
-                            self._temp, self._keys)
+                            self._temp, self._keys, self._topp)
                     self.stats.chunks += int(nchunks)
                     # on-device per-chunk live-slot counts: slots drain
                     # mid-program, so n_act * nchunks would overstate
@@ -657,9 +712,10 @@ class GenerationEngine:
                     self.stats.chunks += 1
                     self.stats.chunk_slots_active += n_act
                     self._caches, self._pos, self._tok, _, toks = \
-                        self._chunk(sampled)(
+                        self._chunk(sampled, use_topp)(
                             self._params, self._caches, self._pos,
-                            self._tok, active, self._temp, self._keys)
+                            self._tok, active, self._temp, self._keys,
+                            self._topp)
                     if self.overlap:
                         pending, fetch = (toks, snapshot), pending
                     else:

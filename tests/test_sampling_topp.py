@@ -1,0 +1,159 @@
+"""Nucleus (top-p) sampling: code-threshold math + generate() + engine.
+
+The reference engine has no sampling at all (it is a CNN classifier
+engine); top-p here follows the framework's own top_k-as-threshold
+design (models/text_decoder.py): on the 8-bit logit grid every token
+with the same code has the same probability, so the nucleus set is a
+CODE THRESHOLD computed from a 256-bin histogram reverse-cumsum — no
+vocab-length sort, and (unlike a static top_k) fully dynamic, which is
+what lets the serving engine take a PER-SLOT top_p inside one compiled
+chunk program.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from int8inferenceengine_tpu import models, tensor
+from int8inferenceengine_tpu.config import QuantConfig
+from int8inferenceengine_tpu.models.text_decoder import (
+    nucleus_code_floor, nucleus_float_cutoff)
+from int8inferenceengine_tpu.serve import GenerationEngine
+
+from __graft_entry__ import _load_random_weights
+
+
+def _built_decoder(config=None, vocab=97):
+    rng = np.random.default_rng(0)
+    dec = models.build("gpt_tiny", vocab_size=vocab, max_len=48, dim=64,
+                       depth=2, heads=4,
+                       config=config or QuantConfig())
+    _load_random_weights(dec)
+    if not dec.config.weight_only:
+        dec.prepare()
+        dec(tensor(rng.integers(0, vocab, (2, 8)).astype(np.int32)))
+    dec.convert()
+    return dec
+
+
+def test_code_floor_covers_and_is_minimal():
+    """The floor's suffix mass reaches p (coverage) and the next class
+    up would not (minimality), vs an f64 numpy oracle — tolerances
+    absorb the kernel's f32 cumsum (classes below f32 epsilon of the
+    total merge into it; their true probability is unsampleable)."""
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 256, (4, 500)).astype(np.uint8)
+    sot = np.full((4,), 0.08, np.float32)
+    p = np.asarray([0.1, 0.5, 0.9, 1.0], np.float32)
+    floor = np.asarray(nucleus_code_floor(
+        jnp.asarray(codes), jnp.asarray(sot), jnp.asarray(p)))
+    for b in range(4):
+        w = np.zeros(256)
+        for c in codes[b]:
+            w[c] += np.exp((float(c) - 255.0) * sot[b])
+        rev = np.cumsum(w[::-1])[::-1]
+        tot = rev[0]
+        f = int(floor[b])
+        assert rev[f] / tot >= p[b] * (1 - 1e-4) - 1e-6
+        if f < 255:
+            assert rev[f + 1] / tot <= p[b] * (1 + 1e-4) + 1e-6
+
+
+def test_code_floor_draws_stay_in_nucleus():
+    """Every categorical draw under top_p lands in the oracle nucleus
+    set — the discriminating end-to-end check at the _pick level."""
+    dec = _built_decoder()
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 256, (1, 97)).astype(np.uint8)
+    scale, _ = dec._head_scale_zp()
+    p = 0.4
+    floor = int(np.asarray(nucleus_code_floor(
+        jnp.asarray(codes), jnp.asarray([scale / 1.0], np.float32),
+        jnp.asarray([p], np.float32)))[0])
+    allowed = set(np.nonzero(codes[0] >= floor)[0].tolist())
+    assert 0 < len(allowed) < 97
+    drawn = {
+        int(dec._pick(jnp.asarray(codes), jax.random.PRNGKey(s),
+                      1.0, None, p)[0])
+        for s in range(64)}
+    assert drawn <= allowed
+    # and without the filter the same keys escape the nucleus set
+    free = {
+        int(dec._pick(jnp.asarray(codes), jax.random.PRNGKey(s),
+                      1.0, None, None)[0])
+        for s in range(64)}
+    assert not (free <= allowed)
+
+
+def test_float_cutoff_basics():
+    rng = np.random.default_rng(2)
+    lg = jnp.asarray(rng.normal(size=(3, 50)).astype(np.float32))
+    cut = nucleus_float_cutoff(
+        lg, jnp.asarray([1.0, 0.5, 0.01], np.float32))
+    assert bool((lg[0] >= cut[0, 0]).all())        # p=1 keeps everything
+    assert int((lg[2] >= cut[2, 0]).sum()) == 1    # tiny p: only the max
+
+
+def test_generate_topp_one_equals_absent_and_tiny_is_greedy():
+    dec = _built_decoder()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 97, (2, 6)).astype(np.int32)
+    a = dec.generate(ids, 8, temperature=1.0, seed=3)
+    b = dec.generate(ids, 8, temperature=1.0, top_p=1.0, seed=3)
+    assert (a == b).all()          # p=1.0 is a no-op, bit-identical
+    d = dec.generate(ids, 8, temperature=1.0, top_p=1e-6, seed=3)
+    g = dec.generate(ids, 8)
+    assert (d == g).all()          # p->0 collapses to the argmax class
+    with pytest.raises(ValueError):
+        dec.generate(ids, 4, temperature=1.0, top_p=0.0)
+    with pytest.raises(ValueError):
+        dec.generate(ids, 4, temperature=1.0, top_p=1.5)
+
+
+def test_generate_topp_composes_with_topk():
+    dec = _built_decoder()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 97, (2, 6)).astype(np.int32)
+    out = dec.generate(ids, 8, temperature=0.8, top_k=20, top_p=0.9,
+                       seed=7)
+    assert out.shape == (2, 8)
+    assert (out >= 0).all() and (out < 97).all()
+
+
+def test_generate_topp_weight_only_float_path():
+    dec = _built_decoder(QuantConfig(weight_only=True))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 97, (2, 6)).astype(np.int32)
+    a = dec.generate(ids, 8, temperature=1.0, seed=3)
+    b = dec.generate(ids, 8, temperature=1.0, top_p=1.0, seed=3)
+    assert (a == b).all()
+    d = dec.generate(ids, 8, temperature=1.0, top_p=1e-6, seed=3)
+    g = dec.generate(ids, 8)
+    assert (d == g).all()
+
+
+def test_engine_per_request_topp():
+    """One compiled chunk program serves a greedy slot, a plain-sampled
+    slot, and two top_p slots at once; top_p=1.0 is bit-identical to
+    plain sampling, resubmission is deterministic, and the greedy
+    slot's tokens stay bit-identical to standalone generate()."""
+    dec = _built_decoder()
+    eng = GenerationEngine(dec, slots=4, chunk_steps=4)
+    try:
+        f1 = eng.submit([3, 5, 7], 10)
+        f2 = eng.submit([3, 5, 7], 10, temperature=1.0, seed=5)
+        f3 = eng.submit([3, 5, 7], 10, temperature=1.0, seed=5,
+                        top_p=0.6)
+        f4 = eng.submit([3, 5, 7], 10, temperature=1.0, seed=5,
+                        top_p=1.0)
+        r1, r2, r3, r4 = (f.result() for f in (f1, f2, f3, f4))
+        g = dec.generate(np.asarray([[3, 5, 7]], np.int32), 10)[0]
+        assert (r1 == g).all()
+        assert (r2 == r4).all()
+        r3b = eng.submit([3, 5, 7], 10, temperature=1.0, seed=5,
+                         top_p=0.6).result()
+        assert (r3 == r3b).all()
+        with pytest.raises(ValueError):
+            eng.submit([1], 4, temperature=1.0, top_p=0.0)
+    finally:
+        eng.shutdown()
