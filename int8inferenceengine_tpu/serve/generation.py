@@ -106,6 +106,7 @@ class GenerationStats:
     prefills: int = 0
     chunks: int = 0            # device decode chunks dispatched
     chunk_slots_active: int = 0   # sum of active slots across chunks
+    prefix_hits: int = 0       # admissions served from a cached prefix
     latencies_s: list = dataclasses.field(default_factory=list)
 
     @property
@@ -123,16 +124,17 @@ class GenerationStats:
 
 class _GenRequest:
     __slots__ = ("prompt", "max_new", "future", "tokens", "t_submit",
-                 "temperature", "seed", "top_p")
+                 "temperature", "seed", "top_p", "prefix_id")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
                  temperature: float = 0.0, seed: int = 0,
-                 top_p: float = 1.0):
+                 top_p: float = 1.0, prefix_id: int | None = None):
         self.prompt = prompt
         self.max_new = max_new
         self.temperature = float(temperature)
         self.seed = int(seed)
         self.top_p = float(top_p)
+        self.prefix_id = prefix_id
         self.future: Future = Future()
         self.tokens: list[int] = []
         self.t_submit = time.perf_counter()
@@ -228,6 +230,7 @@ class GenerationEngine:
         self._active = [None] * slots      # slot -> _GenRequest | None
         self.stats = GenerationStats()
         self._prefill_fns: dict[int, object] = {}
+        self._prefixes: dict[int, tuple] = {}   # id -> (tokens, kv rows)
         self._chunk_fns: dict[bool, object] = {}
         self._multi_fns: dict[bool, object] = {}
         self._running = True
@@ -235,14 +238,89 @@ class GenerationEngine:
         self._thread.start()
 
     # -- public API -----------------------------------------------------------
+    def register_prefix(self, tokens) -> int:
+        """Precompute a shared prompt prefix's KV rows ONCE; submissions
+        passing ``prefix_id=`` skip recomputing them (system-prompt /
+        few-shot-context caching).
+
+        TPU-native exactness story: on the static INT8 path cached k/v
+        are u8 codes at FIXED calibrated (scale, zp), and position t's
+        codes depend only on tokens <= t — so a prefix's rows are
+        context-independent and integer-exact regardless of which
+        program computed them.  Registration therefore rides the SAME
+        fixed-shape chunked-extend program as long-prompt prefill
+        (``prefill_chunk`` must be set; jit re-specializes it once for
+        the 1-row scratch cache), and a prefixed request's tokens are
+        BIT-IDENTICAL to submitting the full prompt cold
+        (tests/test_prefix_cache.py).  weight_only serving also works
+        but is float: rows computed chunked may differ in ulps from a
+        bucket prefill's (program-variant tiling), so bit-identity is
+        not guaranteed there — same caveat as the chunked path itself.
+
+        Thread-safe: registration computes into a private scratch cache
+        and only then publishes to the prefix table."""
+        if self.prefill_chunk is None:
+            raise ValueError(
+                "prefix caching rides the chunked-prefill program; "
+                "construct GenerationEngine(..., prefill_chunk=P)")
+        tokens = np.asarray(tokens, np.int32).reshape(-1)
+        t0 = len(tokens)
+        m = self.model
+        if t0 == 0:
+            raise ValueError("empty prefix")
+        if t0 >= m.max_len:
+            raise ValueError(
+                f"prefix {t0} leaves no room under max_len {m.max_len}")
+        P = self.prefill_chunk
+        if m.config.weight_only:
+            shape = (1, m.kv_heads, m.max_len, m.head_dim)
+            dt = jnp.float32
+        else:
+            shape = (1, m.max_len, m.kv_heads * m.head_dim)
+            dt = jnp.uint8
+        caches = {i: (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+                  for i in range(1, m.depth + 1)}
+        fn = self._extend_fn()
+        starts = list(range(0, t0, P))
+        if starts[-1] + P > m.max_len:
+            starts[-1] = m.max_len - P     # same slide-back as admit
+        pad = np.zeros((m.max_len,), np.int32)
+        pad[:t0] = tokens
+        for c0 in starts:
+            caches, _ = fn(self._params, caches, jnp.int32(0),
+                           jnp.asarray(pad[c0:c0 + P]), jnp.int32(c0))
+        if m.config.weight_only:
+            rows = {i: (k[0, :, :t0], v[0, :, :t0])
+                    for i, (k, v) in caches.items()}
+        else:
+            rows = {i: (k[0, :t0], v[0, :t0])
+                    for i, (k, v) in caches.items()}
+        pid = len(self._prefixes) + 1
+        while pid in self._prefixes:
+            pid += 1
+        self._prefixes[pid] = (tokens, rows)
+        return pid
+
     def submit(self, prompt, max_new_tokens: int,
                temperature: float = 0.0, seed: int = 0,
-               top_p: float = 1.0) -> Future:
+               top_p: float = 1.0, prefix_id: int | None = None) -> Future:
         if not self._running:
             raise RuntimeError("engine is shut down")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) == 0:
             raise ValueError("empty prompt")
+        if prefix_id is not None:
+            if prefix_id not in self._prefixes:
+                raise ValueError(f"unknown prefix_id {prefix_id}")
+            pre = self._prefixes[prefix_id][0]
+            if len(prompt) <= len(pre):
+                raise ValueError(
+                    f"prompt ({len(prompt)} tokens) must EXTEND the "
+                    f"{len(pre)}-token prefix by at least one token")
+            if not np.array_equal(prompt[:len(pre)], pre):
+                raise ValueError(
+                    f"prompt does not start with prefix {prefix_id}'s "
+                    "tokens")
         if temperature < 0:
             raise ValueError(f"temperature must be >= 0, got {temperature}")
         if not 0.0 < top_p <= 1.0:
@@ -252,7 +330,7 @@ class GenerationEngine:
                 f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
                 f"max_len {self.model.max_len}")
         req = _GenRequest(prompt, max_new_tokens, temperature, seed,
-                          top_p)
+                          top_p, prefix_id)
         self._queue.put(req)
         return req.future
 
@@ -484,11 +562,28 @@ class GenerationEngine:
         return fn
 
     def _admit_chunked(self, slot: int, req: _GenRequest) -> None:
-        """Prefill one long prompt through fixed-size extend chunks."""
+        """Prefill one long prompt through fixed-size extend chunks;
+        with ``req.prefix_id``, seed the registered prefix's KV rows
+        into the slot first and chunk only the suffix."""
         P = self.prefill_chunk
         t0 = len(req.prompt)
         max_len = self.model.max_len
-        starts = list(range(0, t0, P))
+        base = 0
+        if req.prefix_id is not None:
+            pre_tokens, rows = self._prefixes[req.prefix_id]
+            base = len(pre_tokens)
+            if self.model.config.weight_only:
+                self._caches = {
+                    i: (k.at[slot, :, :base].set(rows[i][0]),
+                        v.at[slot, :, :base].set(rows[i][1]))
+                    for i, (k, v) in self._caches.items()}
+            else:
+                self._caches = {
+                    i: (k.at[slot, :base].set(rows[i][0]),
+                        v.at[slot, :base].set(rows[i][1]))
+                    for i, (k, v) in self._caches.items()}
+            self.stats.prefix_hits += 1
+        starts = list(range(base, t0, P))
         if starts[-1] + P > max_len:
             # the rounded-up final chunk must not write cache rows past
             # max_len (dynamic_update_slice would CLAMP the start and
@@ -539,7 +634,8 @@ class GenerationEngine:
         if self.prefill_chunk is not None:
             rest = []
             for slot, req in pairs:
-                if len(req.prompt) > self.prefill_chunk:
+                if (req.prefix_id is not None
+                        or len(req.prompt) > self.prefill_chunk):
                     self._admit_chunked(slot, req)
                 else:
                     rest.append((slot, req))
