@@ -61,6 +61,7 @@ class GemmaDecoder(LlamaDecoder):
                  mlp_hidden: int | None = None,
                  rope_base: float = 10000.0,
                  sliding_window: int | None = 32,
+                 ring_cache: bool = False,
                  attn_softcap: float = 50.0,
                  final_softcap: float = 30.0,
                  eps: float = 1e-6,
@@ -79,6 +80,12 @@ class GemmaDecoder(LlamaDecoder):
                            else int(mlp_hidden))
         self.sliding_window = (None if sliding_window is None
                                else int(sliding_window))
+        # ring caches apply to the LOCAL (windowed, odd) blocks only;
+        # global blocks keep max_len rows (TextDecoder._cache_rows
+        # decides per layer from each smax's window)
+        if ring_cache and self.sliding_window is None:
+            raise ValueError("ring_cache requires sliding_window")
+        self.ring_cache = bool(ring_cache)
         self.attn_softcap = float(attn_softcap)
         self.final_softcap = float(final_softcap)
         self.INPUT_SHAPE = (max_len,)

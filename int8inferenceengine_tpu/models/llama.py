@@ -85,6 +85,7 @@ class LlamaDecoder(TextDecoder):
                  kv_heads: int | None = None, mlp_hidden: int | None = None,
                  rope_base: float = 10000.0, rope_scaling=None,
                  sliding_window: int | None = None,
+                 ring_cache: bool = False,
                  eps: float = 1e-6,
                  config: QuantConfig = DEFAULT_CONFIG):
         Module.__init__(self, config)
@@ -109,6 +110,13 @@ class LlamaDecoder(TextDecoder):
         # rolling ring cache is the follow-on memory lever).
         self.sliding_window = (None if sliding_window is None
                                else int(sliding_window))
+        # ring_cache=True: windowed layers allocate roundup32(2W) cache
+        # rows instead of max_len and slide by compaction (one W-row
+        # contiguous copy per R-W steps) — generate()-only memory lever
+        # for long contexts; see TextDecoder._cache_rows.
+        if ring_cache and self.sliding_window is None:
+            raise ValueError("ring_cache requires sliding_window")
+        self.ring_cache = bool(ring_cache)
         self.INPUT_SHAPE = (max_len,)
         kv_dim = kv_heads * self.head_dim
         self.embed = QuantEmbed(vocab_size, dim, config=config)

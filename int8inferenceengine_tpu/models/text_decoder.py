@@ -231,11 +231,48 @@ class TextDecoder(Module):
         wk, wv = getattr(self, f"wk{i}"), getattr(self, f"wv{i}")
         return (wk.scale, wk.zero_point), (wv.scale, wv.zero_point)
 
-    def _prefill(self, ids, last=None):
+    # -- ring KV cache (sliding-window layers) -------------------------------
+    def _layer_window(self, i):
+        """Layer i's sliding window (None = global attention)."""
+        return getattr(getattr(self, f"smax{i}"), "window", None)
+
+    def _cache_rows(self, i) -> int:
+        """Allocated KV-cache rows for layer i.
+
+        With ``ring_cache=True`` (llama/gemma families) a windowed
+        layer's cache holds only R = roundup32(2W) rows instead of
+        max_len — windowed attention never reads past the last W
+        positions, so the cache slides by COMPACTION: when the R rows
+        fill, one contiguous W-row block copy moves the live window to
+        the front (amortized W rows per R-W steps ~ 1 row/step; row r
+        holds absolute position base + r, base closed-form in pos, and
+        reads stay contiguous so the flat decode kernel and the
+        composed path both run UNCHANGED — no wraparound indexing
+        anywhere).  Global layers (and everything when the flag is off)
+        keep max_len rows."""
+        w = self._layer_window(i)
+        if w is None or not getattr(self, "ring_cache", False):
+            return self.max_len
+        r = -(-2 * int(w) // 32) * 32
+        return min(self.max_len, r)
+
+    @staticmethod
+    def _ring_base(pos, rows: int, window: int):
+        """Closed-form ring base: rows [0, R) hold absolute positions
+        [base, base+R); base advances by S = R - W each time pos - base
+        reaches R, so pos - base stays in [W, R-1] at steady state
+        (floor division toward -inf makes the max() clamp exact for
+        pos < R)."""
+        s = rows - window
+        return s * jnp.maximum(0, 1 + (pos - rows) // s)
+
+    def _prefill(self, ids, last=None, full_cache=False):
         """Full causal forward over the prompt; returns (last-token logit
         codes, cache) with each layer's k/v codes written at positions
         [0, T0).  ``last`` ([B] or scalar, traced): true prompt lengths
-        when ids are right-padded — logits come from row last-1."""
+        when ids are right-padded — logits come from row last-1.
+        ``full_cache=True`` forces max_len rows even on a ring_cache
+        model (the serving engine's slot caches are full-length)."""
         b, t0 = ids.data.shape
         x = self._stem(ids)
         x = x.reshape(b * t0, self.dim)
@@ -245,6 +282,16 @@ class TextDecoder(Module):
             x = self._block(i, x, b, t0, capture=cap, start=0)
             kf, vf = cap[i]                          # FLAT [B, T0, C] rows
             dt = kf.data.dtype
+            rows_i = self.max_len if full_cache else self._cache_rows(i)
+            if t0 > rows_i:
+                # ring cache: keep only the tail rows that decode's
+                # steady-state base formula expects (same closed form,
+                # static here since t0 is a trace constant)
+                w = self._layer_window(i)
+                s = rows_i - w
+                base0 = s * (1 + (t0 - 1 - rows_i) // s)
+            else:
+                base0 = 0
             if kf.quantized:
                 # u8 codes (W8A8): T-major flat buffers [B, T_max, C] —
                 # appends are contiguous row writes and the decode kernel
@@ -252,11 +299,13 @@ class TextDecoder(Module):
                 # captured rows are a LOCAL channel shard, so each device
                 # stores only its heads' cache.
                 c_loc = kf.data.shape[-1]
-                k_buf = jnp.zeros((b, self.max_len, c_loc), dt)
-                v_buf = jnp.zeros((b, self.max_len, c_loc), dt)
+                k_buf = jnp.zeros((b, rows_i, c_loc), dt)
+                v_buf = jnp.zeros((b, rows_i, c_loc), dt)
                 cache[i] = (
-                    lax.dynamic_update_slice(k_buf, kf.data, (0, 0, 0)),
-                    lax.dynamic_update_slice(v_buf, vf.data, (0, 0, 0)),
+                    lax.dynamic_update_slice(
+                        k_buf, kf.data[:, base0:], (0, 0, 0)),
+                    lax.dynamic_update_slice(
+                        v_buf, vf.data[:, base0:], (0, 0, 0)),
                 )
             else:
                 # float cache (weight_only modes): the composed attention
@@ -266,11 +315,13 @@ class TextDecoder(Module):
                 kh = F.split_heads(kf, self.kv_heads)
                 vh = F.split_heads(vf, self.kv_heads)
                 h_loc, hd = kh.data.shape[1], kh.data.shape[3]
-                k_buf = jnp.zeros((b, h_loc, self.max_len, hd), dt)
-                v_buf = jnp.zeros((b, h_loc, self.max_len, hd), dt)
+                k_buf = jnp.zeros((b, h_loc, rows_i, hd), dt)
+                v_buf = jnp.zeros((b, h_loc, rows_i, hd), dt)
                 cache[i] = (
-                    lax.dynamic_update_slice(k_buf, kh.data, (0, 0, 0, 0)),
-                    lax.dynamic_update_slice(v_buf, vh.data, (0, 0, 0, 0)),
+                    lax.dynamic_update_slice(
+                        k_buf, kh.data[:, :, base0:], (0, 0, 0, 0)),
+                    lax.dynamic_update_slice(
+                        v_buf, vh.data[:, :, base0:], (0, 0, 0, 0)),
                 )
         x = self.ln_f(x)
         # u8 logit CODES — argmax over codes == argmax over dequantized
@@ -302,9 +353,40 @@ class TextDecoder(Module):
             cap = {}
             k_cache, v_cache = cache[i]
             (ks, kzp), (vs, vzp) = self._kv_scales(i)
+            # ring cache (a static property of the ALLOCATED rows, so
+            # the serving engine's full-size caches take the plain path
+            # through this same function): shift-compact when full,
+            # then everything downstream works in row coordinates
+            row_ax = 2 if k_cache.ndim == 4 else 1
+            rows_total = k_cache.shape[row_ax]
+            if rows_total < self.max_len:
+                if per_slot:
+                    raise NotImplementedError(
+                        "ring caches are generate()-only; the serving "
+                        "engine allocates full-length caches")
+                w = self._layer_window(i)
+                s = rows_total - w
+                base = self._ring_base(pos, rows_total, w)
+                shift = base > self._ring_base(pos - 1, rows_total, w)
+
+                def _compact(kv, s=s, w=w, ax=row_ax):
+                    k, v = kv
+                    return (lax.dynamic_update_slice_in_dim(
+                                k, lax.dynamic_slice_in_dim(k, s, w, ax),
+                                0, ax),
+                            lax.dynamic_update_slice_in_dim(
+                                v, lax.dynamic_slice_in_dim(v, s, w, ax),
+                                0, ax))
+
+                k_cache, v_cache = lax.cond(
+                    shift, _compact, lambda kv: kv, (k_cache, v_cache))
+                row = pos - base       # write row; window rows precede it
+                vi = valid - base      # live rows; masks stay relative
+            else:
+                row, vi = pos, valid
 
             def kv_hook(cap=cap, i=i, k_cache=k_cache, v_cache=v_cache,
-                        ks=ks, kzp=kzp, vs=vs, vzp=vzp):
+                        ks=ks, kzp=kzp, vs=vs, vzp=vzp, pos=row):
                 kf, vf = cap[i]                      # FLAT [B, 1, C] rows
                 sharded = kf._tp_sharded
                 if not kf.quantized:
@@ -340,7 +422,7 @@ class TextDecoder(Module):
                 return (Tensor(kc, ks, kzp, _tp_sharded=sharded),
                         Tensor(vc, vs, vzp, _tp_sharded=sharded))
 
-            x = self._block_decode(i, x, b, valid, cap, kv_hook, pos=pos)
+            x = self._block_decode(i, x, b, vi, cap, kv_hook, pos=pos)
         x = self.ln_f(x)
         return self.head(x).data, new_cache      # u8 logit codes [B, V]
 
@@ -404,6 +486,14 @@ class TextDecoder(Module):
         serving / per-row speculative acceptance).
         """
         b, m = toks.shape
+        for i in range(1, self.depth + 1):
+            k0 = cache[i][0]
+            if k0.shape[2 if k0.ndim == 4 else 1] < self.max_len:
+                raise NotImplementedError(
+                    "multi-token extends over a RING cache would need "
+                    "mid-chunk compaction; spec decode / chunked "
+                    "prefill require full-length caches "
+                    "(ring_cache=False)")
         per_slot = getattr(pos, "ndim", 0) == 1
         x = self._stem(Tensor(toks.astype(jnp.float32)), start=pos)
         x = x.reshape(b * m, self.dim)

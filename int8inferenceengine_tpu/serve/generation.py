@@ -231,6 +231,7 @@ class GenerationEngine:
         self.stats = GenerationStats()
         self._prefill_fns: dict[int, object] = {}
         self._prefixes: dict[int, tuple] = {}   # id -> (tokens, kv rows)
+        self._seed_fns: dict[int, object] = {}  # prefix len -> jitted seed
         self._chunk_fns: dict[bool, object] = {}
         self._multi_fns: dict[bool, object] = {}
         self._running = True
@@ -405,7 +406,8 @@ class GenerationEngine:
                 m._bind(params)
                 try:
                     codes, cache1 = m._prefill(
-                        Tensor(prompts_pad.astype(jnp.float32)), last=t0s)
+                        Tensor(prompts_pad.astype(jnp.float32)), last=t0s,
+                        full_cache=True)
                 finally:
                     m._bind(None)
                 out = {}
@@ -561,6 +563,37 @@ class GenerationEngine:
             self._extend_jit = fn
         return fn
 
+    def _seed_fn(self, base: int):
+        """Jitted whole-cache prefix seeding: write all layers' prefix
+        rows into one slot in a single donated device program.  One
+        compile per distinct prefix LENGTH (shapes fix everything
+        else)."""
+        fn = self._seed_fns.get(base)
+        if fn is None:
+            wo = self.model.config.weight_only
+
+            def run(caches, rows, slot):
+                out = {}
+                for i, (k, v) in caches.items():
+                    pk, pv = rows[i]
+                    if wo:      # head-split float [slots, Hkv, T, D]
+                        out[i] = (
+                            lax.dynamic_update_slice(
+                                k, pk[None], (slot, 0, 0, 0)),
+                            lax.dynamic_update_slice(
+                                v, pv[None], (slot, 0, 0, 0)))
+                    else:       # T-major flat u8 [slots, T, C]
+                        out[i] = (
+                            lax.dynamic_update_slice(
+                                k, pk[None], (slot, 0, 0)),
+                            lax.dynamic_update_slice(
+                                v, pv[None], (slot, 0, 0)))
+                return out
+
+            fn = jax.jit(run, donate_argnums=(0,))
+            self._seed_fns[base] = fn
+        return fn
+
     def _admit_chunked(self, slot: int, req: _GenRequest) -> None:
         """Prefill one long prompt through fixed-size extend chunks;
         with ``req.prefix_id``, seed the registered prefix's KV rows
@@ -572,16 +605,12 @@ class GenerationEngine:
         if req.prefix_id is not None:
             pre_tokens, rows = self._prefixes[req.prefix_id]
             base = len(pre_tokens)
-            if self.model.config.weight_only:
-                self._caches = {
-                    i: (k.at[slot, :, :base].set(rows[i][0]),
-                        v.at[slot, :, :base].set(rows[i][1]))
-                    for i, (k, v) in self._caches.items()}
-            else:
-                self._caches = {
-                    i: (k.at[slot, :base].set(rows[i][0]),
-                        v.at[slot, :base].set(rows[i][1]))
-                    for i, (k, v) in self._caches.items()}
+            # ONE jitted, cache-donating program writes every layer's
+            # prefix rows — per-layer .at[].set dispatches cost a full
+            # cache copy + a tunnel dispatch EACH (measured 2026-08-21:
+            # 24 dispatches made the prefixed TTFT 83 ms vs 42 cold)
+            self._caches = self._seed_fn(base)(
+                self._caches, rows, jnp.int32(slot))
             self.stats.prefix_hits += 1
         starts = list(range(base, t0, P))
         if starts[-1] + P > max_len:

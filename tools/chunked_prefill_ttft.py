@@ -64,6 +64,30 @@ def main():
             print(f"  T={t:5d}: warm {best*1e3:8.1f} ms "
                   f"({t/best/1e3:.0f}k prefill tok/s; "
                   f"{-(-t//P)} chunks; cold {cold:.1f}s)", flush=True)
+        # prefix-caching leg: a long registered prefix + a short
+        # suffix should cost ~suffix chunks, not ~prompt chunks
+        for t_pre in (1024, 1900):
+            prefix = rng.integers(0, VOCAB, (t_pre,)).astype(np.int32)
+            t0 = time.perf_counter()
+            pid = eng.register_prefix(prefix)
+            reg = time.perf_counter() - t0
+            suf = rng.integers(0, VOCAB, (16,)).astype(np.int32)
+            full = np.concatenate([prefix, suf])
+            eng.submit(full, max_new_tokens=1, prefix_id=pid).result()
+            best_p = best_c = float("inf")
+            for trial in range(3):
+                suf2 = ((suf + trial + 1) % VOCAB).astype(np.int32)
+                f2 = np.concatenate([prefix, suf2])
+                t1 = time.perf_counter()
+                eng.submit(f2, max_new_tokens=1,
+                           prefix_id=pid).result()
+                best_p = min(best_p, time.perf_counter() - t1)
+                t1 = time.perf_counter()
+                eng.submit(f2, max_new_tokens=1).result()
+                best_c = min(best_c, time.perf_counter() - t1)
+            print(f"  prefix {t_pre:4d} + 16 suffix: TTFT "
+                  f"{best_p*1e3:6.1f} ms vs cold {best_c*1e3:6.1f} ms "
+                  f"(register {reg:.2f}s)", flush=True)
     finally:
         eng.shutdown()
 
