@@ -1595,7 +1595,8 @@ class QuantRoPE(Layer):
     """
 
     def __init__(self, head_dim: int, base: float = 10000.0,
-                 config: QuantConfig = DEFAULT_CONFIG, scaling=None):
+                 config: QuantConfig = DEFAULT_CONFIG, scaling=None,
+                 rotary_dim: int | None = None):
         super().__init__(config)
         if head_dim % 2:
             raise ValueError(f"RoPE head_dim must be even, got {head_dim}")
@@ -1605,6 +1606,20 @@ class QuantRoPE(Layer):
         # ops/rope.rope_angles; static in position, so the cache
         # invariant is untouched
         self.scaling = tuple(scaling) if scaling is not None else None
+        # partial rotary (gpt-neox rotary_pct / phi rotary_dim): only
+        # the first rotary_dim channels of each head rotate; the rest
+        # pass through (and requantize onto this layer's grid like any
+        # boundary).  Same half-split pair layout within the rotary
+        # slice as HF's rotate_half, so checkpoints load unchanged.
+        if rotary_dim is not None:
+            rotary_dim = int(rotary_dim)
+            if rotary_dim % 2 or not 0 < rotary_dim <= self.head_dim:
+                raise ValueError(
+                    f"rotary_dim must be even in (0, {self.head_dim}], "
+                    f"got {rotary_dim}")
+            if rotary_dim == self.head_dim:
+                rotary_dim = None
+        self.rotary_dim = rotary_dim
 
     def _quantize_weights(self):  # no weights to quantize
         pass
@@ -1612,17 +1627,19 @@ class QuantRoPE(Layer):
     def _rotate(self, f, start):
         from .ops.rope import apply_rope, rope_angles
         t = f.shape[-2]
+        r = self.rotary_dim or self.head_dim
         pos = jnp.arange(t, dtype=jnp.int32)
         if getattr(start, "ndim", 0) == 1:          # per-slot [B] starts
             pos = start[:, None] + pos              # [B, T]
-            cos, sin = rope_angles(pos, self.head_dim, self.base,
-                                   self.scaling)
-            cos, sin = cos[:, None], sin[:, None]   # [B, 1, T, D/2]
+            cos, sin = rope_angles(pos, r, self.base, self.scaling)
+            cos, sin = cos[:, None], sin[:, None]   # [B, 1, T, r/2]
         else:
             pos = start + pos                       # [T]
-            cos, sin = rope_angles(pos, self.head_dim, self.base,
-                                   self.scaling)
-        return apply_rope(f, cos, sin)
+            cos, sin = rope_angles(pos, r, self.base, self.scaling)
+        if self.rotary_dim is None:
+            return apply_rope(f, cos, sin)
+        return jnp.concatenate(
+            [apply_rope(f[..., :r], cos, sin), f[..., r:]], axis=-1)
 
     def __call__(self, x: Tensor, start=0) -> Tensor:
         if x.shape[-1] != self.head_dim:

@@ -185,6 +185,14 @@ class LlamaDecoder(TextDecoder):
         # the residual add (models/gemma.py); llama is the identity
         return o
 
+    def _residual(self, i, x, o):
+        # hook: the block tail after attention.  Llama/gemma are
+        # SEQUENTIAL (mlp reads the post-attention residual); the
+        # neox/phi family overrides with the PARALLEL form
+        # x + attn(ln1 x) + mlp(ln2 x) (models/neox.py).
+        x = getattr(self, f"add1_{i}")(x, o)
+        return self._mlp(i, x)
+
     def _mlp(self, i, x):
         h = getattr(self, f"ln2_{i}")(x)
         gate, silu = getattr(self, f"gate{i}"), getattr(self, f"silu{i}")
@@ -225,8 +233,7 @@ class LlamaDecoder(TextDecoder):
         o = F.merge_heads(o)
         o = o.reshape(b * t, o.shape[-1])
         o = self._attn_out(i, getattr(self, f"proj{i}")(o))
-        x = getattr(self, f"add1_{i}")(x, o)
-        return self._mlp(i, x)
+        return self._residual(i, x, o)
 
     def _block_decode(self, i, x, b, valid, cap, kv_hook, pos=0):
         h = getattr(self, f"ln1_{i}")(x)
@@ -259,8 +266,7 @@ class LlamaDecoder(TextDecoder):
             o = F.merge_heads(o)
             o = o.reshape(b, o.shape[-1])
         o = self._attn_out(i, getattr(self, f"proj{i}")(o))
-        x = getattr(self, f"add1_{i}")(x, o)
-        return self._mlp(i, x)
+        return self._residual(i, x, o)
 
     def _block_extend(self, i, x, b, m, valid, cap, kv_hook, pos=0):
         """m-row cached block (speculative verify): RoPE at positions
@@ -296,8 +302,7 @@ class LlamaDecoder(TextDecoder):
             o = F.merge_heads(o)
             o = o.reshape(b * m, o.shape[-1])
         o = self._attn_out(i, getattr(self, f"proj{i}")(o))
-        x = getattr(self, f"add1_{i}")(x, o)
-        return self._mlp(i, x)
+        return self._residual(i, x, o)
 
 
 def torch_llama(vocab_size: int = 1000, max_len: int = 64, dim: int = 128,

@@ -260,6 +260,11 @@ def _gemma_tiny(**kw):
     return GemmaDecoder(**kw)
 
 
+def _neox_tiny(**kw):
+    from .neox import NeoXDecoder
+    return NeoXDecoder(**kw)
+
+
 def _vit_tiny(**kw):
     from .vit import ViT
     return ViT(**kw)
@@ -310,6 +315,7 @@ MODEL_SPECS = {
     "llama_tiny": _llama_tiny,
     "moe_tiny": _moe_tiny,
     "gemma_tiny": _gemma_tiny,
+    "neox_tiny": _neox_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -492,6 +498,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "gemma_tiny":
         from .gemma import torch_gemma
         return torch_gemma(kv_heads=2, seed=seed)
+
+    elif name == "neox_tiny":
+        from .neox import torch_neox
+        return torch_neox(seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

@@ -84,7 +84,7 @@ class Module:
         detected and translated automatically (utils/hf.py).
         """
         from .utils.hf import maybe_from_hf
-        state_dict = maybe_from_hf(state_dict)
+        state_dict = maybe_from_hf(state_dict, self)
         for key, value in state_dict.items():
             path, attr = key.rsplit(".", 1)
             obj = self

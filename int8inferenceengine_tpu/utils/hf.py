@@ -53,6 +53,7 @@ def _split3(v, axis):
 
 _LLAMA_PAT = re.compile(r"^(?:model\.)?layers\.(\d+)\.")
 _GPT2_PAT = re.compile(r"^(?:transformer\.)?h\.(\d+)\.")
+_NEOX_PAT = re.compile(r"^(?:gpt_neox\.)?layers\.(\d+)\.")
 
 # per-block llama key tails -> framework layer names (1-indexed fmt)
 _LLAMA_BLOCK = {
@@ -114,6 +115,55 @@ _GPT2_BLOCK_BIAS = {
     "mlp.c_fc.bias": "fc1_{i}.bias",
     "mlp.c_proj.bias": "fc2_{i}.bias",
 }
+# gpt_neox per-block tails (fused query_key_value is per-HEAD
+# interleaved [H, 3, D] — unlike gpt2's [q_all, k_all, v_all] thirds —
+# so the split needs n_heads; Module.load passes the model through)
+_NEOX_BLOCK = {
+    "input_layernorm.weight": "ln1_{i}.weight",
+    "input_layernorm.bias": "ln1_{i}.bias",
+    "post_attention_layernorm.weight": "ln2_{i}.weight",
+    "post_attention_layernorm.bias": "ln2_{i}.bias",
+    "attention.dense.weight": "proj{i}.weight",
+    "attention.dense.bias": "proj{i}.bias",
+    "mlp.dense_h_to_4h.weight": "fc1_{i}.weight",
+    "mlp.dense_h_to_4h.bias": "fc1_{i}.bias",
+    "mlp.dense_4h_to_h.weight": "fc2_{i}.weight",
+    "mlp.dense_4h_to_h.bias": "fc2_{i}.bias",
+}
+_NEOX_TOP = {
+    "gpt_neox.embed_in.weight": "embed.weight",
+    "embed_in.weight": "embed.weight",
+    "gpt_neox.final_layer_norm.weight": "ln_f.weight",
+    "gpt_neox.final_layer_norm.bias": "ln_f.bias",
+    "final_layer_norm.weight": "ln_f.weight",
+    "final_layer_norm.bias": "ln_f.bias",
+    "embed_out.weight": "head.weight",
+}
+
+
+def _split_qkv_interleaved(v, n_heads: int, axis: int):
+    """De-interleave a NeoX fused qkv tensor: the fused axis is laid
+    out [H, 3, D] (per-head q,k,v triples).  Returns (q, k, v)."""
+    import numpy as np
+    arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    n = arr.shape[axis]
+    if n % (3 * n_heads):
+        raise ValueError(
+            f"fused query_key_value dim {n} not divisible by "
+            f"3 * n_heads ({n_heads})")
+    d = n // (3 * n_heads)
+    shp = list(arr.shape)
+    shp[axis:axis + 1] = [n_heads, 3, d]
+    a4 = arr.reshape(shp)
+    parts = []
+    for j in range(3):
+        pj = np.take(a4, j, axis=axis + 1)       # [.., H, D, ..]
+        shp2 = list(pj.shape)
+        shp2[axis:axis + 2] = [n_heads * d]
+        parts.append(pj.reshape(shp2))
+    return parts
+
+
 _GPT2_TOP = {
     "wte.weight": "embed.weight",
     "transformer.wte.weight": "embed.weight",
@@ -135,6 +185,9 @@ def detect(keys) -> str | None:
     keys = list(keys)
     if any("pre_feedforward_layernorm" in k for k in keys):
         return "gemma"
+    if any(_NEOX_PAT.match(k) and ".attention." in k for k in keys) \
+            or any(k in _NEOX_TOP for k in keys):
+        return "neox"
     for k in keys:
         if _LLAMA_PAT.match(k) or k in ("model.embed_tokens.weight",
                                         "embed_tokens.weight"):
@@ -145,7 +198,8 @@ def detect(keys) -> str | None:
     return None
 
 
-def from_hf(state_dict: dict, arch: str | None = None) -> dict:
+def from_hf(state_dict: dict, arch: str | None = None,
+            n_heads: int | None = None) -> dict:
     """Translate an HF llama/gpt2 state_dict into this framework's
     names (see module docstring for the non-name transformations).
     Unknown keys raise — silently dropping a weight would produce a
@@ -156,7 +210,42 @@ def from_hf(state_dict: dict, arch: str | None = None) -> dict:
                          "load it directly")
     out = {}
     for key, v in state_dict.items():
-        if arch in ("llama", "gemma"):
+        if arch == "neox":
+            if key in _NEOX_TOP:
+                out[_NEOX_TOP[key]] = v
+                continue
+            m = _NEOX_PAT.match(key)
+            if m:
+                i = int(m.group(1)) + 1
+                tail = key[m.end():]
+                if tail.startswith("attention.rotary_emb.") or tail in (
+                        "attention.bias", "attention.masked_bias"):
+                    continue                         # derived buffers
+                if tail in _NEOX_BLOCK:
+                    out[_NEOX_BLOCK[tail].format(i=i)] = v
+                    continue
+                if tail == "attention.query_key_value.weight":
+                    if n_heads is None:
+                        raise ValueError(
+                            "NeoX fused query_key_value needs n_heads "
+                            "(Module.load passes it automatically)")
+                    for name, part in zip(
+                            ("wq", "wk", "wv"),
+                            _split_qkv_interleaved(v, n_heads, 0)):
+                        out[f"{name}{i}.weight"] = part
+                    continue
+                if tail == "attention.query_key_value.bias":
+                    if n_heads is None:
+                        raise ValueError(
+                            "NeoX fused query_key_value needs n_heads "
+                            "(Module.load passes it automatically)")
+                    for name, part in zip(
+                            ("wq", "wk", "wv"),
+                            _split_qkv_interleaved(v, n_heads, 0)):
+                        out[f"{name}{i}.bias"] = part
+                    continue
+            raise KeyError(f"unrecognized HF neox key: {key}")
+        elif arch in ("llama", "gemma"):
             block = _GEMMA_BLOCK if arch == "gemma" else _LLAMA_BLOCK
             if key in _LLAMA_TOP:                # same top-level names
                 out[_LLAMA_TOP[key]] = v
@@ -214,8 +303,12 @@ def from_hf(state_dict: dict, arch: str | None = None) -> dict:
     return out
 
 
-def maybe_from_hf(state_dict: dict) -> dict:
+def maybe_from_hf(state_dict: dict, model=None) -> dict:
     """``from_hf`` when the keys look HF-exported, identity otherwise
-    (the Module.load hook)."""
-    return (from_hf(state_dict) if detect(state_dict.keys())
-            else state_dict)
+    (the Module.load hook; ``model`` supplies n_heads for the NeoX
+    fused-qkv de-interleave)."""
+    arch = detect(state_dict.keys())
+    if arch is None:
+        return state_dict
+    return from_hf(state_dict, arch,
+                   n_heads=getattr(model, "heads", None))
