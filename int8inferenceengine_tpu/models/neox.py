@@ -72,10 +72,11 @@ class NeoXDecoder(LlamaDecoder):
                 f"head_dim {self.head_dim} * rotary_pct {rotary_pct} "
                 f"gives odd rotary_dim {rotary_dim}")
         self.rotary_dim = rotary_dim
+        self.eps = float(eps)
         self.INPUT_SHAPE = (max_len,)
         self.embed = QuantEmbed(vocab_size, dim, config=config)
         for i in range(1, depth + 1):
-            setattr(self, f"ln1_{i}", QuantLayerNorm(dim, config=config))
+            setattr(self, f"ln1_{i}", QuantLayerNorm(dim, eps, config=config))
             for w in ("wq", "wk", "wv"):
                 setattr(self, f"{w}{i}", Linear(dim, dim, config=config))
             for r in ("rq", "rk"):
@@ -90,14 +91,14 @@ class NeoXDecoder(LlamaDecoder):
             setattr(self, f"av{i}", QuantMatmul(config=config))
             setattr(self, f"proj{i}", Linear(dim, dim, config=config))
             setattr(self, f"add1_{i}", QuantAdd(config=config))
-            setattr(self, f"ln2_{i}", QuantLayerNorm(dim, config=config))
+            setattr(self, f"ln2_{i}", QuantLayerNorm(dim, eps, config=config))
             setattr(self, f"fc1_{i}", Linear(dim, self.mlp_hidden,
                                              config=config))
             setattr(self, f"gelu{i}", QuantAct("gelu", config=config))
             setattr(self, f"fc2_{i}", Linear(self.mlp_hidden, dim,
                                              config=config))
             setattr(self, f"add2_{i}", QuantAdd(config=config))
-        self.ln_f = QuantLayerNorm(dim, config=config)
+        self.ln_f = QuantLayerNorm(dim, eps, config=config)
         self.head = Linear(dim, vocab_size, config=config)
 
     def tp_roles(self, model_size: int) -> dict:

@@ -51,12 +51,20 @@ __all__ = ["TextDecoder", "torch_text_decoder", "nucleus_code_floor",
            "nucleus_float_cutoff"]
 
 
-def nucleus_code_floor(codes, s_over_t, p):
+def nucleus_code_floor(codes, s_over_t, p, keep=None):
     """Smallest u8 logit code inside the nucleus (top-p) set, per row.
 
     ``codes`` [B, V] u8 logit codes, ``s_over_t`` [B] = head scale /
     temperature, ``p`` [B] in (0, 1].  Returns u8 [B]: mask tokens with
     ``code < floor`` to -inf, then sample.
+
+    ``keep`` (optional bool [B, V]): restrict the nucleus mass to the
+    kept tokens — the top_k+top_p composition uses the SEQUENTIAL (HF)
+    semantics, nucleus measured over the already-top_k-filtered
+    distribution, matching ``nucleus_float_cutoff`` applied to masked
+    logits (round-4 advisor finding: the two paths used to differ).
+    Excluded tokens simply don't enter the histogram, so they carry
+    zero mass.
 
     TPU-native nucleus: on the 8-bit logit grid every token with the
     same code has the SAME probability, so the descending-probability
@@ -77,8 +85,10 @@ def nucleus_code_floor(codes, s_over_t, p):
     ``exp`` to exactly 0 mass and are excluded even at p = 1.0 — their
     true probability is < 1e-38, unreachable by f32 categorical anyway.
     """
+    wts = (jnp.ones(codes.shape, jnp.float32) if keep is None
+           else keep.astype(jnp.float32))
     hist = jax.vmap(
-        lambda c: jnp.zeros(256, jnp.float32).at[c].add(1.0))(codes)
+        lambda c, w: jnp.zeros(256, jnp.float32).at[c].add(w))(codes, wts)
     v = jnp.arange(256, dtype=jnp.float32)
     w = hist * jnp.exp((v[None, :] - 255.0) * s_over_t[:, None])
     revcum = jnp.cumsum(w[:, ::-1], -1)[:, ::-1]   # [B,256]: sum_{u>=v}
@@ -605,14 +615,19 @@ class TextDecoder(Module):
                 * jnp.float32(scale)
         else:                                  # weight_only: float logits
             logits = codes.astype(jnp.float32)
+        topk_keep = None
         if top_k is not None:
             kth = lax.top_k(codes, top_k)[0][:, -1:]
-            logits = jnp.where(codes >= kth, logits, -jnp.inf)
+            topk_keep = codes >= kth
+            logits = jnp.where(topk_keep, logits, -jnp.inf)
         if top_p is not None and top_p < 1.0:
             p = jnp.full((b,), top_p, jnp.float32)
             if codes.dtype == jnp.uint8:
+                # nucleus mass over the top_k-filtered codes (sequential
+                # HF semantics) — identical composition to the float
+                # branch, which cuts on the already-masked logits
                 sot = jnp.full((b,), scale / temperature, jnp.float32)
-                floor = nucleus_code_floor(codes, sot, p)
+                floor = nucleus_code_floor(codes, sot, p, keep=topk_keep)
                 logits = jnp.where(codes >= floor[:, None], logits,
                                    -jnp.inf)
             else:
@@ -631,8 +646,9 @@ class TextDecoder(Module):
         steps, the PRNG key threaded through the carry.  INT8-only (call
         after convert()).  temperature=0 (default) is greedy; >0 samples
         softmax(logits/T), optionally over the top_k codes and/or the
-        nucleus top_p set (both given: the intersection, standard
-        semantics).
+        nucleus top_p set (both given: sequential HF semantics — the
+        nucleus mass is measured over the already-top_k-filtered
+        distribution, identically on the u8-code and float paths).
 
         After ``shard()`` the whole program runs under ``shard_map`` on
         the mesh: the batch splits over the data axis and the transformer

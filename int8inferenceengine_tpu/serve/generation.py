@@ -158,7 +158,8 @@ class GenerationEngine:
     def __init__(self, model, slots: int = 8, chunk_steps: int = 32,
                  eos_id: int | None = None, overlap: bool = False,
                  sync_chunks: int = 4,
-                 prefill_chunk: int | None = None):
+                 prefill_chunk: int | None = None,
+                 max_prefixes: int = 32):
         if not model.is_quant:
             raise RuntimeError("GenerationEngine requires a converted model")
         if getattr(model, "_mesh", None) is not None:
@@ -230,8 +231,15 @@ class GenerationEngine:
         self._active = [None] * slots      # slot -> _GenRequest | None
         self.stats = GenerationStats()
         self._prefill_fns: dict[int, object] = {}
+        # prefix table: registered rows live on DEVICE until
+        # unregistered, so the table is bounded (round-4 advisor
+        # finding: unbounded growth + un-locked pid allocation).
+        self.max_prefixes = int(max_prefixes)
+        self._prefix_lock = threading.Lock()
+        self._next_pid = 1
         self._prefixes: dict[int, tuple] = {}   # id -> (tokens, kv rows)
         self._seed_fns: dict[int, object] = {}  # prefix len -> jitted seed
+        self._SEED_FN_CAP = 8                   # mirrors _spec_cache
         self._chunk_fns: dict[bool, object] = {}
         self._multi_fns: dict[bool, object] = {}
         self._running = True
@@ -296,11 +304,26 @@ class GenerationEngine:
         else:
             rows = {i: (k[0, :t0], v[0, :t0])
                     for i, (k, v) in caches.items()}
-        pid = len(self._prefixes) + 1
-        while pid in self._prefixes:
-            pid += 1
-        self._prefixes[pid] = (tokens, rows)
+        with self._prefix_lock:
+            if len(self._prefixes) >= self.max_prefixes:
+                raise RuntimeError(
+                    f"prefix table full ({self.max_prefixes} registered "
+                    f"prefixes, each holding KV rows on device); "
+                    f"unregister_prefix() one first or raise "
+                    f"max_prefixes")
+            pid = self._next_pid
+            self._next_pid += 1
+            self._prefixes[pid] = (tokens, rows)
         return pid
+
+    def unregister_prefix(self, prefix_id: int) -> None:
+        """Drop a registered prefix (frees its device KV rows via GC).
+        In-flight requests that named it will fail loudly at admission;
+        drain or complete them first."""
+        with self._prefix_lock:
+            if prefix_id not in self._prefixes:
+                raise ValueError(f"unknown prefix_id {prefix_id}")
+            del self._prefixes[prefix_id]
 
     def submit(self, prompt, max_new_tokens: int,
                temperature: float = 0.0, seed: int = 0,
@@ -591,6 +614,11 @@ class GenerationEngine:
                 return out
 
             fn = jax.jit(run, donate_argnums=(0,))
+            if len(self._seed_fns) >= self._SEED_FN_CAP:
+                # FIFO-evict: one compile per distinct prefix LENGTH, so
+                # the cap only costs a recompile on pathological length
+                # churn
+                self._seed_fns.pop(next(iter(self._seed_fns)))
             self._seed_fns[base] = fn
         return fn
 
@@ -603,7 +631,12 @@ class GenerationEngine:
         max_len = self.model.max_len
         base = 0
         if req.prefix_id is not None:
-            pre_tokens, rows = self._prefixes[req.prefix_id]
+            entry = self._prefixes.get(req.prefix_id)
+            if entry is None:
+                raise ValueError(
+                    f"prefix {req.prefix_id} was unregistered while the "
+                    "request was queued")
+            pre_tokens, rows = entry
             base = len(pre_tokens)
             # ONE jitted, cache-donating program writes every layer's
             # prefix rows — per-layer .at[].set dispatches cost a full

@@ -29,6 +29,29 @@ def test_fp32_parity(parallel):
     assert abs(out - ref).max() < 5e-5
 
 
+def test_nondefault_eps_parity():
+    """eps must reach every QuantLayerNorm (round-4 advisor finding:
+    it was accepted but dropped, silently mismatching any checkpoint
+    trained with a non-default eps).  A large eps makes the mismatch
+    unmissable if the passthrough regresses."""
+    eps = 1e-1
+    tw = torch_neox(eps=eps)
+    m = NeoXDecoder(eps=eps, config=QuantConfig(rounding="nearest"))
+    m.load(tw.state_dict())
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 1000, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = tw(torch.tensor(ids.astype(np.int64))).numpy()
+    out = np.asarray(m(tensor(ids)).data).reshape(2, 12, -1)
+    assert abs(out - ref).max() < 5e-5
+    # and the default-eps model genuinely disagrees with the eps=0.1
+    # twin (guards against a vacuous parity pass)
+    m_def = NeoXDecoder(config=QuantConfig(rounding="nearest"))
+    m_def.load(tw.state_dict())
+    out_def = np.asarray(m_def(tensor(ids)).data).reshape(2, 12, -1)
+    assert abs(out_def - ref).max() > 1e-3
+
+
 def test_parallel_vs_sequential_differ():
     """Guard that the flag actually changes the topology (identical
     outputs would mean the hook is dead code)."""

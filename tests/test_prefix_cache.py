@@ -150,3 +150,57 @@ def test_prefix_validation():
             eng2.register_prefix([1, 2, 3])
     finally:
         eng2.shutdown()
+
+
+def test_prefix_table_cap_and_unregister():
+    """The prefix table is bounded (each entry holds KV rows on
+    device): registration past max_prefixes raises, unregister frees a
+    slot and makes stale ids fail loudly, and pids are never reused
+    (round-4 advisor finding: unbounded growth + racy len()+1 pid
+    allocation)."""
+    dec = _decoder()
+    eng = GenerationEngine(dec, slots=2, chunk_steps=4, prefill_chunk=8,
+                           max_prefixes=2)
+    try:
+        rng = np.random.default_rng(5)
+        p1 = eng.register_prefix(rng.integers(0, 97, (9,)))
+        p2 = eng.register_prefix(rng.integers(0, 97, (11,)))
+        with pytest.raises(RuntimeError):
+            eng.register_prefix(rng.integers(0, 97, (5,)))
+        eng.unregister_prefix(p1)
+        with pytest.raises(ValueError):
+            eng.unregister_prefix(p1)          # already gone
+        p3 = eng.register_prefix(rng.integers(0, 97, (7,)))
+        assert p3 not in (p1, p2)              # monotonic pids, no reuse
+        with pytest.raises(ValueError):        # stale id refused at submit
+            eng.submit(np.arange(12, dtype=np.int32), 4, prefix_id=p1)
+        # surviving prefixes still serve exactly
+        pre = eng._prefixes[p2][0]
+        suf = rng.integers(0, 97, (4,)).astype(np.int32)
+        full = np.concatenate([pre, suf])
+        a = eng.submit(full, 6, prefix_id=p2).result()
+        g = dec.generate(full[None], 6)[0]
+        assert (a == g).all()
+    finally:
+        eng.shutdown()
+
+
+def test_seed_fn_cache_capped():
+    dec = _decoder()
+    eng = GenerationEngine(dec, slots=2, chunk_steps=4, prefill_chunk=8,
+                           max_prefixes=32)
+    try:
+        eng._SEED_FN_CAP = 3
+        rng = np.random.default_rng(6)
+        pids = [eng.register_prefix(rng.integers(0, 97, (n,)))
+                for n in (3, 5, 7, 9, 11)]     # 5 distinct lengths
+        for pid in pids:
+            pre = eng._prefixes[pid][0]
+            full = np.concatenate(
+                [pre, rng.integers(0, 97, (2,)).astype(np.int32)])
+            a = eng.submit(full, 4, prefix_id=pid).result()
+            g = dec.generate(full[None], 4)[0]
+            assert (a == g).all()              # eviction never breaks math
+        assert len(eng._seed_fns) <= 3
+    finally:
+        eng.shutdown()
