@@ -79,6 +79,43 @@ traced per-slot top_p vector rides the one compiled chunk program;
 a top_p-free sampled program never pays the histogram (separate
 variant, same economics as greedy-vs-sampled).  Optional ``eos_id``
 stops a slot early.
+
+**Sharded serving** (round 5 — SURVEY hard-part #5, "continuous
+batching over sharded weights"): the engine drives a ``shard()``ed
+decoder directly.  Every device program — batched bucketed prefill,
+the decode chunk, the multi-chunk while_loop, chunked prefill — runs
+under ``shard_map`` on the model's mesh with the transformer-TP
+context active: slots split over the DATA axis (each data-shard group
+owns ``slots/data_size`` slot rows of cache + per-slot state),
+attention heads over the MODEL axis (each device stores 1/model_size
+of every slot's u8 KV cache rows — the same head-sharded cache layout
+as sharded ``generate()``), row-parallel proj/fc2 psum their s32
+partials inside the step.  Admission, host sync, and completion logic
+are UNCHANGED — the host sees global arrays.  Design choices:
+
+* **Prefill replicates over data, splits over model.**  Admitted
+  prompts are replicated to every data-shard group (TP still divides
+  the per-token FLOPs); each group then keeps only the cache rows
+  whose global slot index lands in its block (an ownership-masked
+  scatter — out-of-block rows drop).  Routing prompt rows to their
+  slot's owning shard instead would save the duplicated prefill
+  compute but needs a cross-shard permute keyed by slot assignment;
+  at serving batch sizes prefill is a small fraction of decode time.
+* **Per-data-group early exit.**  Inside shard_map the multi-chunk
+  while_loop's drain condition is LOCAL to each data group — legal
+  because the decode step's only collectives (psums / lazy gathers)
+  pair across the model axis, whose members share the group's slots
+  and therefore its trip count; chunk/work stats are psum/pmax'd for
+  the host.
+* **Exactness.**  Static-INT8 TP math is integer-exact (round-2
+  proof), so request tokens are BIT-identical to sharded generate(),
+  itself bit-identical to unsharded generate()
+  (tests/test_engine_sharded.py: gpt + llama(GQA) at (4,2)/(2,2),
+  sampled + top-p, chunked prefill, MQA fallback).
+* **Scope.**  weight_only + mesh and prefix registration on a sharded
+  engine raise with actionable messages (float head-split cache specs
+  and the 1-slot scratch cache don't slot-shard); ring caches were
+  already generate()-only.
 """
 
 from __future__ import annotations
@@ -162,12 +199,35 @@ class GenerationEngine:
                  max_prefixes: int = 32):
         if not model.is_quant:
             raise RuntimeError("GenerationEngine requires a converted model")
-        if getattr(model, "_mesh", None) is not None:
-            raise NotImplementedError(
-                "GenerationEngine drives an unsharded decoder; for a "
-                "shard()ed model use model.generate() (which runs the "
-                "whole decode under shard_map with a head-sharded KV "
-                "cache) — slot-engine TP is future work")
+        # shard()ed decoders are served natively (round-4 VERDICT #1 /
+        # SURVEY hard-part #5): every device program below runs under
+        # shard_map on the model's mesh — slots split over the DATA axis
+        # (each data-shard group owns slots/data_size slot rows of the
+        # u8 KV cache), attention heads over the MODEL axis (each device
+        # stores 1/model_size of every slot's cache rows, exactly like
+        # sharded generate()), row-parallel proj/fc2 psum inside the
+        # decode step.  Request tokens are BIT-identical to sharded
+        # generate() (integer TP math is exact; pinned by
+        # tests/test_engine_sharded.py).
+        self._mesh = getattr(model, "_mesh", None)
+        if self._mesh is not None:
+            if model.config.weight_only:
+                raise NotImplementedError(
+                    "sharded serving runs the static-INT8 u8-cache path; "
+                    "weight_only + shard() serving is unsupported — use "
+                    "the static mode, or an unsharded engine")
+            self._pa = model._parallel_axes
+            self._tp_specs = model._tp_specs
+            if slots % self._pa.data_size:
+                raise ValueError(
+                    f"slots {slots} must divide over the data axis "
+                    f"({self._pa.data_size})")
+            roles = (model.tp_roles(self._pa.model_size)
+                     if hasattr(model, "tp_roles") else {})
+            # head-local TP channel-shards the captured k/v (and so the
+            # cache); the MQA fallback keeps qkv replicated -> the cache
+            # stays channel-replicated and only MLP/proj are sharded
+            self._kv_sharded = roles.get("wk1") == "col_local"
         self.model = model
         self.slots = slots
         self.chunk_steps = chunk_steps
@@ -219,15 +279,44 @@ class GenerationEngine:
             shape = (slots, model.max_len,
                      model.kv_heads * model.head_dim)
             dt = jnp.uint8
-        self._caches = {
-            i: (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
-            for i in range(1, model.depth + 1)
-        }
-        self._pos = jnp.zeros((slots,), jnp.int32)
-        self._tok = jnp.zeros((slots,), jnp.int32)
-        self._temp = jnp.zeros((slots,), jnp.float32)   # 0 = greedy
-        self._topp = jnp.ones((slots,), jnp.float32)    # 1 = no nucleus
-        self._keys = jnp.zeros((slots, 2), jnp.uint32)  # per-slot PRNG
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            pa = self._pa
+            self._cache_spec = P(pa.data_axis, None,
+                                 pa.model_axis if self._kv_sharded
+                                 else None)
+            self._slot_spec = P(pa.data_axis)
+            cache_sh = NamedSharding(self._mesh, self._cache_spec)
+            slot_sh = NamedSharding(self._mesh, self._slot_spec)
+
+            def _z(shp, d):
+                return jax.device_put(jnp.zeros(shp, d), cache_sh)
+
+            self._caches = {
+                i: (_z(shape, dt), _z(shape, dt))
+                for i in range(1, model.depth + 1)
+            }
+
+            def _zs(shp, d, one=False):
+                a = (jnp.ones(shp, d) if one else jnp.zeros(shp, d))
+                return jax.device_put(a, slot_sh)
+
+            self._pos = _zs((slots,), jnp.int32)
+            self._tok = _zs((slots,), jnp.int32)
+            self._temp = _zs((slots,), jnp.float32)
+            self._topp = _zs((slots,), jnp.float32, one=True)
+            self._keys = _zs((slots, 2), jnp.uint32)
+        else:
+            self._caches = {
+                i: (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+                for i in range(1, model.depth + 1)
+            }
+            self._pos = jnp.zeros((slots,), jnp.int32)
+            self._tok = jnp.zeros((slots,), jnp.int32)
+            self._temp = jnp.zeros((slots,), jnp.float32)   # 0 = greedy
+            self._topp = jnp.ones((slots,), jnp.float32)    # 1 = no nucleus
+            self._keys = jnp.zeros((slots, 2), jnp.uint32)  # per-slot PRNG
         self._active = [None] * slots      # slot -> _GenRequest | None
         self.stats = GenerationStats()
         self._prefill_fns: dict[int, object] = {}
@@ -272,6 +361,13 @@ class GenerationEngine:
             raise ValueError(
                 "prefix caching rides the chunked-prefill program; "
                 "construct GenerationEngine(..., prefill_chunk=P)")
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "prefix caching on a sharded engine is unsupported: "
+                "registration computes into a 1-slot scratch cache, "
+                "which cannot split over the data axis — register on "
+                "an unsharded engine, or submit full prompts (chunked "
+                "prefill itself IS sharded-serving capable)")
         tokens = np.asarray(tokens, np.int32).reshape(-1)
         t0 = len(tokens)
         m = self.model
@@ -368,6 +464,34 @@ class GenerationEngine:
             self._thread.join()
 
     # -- jitted device programs ------------------------------------------------
+    def _shard_wrap(self, run, in_specs, out_specs):
+        """Wrap a device program in shard_map over the model's mesh with
+        the transformer-TP context active inside (mirrors
+        TextDecoder._sharded_generate_fn).  ``in_specs``/``out_specs``
+        are pytrees of PartitionSpecs matching run's args/results."""
+        from ..parallel.context import axes as axes_ctx
+
+        mesh, pa = self._mesh, self._pa
+
+        def wrapped(*args):
+            def local(*largs):
+                with axes_ctx(pa):
+                    return run(*largs)
+
+            return jax.shard_map(
+                local, mesh=mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False)(*args)
+
+        return wrapped
+
+    def _specs(self):
+        """(cache_specs_pytree, per_slot_spec, replicated_spec)."""
+        from jax.sharding import PartitionSpec as P
+        cs = self._cache_spec
+        cache_specs = {i: (cs, cs)
+                       for i in range(1, self.model.depth + 1)}
+        return cache_specs, self._slot_spec, P()
+
     def _pick(self, codes, temps, keys, pos, topps=None):
         """Per-slot next-token choice: argmax for temp == 0, Gumbel-max
         sampling of logits/temp otherwise.  ``keys`` are per-slot raw
@@ -423,6 +547,9 @@ class GenerationEngine:
         fn = self._prefill_fns.get((bucket, n, use_topp))
         if fn is None:
             m = self.model
+            sharded = self._mesh is not None
+            if sharded:
+                pa, ls = self._pa, self.slots // self._pa.data_size
 
             def run(params, caches, slots, prompts_pad, t0s, temps,
                     keys, topps):
@@ -433,10 +560,22 @@ class GenerationEngine:
                         full_cache=True)
                 finally:
                     m._bind(None)
+                if sharded:
+                    # prompts are replicated over the data axis (every
+                    # shard prefills all n — TP still splits the heads);
+                    # each data-shard group then keeps only the rows
+                    # whose GLOBAL slot index falls in its block:
+                    # out-of-block rows scatter to index ls -> dropped
+                    d0 = lax.axis_index(pa.data_axis) * ls
+                    li = slots - d0
+                    li = jnp.where((li >= 0) & (li < ls), li, ls)
+                else:
+                    li = slots
                 out = {}
                 for i, (k1, v1) in cache1.items():   # [n, T_max, C]
                     gk, gv = caches[i]
-                    out[i] = (gk.at[slots].set(k1), gv.at[slots].set(v1))
+                    out[i] = (gk.at[li].set(k1, mode="drop"),
+                              gv.at[li].set(v1, mode="drop"))
                 toks = self._pick(codes, temps, keys, t0s - 1,
                                   topps if use_topp else None)   # [n]
                 return out, toks
@@ -444,6 +583,13 @@ class GenerationEngine:
             # donate the cache: it is dead after the call (rebound to
             # the result) and copying the whole multi-layer KV cache per
             # prefill would be pure HBM overhead
+            if sharded:
+                cache_specs, _, rp = self._specs()
+                run = self._shard_wrap(
+                    run,
+                    (self._tp_specs, cache_specs, rp, rp, rp, rp, rp,
+                     rp),
+                    (cache_specs, rp))
             fn = jax.jit(run, donate_argnums=(1,))
             self._prefill_fns[(bucket, n, use_topp)] = fn
         return fn
@@ -484,6 +630,13 @@ class GenerationEngine:
                 finally:
                     m._bind(None)
 
+            if self._mesh is not None:
+                cache_specs, ps, _ = self._specs()
+                run = self._shard_wrap(
+                    run,
+                    (self._tp_specs, cache_specs, ps, ps, ps, ps, ps,
+                     ps),
+                    (cache_specs, ps, ps, ps, ps))
             fn = jax.jit(run, donate_argnums=(1, 2, 3))
             self._chunk_fns[(sampled, use_topp)] = fn
         return fn
@@ -502,6 +655,16 @@ class GenerationEngine:
         if fn is None:
             m, steps = self.model, self.chunk_steps
             kmax, slots = self.sync_chunks, self.slots
+            sharded = self._mesh is not None
+            if sharded:
+                # inside shard_map every array is a LOCAL block; each
+                # data-shard group runs its own while_loop and may exit
+                # early (its slots drained) — legal because the decode
+                # step's only collectives (row-parallel psums, lazy
+                # gathers) pair across the MODEL axis, whose members
+                # share the group's slots and therefore its trip count
+                pa = self._pa
+                slots = slots // pa.data_size
 
             def run(params, caches, pos, tok, active, remaining,
                     temps, keys, topps):
@@ -545,10 +708,22 @@ class GenerationEngine:
                         cond, chunk,
                         (caches, pos, tok, active, remaining, out0,
                          jnp.int32(0), jnp.int32(0)))
+                    if sharded:
+                        # per-group chunk counts may differ (early
+                        # exit); report fleet totals to the host stats
+                        work = lax.psum(work, pa.data_axis)
+                        c = lax.pmax(c, pa.data_axis)
                     return caches, pos, tok, act, rem, out, c, work
                 finally:
                     m._bind(None)
 
+            if sharded:
+                cache_specs, ps, rp = self._specs()
+                run = self._shard_wrap(
+                    run,
+                    (self._tp_specs, cache_specs, ps, ps, ps, ps, ps,
+                     ps, ps),
+                    (cache_specs, ps, ps, ps, ps, ps, rp, rp))
             fn = jax.jit(run, donate_argnums=(1, 2, 3))
             self._multi_fns[(sampled, use_topp)] = fn
         return fn
@@ -561,27 +736,53 @@ class GenerationEngine:
         fn = getattr(self, "_extend_jit", None)
         if fn is None:
             m = self.model
+            sharded = self._mesh is not None
+            if sharded:
+                pa, ls = self._pa, self.slots // self._pa.data_size
 
             def run(params, caches, slot, chunk, base):
                 m._bind(params)
                 try:
-                    sub = {
-                        i: (lax.dynamic_slice_in_dim(k, slot, 1, 0),
-                            lax.dynamic_slice_in_dim(v, slot, 1, 0))
+                    if sharded:
+                        # every data-shard group runs the extend on its
+                        # clipped local row (static shapes; non-owners
+                        # compute on a garbage row), but only the OWNER
+                        # group's result is written back / reported
+                        d0 = lax.axis_index(pa.data_axis) * ls
+                        owned = (slot >= d0) & (slot < d0 + ls)
+                        li = jnp.clip(slot - d0, 0, ls - 1)
+                    else:
+                        owned, li = True, slot
+                    sub0 = {
+                        i: (lax.dynamic_slice_in_dim(k, li, 1, 0),
+                            lax.dynamic_slice_in_dim(v, li, 1, 0))
                         for i, (k, v) in caches.items()}
                     codes, sub = m._extend_step(
-                        sub, jnp.full((1,), base, jnp.int32),
+                        sub0, jnp.full((1,), base, jnp.int32),
                         chunk[None])
+                    if sharded:
+                        sub = {i: (jnp.where(owned, sub[i][0], sub0[i][0]),
+                                   jnp.where(owned, sub[i][1], sub0[i][1]))
+                               for i in sub}
+                        # owner's logit codes, replicated to every shard
+                        codes = lax.psum(
+                            jnp.where(owned, codes.astype(jnp.int32), 0),
+                            pa.data_axis).astype(codes.dtype)
                     out = {
                         i: (lax.dynamic_update_slice_in_dim(
-                                caches[i][0], sub[i][0], slot, 0),
+                                caches[i][0], sub[i][0], li, 0),
                             lax.dynamic_update_slice_in_dim(
-                                caches[i][1], sub[i][1], slot, 0))
+                                caches[i][1], sub[i][1], li, 0))
                         for i in caches}
                     return out, codes[0]
                 finally:
                     m._bind(None)
 
+            if sharded:
+                cache_specs, _, rp = self._specs()
+                run = self._shard_wrap(
+                    run, (self._tp_specs, cache_specs, rp, rp, rp),
+                    (cache_specs, rp))
             fn = jax.jit(run, donate_argnums=(1,))
             self._extend_jit = fn
         return fn
