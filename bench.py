@@ -292,6 +292,38 @@ def main():
         log(f"llama W4A8 decode (g=256, b{db}): {per_step*1e3:.3f} "
             f"ms/step -> {db/per_step:.0f} tokens/s")
 
+    # Serving-engine leg (round 5, VERDICT #5: driver-pin the serving
+    # throughput).  Fixed protocol: the BENCH_DECODE gpt2-small-ish
+    # geometry, 8 slots, chunk_steps=32, sync_chunks=8 (the measured
+    # saturated-load optimum), 16 requests x 24-token prompts x 256 new
+    # tokens (the regime where multi-chunk syncing pays).  One full
+    # warm round (compiles the bucket prefills + both chunk programs),
+    # then tok/s = delivered new tokens / wall seconds, best of 2.
+    # BENCH_ENGINE=0 to skip.
+    engine_tok_s = None
+    if (os.environ.get("BENCH_ENGINE", "1") != "0"
+            and os.environ.get("BENCH_DECODE", "1") != "0"):
+        from int8inferenceengine_tpu.serve import GenerationEngine
+        eng = GenerationEngine(dec, slots=8, chunk_steps=32,
+                               sync_chunks=8)
+        try:
+            rng_e = np.random.default_rng(7)
+            prompts = [rng_e.integers(0, 50257, (24,)).astype(np.int32)
+                       for _ in range(16)]
+
+            def round_once():
+                t1 = time.perf_counter()
+                futs = [eng.submit(p, 256) for p in prompts]
+                ntok = sum(len(f.result()) for f in futs)
+                return ntok / (time.perf_counter() - t1)
+
+            round_once()                       # warm / compile
+            engine_tok_s = round(max(round_once() for _ in range(2)), 1)
+            log(f"engine (8 slots, chunk 32, sync 8, 16x256 new tok): "
+                f"{engine_tok_s:.0f} tokens/s")
+        finally:
+            eng.shutdown()
+
     from int8inferenceengine_tpu.utils import roofline
     rl = roofline.report(m_int8, models.AlexNet.INPUT_SHAPE, BATCH,
                          measured_s=BATCH / int8_img_s)
@@ -314,6 +346,8 @@ def main():
     if w4a8_tok_s is not None:
         rec["llama_w4a8_tokens_per_s_b8"] = w4a8_tok_s
         rec["llama_w4a8_ms_per_step"] = w4a8_ms_step
+    if engine_tok_s is not None:
+        rec["engine_tokens_per_s"] = engine_tok_s
     print(json.dumps(rec))
 
 

@@ -293,13 +293,34 @@ class TextDecoder(Module):
             kf, vf = cap[i]                          # FLAT [B, T0, C] rows
             dt = kf.data.dtype
             rows_i = self.max_len if full_cache else self._cache_rows(i)
+            ring_rows = None
             if t0 > rows_i:
                 # ring cache: keep only the tail rows that decode's
-                # steady-state base formula expects (same closed form,
-                # static here since t0 is a trace constant)
+                # steady-state base formula expects (same closed form)
                 w = self._layer_window(i)
                 s = rows_i - w
-                base0 = s * (1 + (t0 - 1 - rows_i) // s)
+                if last is None:
+                    # static: t0 is a trace constant
+                    base0 = s * (1 + (t0 - 1 - rows_i) // s)
+                else:
+                    # right-padded serving prompts: each row's live
+                    # window ends at ITS true length, so the tail base
+                    # is per row (traced).  Zero-pad so the slice is
+                    # always in-bounds; rows past a prompt's length are
+                    # garbage-but-masked, exactly like the full cache.
+                    base0 = 0
+                    b0 = (s * jnp.maximum(
+                        0, 1 + (last - 1 - rows_i) // s)).astype(
+                            jnp.int32)                       # [B]
+
+                    def ring_rows(flat, b0=b0, rows_i=rows_i):
+                        padv = jnp.zeros(
+                            (flat.shape[0], rows_i, flat.shape[2]),
+                            flat.dtype)
+                        full = jnp.concatenate([flat, padv], 1)
+                        return jax.vmap(
+                            lambda r, st: lax.dynamic_slice_in_dim(
+                                r, st, rows_i, 0))(full, b0)
             else:
                 base0 = 0
             if kf.quantized:
@@ -309,19 +330,28 @@ class TextDecoder(Module):
                 # captured rows are a LOCAL channel shard, so each device
                 # stores only its heads' cache.
                 c_loc = kf.data.shape[-1]
-                k_buf = jnp.zeros((b, rows_i, c_loc), dt)
-                v_buf = jnp.zeros((b, rows_i, c_loc), dt)
-                cache[i] = (
-                    lax.dynamic_update_slice(
-                        k_buf, kf.data[:, base0:], (0, 0, 0)),
-                    lax.dynamic_update_slice(
-                        v_buf, vf.data[:, base0:], (0, 0, 0)),
-                )
+                if ring_rows is not None:
+                    cache[i] = (ring_rows(kf.data), ring_rows(vf.data))
+                else:
+                    k_buf = jnp.zeros((b, rows_i, c_loc), dt)
+                    v_buf = jnp.zeros((b, rows_i, c_loc), dt)
+                    cache[i] = (
+                        lax.dynamic_update_slice(
+                            k_buf, kf.data[:, base0:], (0, 0, 0)),
+                        lax.dynamic_update_slice(
+                            v_buf, vf.data[:, base0:], (0, 0, 0)),
+                    )
             else:
                 # float cache (weight_only modes): the composed attention
                 # consumes HEAD-SPLIT [B, H, T, D] views — keep the cache
                 # in that layout so the decode step never transposes the
                 # whole float cache in-scan (12 MB/layer at gpt2-small)
+                if ring_rows is not None:
+                    raise NotImplementedError(
+                        "ring-cache serving prefill (right-padded "
+                        "prompts beyond the ring rows) is u8-path "
+                        "only; weight_only engines allocate "
+                        "full-length caches")
                 kh = F.split_heads(kf, self.kv_heads)
                 vh = F.split_heads(vf, self.kv_heads)
                 h_loc, hd = kh.data.shape[1], kh.data.shape[3]
@@ -370,28 +400,48 @@ class TextDecoder(Module):
             row_ax = 2 if k_cache.ndim == 4 else 1
             rows_total = k_cache.shape[row_ax]
             if rows_total < self.max_len:
-                if per_slot:
-                    raise NotImplementedError(
-                        "ring caches are generate()-only; the serving "
-                        "engine allocates full-length caches")
                 w = self._layer_window(i)
                 s = rows_total - w
                 base = self._ring_base(pos, rows_total, w)
                 shift = base > self._ring_base(pos - 1, rows_total, w)
+                if per_slot:
+                    # serving engine (round 5): each slot compacts on
+                    # its OWN schedule — pos/base/shift are [B] vectors,
+                    # the cond becomes a vmapped select.  Cost: the
+                    # W-row copy is COMPUTED every step for every slot
+                    # and masked (vs amortized ~1 row/step in the
+                    # scalar path) — about one extra window-read of
+                    # HBM traffic per windowed layer, the price of
+                    # per-slot schedules in one SPMD program.
+                    ax = row_ax - 1          # row axis inside one slot
 
-                def _compact(kv, s=s, w=w, ax=row_ax):
-                    k, v = kv
-                    return (lax.dynamic_update_slice_in_dim(
-                                k, lax.dynamic_slice_in_dim(k, s, w, ax),
-                                0, ax),
-                            lax.dynamic_update_slice_in_dim(
-                                v, lax.dynamic_slice_in_dim(v, s, w, ax),
-                                0, ax))
+                    def _compact1(k, do, s=s, w=w, ax=ax):
+                        shifted = lax.dynamic_update_slice_in_dim(
+                            k, lax.dynamic_slice_in_dim(k, s, w, ax),
+                            0, ax)
+                        return jnp.where(do, shifted, k)
 
-                k_cache, v_cache = lax.cond(
-                    shift, _compact, lambda kv: kv, (k_cache, v_cache))
-                row = pos - base       # write row; window rows precede it
-                vi = valid - base      # live rows; masks stay relative
+                    k_cache = jax.vmap(_compact1)(k_cache, shift)
+                    v_cache = jax.vmap(_compact1)(v_cache, shift)
+                    row = pos - base             # [B] write rows
+                    vi = valid - base.reshape(-1, 1, 1, 1)
+                else:
+                    def _compact(kv, s=s, w=w, ax=row_ax):
+                        k, v = kv
+                        return (lax.dynamic_update_slice_in_dim(
+                                    k, lax.dynamic_slice_in_dim(k, s, w,
+                                                                ax),
+                                    0, ax),
+                                lax.dynamic_update_slice_in_dim(
+                                    v, lax.dynamic_slice_in_dim(v, s, w,
+                                                                ax),
+                                    0, ax))
+
+                    k_cache, v_cache = lax.cond(
+                        shift, _compact, lambda kv: kv,
+                        (k_cache, v_cache))
+                    row = pos - base   # write row; window rows precede
+                    vi = valid - base  # live rows; masks stay relative
             else:
                 row, vi = pos, valid
 

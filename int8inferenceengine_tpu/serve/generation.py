@@ -114,8 +114,19 @@ are UNCHANGED — the host sees global arrays.  Design choices:
   sampled + top-p, chunked prefill, MQA fallback).
 * **Scope.**  weight_only + mesh and prefix registration on a sharded
   engine raise with actionable messages (float head-split cache specs
-  and the 1-slot scratch cache don't slot-shard); ring caches were
-  already generate()-only.
+  and the 1-slot scratch cache don't slot-shard).
+
+**Ring-cache serving** (round 5 — VERDICT #4): a ``ring_cache=True``
+model's windowed layers allocate roundup32(2W) slot-cache rows instead
+of ``max_len``, closing the O(W)-memory story exactly where many
+concurrent slots make cache HBM matter.  Per-slot schedules turn the
+generate()-path compaction ``lax.cond`` into a vmapped select (each
+slot compacts on its own step; costs ~one extra window-read of HBM
+per windowed layer per step — the price of per-slot schedules in one
+SPMD program), and bucketed prefill slices each padded prompt's ring
+tail PER ROW.  Engine tokens stay bit-identical to ``generate()`` on
+the same ring model.  Chunked prefill (``prefill_chunk``) requires
+full-length caches and is refused at construction.
 """
 
 from __future__ import annotations
@@ -264,20 +275,42 @@ class GenerationEngine:
         # cached-decode invariant chain, tests/test_generation.py).
         self.prefill_chunk = (None if prefill_chunk is None
                               else int(prefill_chunk))
+        # ring-cache serving (round 5, VERDICT #4): a ring_cache model's
+        # windowed layers allocate roundup32(2W) slot-cache rows instead
+        # of max_len — the O(W) memory point of the windowed families,
+        # NOW where it matters most (many slots x long max_len).  Each
+        # slot compacts on its own schedule (a vmapped select in
+        # _decode_step; costs ~one extra window-read of HBM per windowed
+        # layer per step).  Bucketed prefill slices each prompt's ring
+        # tail PER ROW (models/text_decoder.py _prefill).  Chunked
+        # prefill requires full-length caches — mutually exclusive.
+        self._ring_serving = bool(getattr(model, "ring_cache", False))
+        if self._ring_serving and self.prefill_chunk is not None:
+            raise ValueError(
+                "prefill_chunk needs full-length slot caches; a "
+                "ring_cache model serves through bucketed prefill — "
+                "drop prefill_chunk, or build the model with "
+                "ring_cache=False")
         self._queue: queue.Queue[_GenRequest | None] = queue.Queue()
         self._params = model._gather_params()
+        def _rows(i):
+            return (model._cache_rows(i) if self._ring_serving
+                    else model.max_len)
+
         if model.config.weight_only:
             # float caches stay HEAD-SPLIT [slots, Hkv, T_max, D] — the
             # composed decode attention reads that layout directly
             # (kv_heads < heads is GQA: the cache is kv-compact)
-            shape = (slots, model.kv_heads, model.max_len, model.head_dim)
+            def _shape(i):
+                return (slots, model.kv_heads, _rows(i), model.head_dim)
             dt = jnp.float32
         else:
             # u8 caches are T-major flat [slots, T_max, Hkv*D]: per-slot
             # appends are contiguous row writes, and the decode kernel's
             # DMA scales with each slot's live length (ops/attention.py).
-            shape = (slots, model.max_len,
-                     model.kv_heads * model.head_dim)
+            def _shape(i):
+                return (slots, _rows(i),
+                        model.kv_heads * model.head_dim)
             dt = jnp.uint8
         if self._mesh is not None:
             from jax.sharding import NamedSharding
@@ -294,7 +327,7 @@ class GenerationEngine:
                 return jax.device_put(jnp.zeros(shp, d), cache_sh)
 
             self._caches = {
-                i: (_z(shape, dt), _z(shape, dt))
+                i: (_z(_shape(i), dt), _z(_shape(i), dt))
                 for i in range(1, model.depth + 1)
             }
 
@@ -309,7 +342,7 @@ class GenerationEngine:
             self._keys = _zs((slots, 2), jnp.uint32)
         else:
             self._caches = {
-                i: (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+                i: (jnp.zeros(_shape(i), dt), jnp.zeros(_shape(i), dt))
                 for i in range(1, model.depth + 1)
             }
             self._pos = jnp.zeros((slots,), jnp.int32)
@@ -557,7 +590,7 @@ class GenerationEngine:
                 try:
                     codes, cache1 = m._prefill(
                         Tensor(prompts_pad.astype(jnp.float32)), last=t0s,
-                        full_cache=True)
+                        full_cache=not self._ring_serving)
                 finally:
                     m._bind(None)
                 if sharded:
