@@ -149,6 +149,14 @@ def main(argv=None):
                     help="also train a SMALLER draft on the same chain "
                          "and measure speculative-decoding acceptance "
                          "on real trained weights")
+    ap.add_argument("--family", choices=("llama", "gemma"),
+                    default="llama",
+                    help="twin architecture: llama (default) or gemma "
+                         "(sandwich norms, softcaps, GeGLU, alternating "
+                         "windows).  The round-1 lesson says gemma's "
+                         "FINAL softcap compresses logit margins, so "
+                         "its INT8 claims need trained-twin ppl, not "
+                         "toy argmax agreement (round-4 VERDICT #8)")
     args = ap.parse_args(argv)
     if args.quick:
         args.dim, args.depth, args.steps, args.batch = 64, 3, 260, 48
@@ -166,7 +174,14 @@ def main(argv=None):
 
     geo = dict(vocab_size=args.vocab, max_len=args.seq, dim=args.dim,
                depth=args.depth, heads=args.heads, kv_heads=args.kv_heads)
-    net = torch_llama(**geo, seed=args.seed)
+    if args.family == "gemma":
+        from int8inferenceengine_tpu.models.gemma import torch_gemma
+        # alternating windows engage for real: window < seq
+        geo["sliding_window"] = max(8, args.seq // 4)
+        twin_fn, zoo_name = torch_gemma, "gemma_tiny"
+    else:
+        twin_fn, zoo_name = torch_llama, "llama_tiny"
+    net = twin_fn(**geo, seed=args.seed)
     opt = torch.optim.AdamW(net.parameters(), lr=3e-3,
                             weight_decay=0.01)
     sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, args.steps)
@@ -202,7 +217,7 @@ def main(argv=None):
         return np.asarray(out.data, np.float32)
 
     def build(config, quantize=True, use_smooth=False, use_gptq=False):
-        m = models.build("llama_tiny", **geo, config=config)
+        m = models.build(zoo_name, **geo, config=config)
         m.load(state)
         if not quantize:
             return m

@@ -455,6 +455,45 @@ def _decode_attn_kernel_flat_merged(valid_ref, fp_ref, ip_ref, q_ref,
     ladder replaces the prefix ladder; masks gain the absolute-column
     lower bound.  Masked-out history quantizes to exactly zp_p — the
     same exact-zero contract as the upper bound.
+
+    **MHA (gpt2) floor study — round-5 VERDICT #3, measured 2026-08-21
+    on one v5e (tools/mha_kernel_floor.py + tools/decode_profile.py).**
+    The gpt2 bench number sat at 0.366-0.377 ms/step for three rounds
+    while llama fell to 0.151; the decomposition says that is the
+    component floor, not an unstudied gap:
+
+      per-call cost, H12 D64 C768 T512 b8, rows=8 (ONE grid instance):
+        valid     1     64    128   256   384   512
+        us/call   8.0   7.7   8.1   8.6   10.4  12.4
+        (walk kernel 14.8/25.2 at v=128/384; composed XLA 58.6/59.1)
+
+    The valid SLOPE is 0.0105 us/position = at/under the naive HBM rate
+    for the 12.3 KB/position live read (0.015 us) — the streaming part
+    of the kernel is at speed of light.  What dominates decode-typical
+    valids is the FIXED ~8 us/call: DMA issue+wait latency for the k/v
+    prefix pair plus the serial in-VMEM chain (2 phase dots, f32
+    softmax over [B*H, T], probability requant, P@V, per-head masked
+    sublane extraction).  rows=8 already amortizes instance issue
+    (rows=1 pays 10.9/16.0 us at the same points).
+
+    Whole-step profile at the bench protocol (device_op_times, 64-step
+    scan, 353 us/step inside the while):
+
+        GEMM+epilogue fusions   164.3 us  vs ~160 us weight-read bound
+        attention kernel x12    113.5 us  vs ~17 us DMA bound (fixed-
+                                          cost dominated: 12 x ~8 us)
+        head GEMM+argmax         23.0 us  (iota_reduce fusion)
+        requant/add/LN glue     ~52 us    (convert_add + add_convert +
+                                          multiply_reduce + dus)
+
+    Named floor: the GEMMs are AT the weight bound and the attention
+    cost is 12 serial kernel launches' fixed cost — reaching the 0.30
+    ms target would need the fixed 8 us halved (kernel-internal DMA
+    latency + serial VPU tail, not grid issue, not the streaming part).
+    The GQA/llama geometry escapes it because C=128 shrinks both the
+    tail (fewer segments) and the dots, not because MHA left a lever
+    unpulled.  Kept as the committed study per the round-3 study
+    clause.
     """
     f32, i32, s8, bf16 = jnp.float32, jnp.int32, jnp.int8, jnp.bfloat16
     h = n_heads

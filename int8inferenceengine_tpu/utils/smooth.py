@@ -102,7 +102,15 @@ def smooth(net, pairs, x_calib, *, alpha: float = 0.5,
             jnp.max(jnp.stack([jnp.max(jnp.abs(l.params["weight"]), axis=0)
                                for l in lins]), axis=0), 1e-5)
         s = jnp.clip(amax ** alpha / wmax ** (1.0 - alpha), 1e-5, 1e5)
-        ln.params["weight"] = ln.params["weight"] / s
+        if getattr(ln, "unit_offset", False):
+            # gemma-family norms compute y = norm(x) * (1 + w): the
+            # stored weight is a DELTA around one, so the exact fold is
+            # (1 + w') = (1 + w)/s, NOT w/s (which silently rescales
+            # the implicit unit gain — found by the trained-gemma
+            # harness leg: ppl 6.47 -> 34.7 under the naive fold)
+            ln.params["weight"] = (1.0 + ln.params["weight"]) / s - 1.0
+        else:
+            ln.params["weight"] = ln.params["weight"] / s
         if "bias" in ln.params:        # RMSNorm is bias-free
             ln.params["bias"] = ln.params["bias"] / s
         for l in lins:

@@ -65,3 +65,38 @@ def test_w4_finite_and_bounded(lm_results):
     assert np.isfinite(ppl) and ppl < 1.5 * t_ppl, ppl
     g_ppl, _ = res["W4 + GPTQ"]
     assert np.isfinite(g_ppl) and g_ppl < 1.5 * t_ppl, g_ppl
+
+
+@pytest.fixture(scope="module")
+def gemma_results():
+    """Gemma trained-twin leg (round-4 VERDICT #8): the final softcap
+    compresses logit margins, so gemma's INT8 claims need trained-twin
+    perplexity, not toy argmax agreement.  Includes the smooth leg —
+    it caught the unit-offset fold bug (utils/smooth.py)."""
+    return main(["--family", "gemma", "--vocab", "16", "--dim", "48",
+                 "--depth", "3", "--heads", "4", "--kv-heads", "2",
+                 "--seq", "48", "--steps", "120", "--batch", "32",
+                 "--legs", "engine FP32,INT8 nearest,smooth"])
+
+
+def test_gemma_engine_fp32_parity_at_task_level(gemma_results):
+    _, (t_ppl, t_acc), res = gemma_results
+    ppl, acc = res["engine FP32"]
+    assert abs(ppl - t_ppl) < 0.02 * t_ppl, (ppl, t_ppl)
+    assert abs(acc - t_acc) < 0.02, (acc, t_acc)
+
+
+def test_gemma_int8_nearest_near_fp32_perplexity(gemma_results):
+    _, (t_ppl, _), res = gemma_results
+    ppl, _ = res["INT8 nearest"]
+    assert ppl < 1.10 * t_ppl, (ppl, t_ppl)
+
+
+def test_gemma_smooth_unit_offset_fold_is_safe(gemma_results):
+    """The naive w/s fold on gemma's (1+w) norms measured ppl 6.47 ->
+    34.7 on the trained twin; the corrected (1+w)/s - 1 fold must keep
+    smoothing task-neutral (within a few percent of plain nearest)."""
+    _, _, res = gemma_results
+    near = res["INT8 nearest"][0]
+    sm = res["INT8 nearest + smooth"][0]
+    assert sm < 1.05 * near, (sm, near)

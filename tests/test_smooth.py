@@ -144,3 +144,25 @@ def test_llama_rmsnorm_smoothing():
     utils.smooth(sm2, utils.transformer_smooth_pairs(sm2), ids_c)
     e_smooth = int8_err(sm2)
     assert e_smooth < 0.5 * e_plain, (e_plain, e_smooth)
+
+
+def test_gemma_unit_offset_fp32_invariance():
+    """smooth() on gemma's unit-offset RMSNorms must leave the FP32
+    forward invariant: the fold is (1 + w') = (1 + w)/s, not w/s
+    (the naive fold cost 5x perplexity on the trained-gemma harness)."""
+    import numpy as np
+    from int8inferenceengine_tpu import models, tensor
+    from int8inferenceengine_tpu.config import QuantConfig
+    from int8inferenceengine_tpu.utils import (smooth,
+                                               transformer_smooth_pairs)
+    from __graft_entry__ import _load_random_weights
+    rng = np.random.default_rng(0)
+    m = models.build("gemma_tiny", vocab_size=61, max_len=32, dim=64,
+                     depth=2, heads=4, kv_heads=2,
+                     config=QuantConfig(rounding="nearest"))
+    _load_random_weights(m)
+    ids = rng.integers(0, 61, (2, 12)).astype(np.int32)
+    want = np.asarray(m(tensor(ids)).data)
+    smooth(m, transformer_smooth_pairs(m), ids)
+    got = np.asarray(m(tensor(ids)).data)
+    assert abs(got - want).max() < 1e-4, abs(got - want).max()

@@ -28,5 +28,16 @@ ops = observe.device_op_times("/tmp/decode_trace2")
 total = sum(v["ms"] for v in ops.values())
 print(f"trace total: {total:.1f} ms over {STEPS} steps "
       f"= {total/STEPS*1e3:.0f} us/step(+prefill)", flush=True)
+agg = {}
+for name, v in ops.items():
+    import re
+    base = re.sub(r"[.\d]+$", "", name)
+    a = agg.setdefault(base, {"ms": 0.0, "count": 0, "n": 0})
+    a["ms"] += v["ms"]; a["count"] += v["count"]; a["n"] += 1
+print("=== aggregated by op family (per-step us over %d steps) ===" % STEPS)
+for base, a in sorted(agg.items(), key=lambda kv: -kv[1]["ms"]):
+    if a["ms"] < 0.02: continue
+    print(f"  {a['ms']:8.2f} ms  {a['ms']/STEPS*1e3:7.1f} us/step  x{a['count']:<6d} ({a['n']} variants) {base[:80]}", flush=True)
+print("=== top individual ops ===")
 for name, v in list(ops.items())[:40]:
     print(f"  {v['ms']:8.2f} ms  x{v['count']:<5d} {name[:110]}", flush=True)
