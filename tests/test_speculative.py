@@ -108,3 +108,38 @@ def test_guards():
     fresh = models.build("gpt_tiny")
     with pytest.raises(RuntimeError):
         fresh.generate_speculative(draft, prompt, 4)
+
+
+def test_sharded_target_spec_equals_sharded_generate():
+    """Round-5 VERDICT #6: TP-sharded target + replicated draft — the
+    serving-relevant combination.  The whole draft->verify->accept
+    while_loop runs under shard_map; spec must equal sharded greedy
+    generate() bit-for-bit at a (2,2) mesh (and that equals the
+    unsharded run)."""
+    import jax
+    from int8inferenceengine_tpu.parallel import make_mesh
+    target = _llama(heads=4, kv_heads=2, dim=64)
+    draft = _gpt(dim=64, depth=1, heads=2, seed_cal=4)
+    prompt = _ids(4, 6, seed=21)
+    want_un = target.generate(prompt, 12)
+    spec_un = target.generate_speculative(draft, prompt, 12, k=3)
+    np.testing.assert_array_equal(spec_un, want_un)
+    target.shard(make_mesh((2, 2), devices=jax.devices()[:4]))
+    want_sh = target.generate(prompt, 12)
+    np.testing.assert_array_equal(want_sh, want_un)
+    spec_sh = target.generate_speculative(draft, prompt, 12, k=3)
+    np.testing.assert_array_equal(spec_sh, want_sh)
+
+
+def test_sharded_spec_guards():
+    import jax
+    from int8inferenceengine_tpu.parallel import make_mesh
+    target = _llama(heads=4, kv_heads=2, dim=64)
+    draft = _gpt(dim=64, depth=1, heads=2, seed_cal=5)
+    draft.shard(make_mesh((2, 2), devices=jax.devices()[:4]))
+    with pytest.raises(NotImplementedError):   # draft must be replicated
+        target.generate_speculative(draft, _ids(2, 6), 8)
+    target.shard(make_mesh((2, 2), devices=jax.devices()[:4]))
+    draft2 = _gpt(dim=64, depth=1, heads=2, seed_cal=6)
+    with pytest.raises(ValueError):            # batch % data_size
+        target.generate_speculative(draft2, _ids(3, 6), 8)
