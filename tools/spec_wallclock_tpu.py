@@ -22,6 +22,32 @@ clock on one v5e:
 Then the measured per-component costs evaluate the cost model
 speedup = (1 + k*a) / (k*f + extend(k+1)/step) at the trained-twin
 acceptance printed by the harness.
+
+MEASURED (2026-08-21, one v5e, b8, 128 steps, k=4):
+
+    plain generate                 22,286 tok/s
+    self-draft spec (a=1.0)         7,923 tok/s   0.36x plain
+    tiny-random draft (a~0)         5,311 tok/s   0.24x plain
+    w4a8-twin draft                 1,522 tok/s   (a measured 0.000!)
+
+Findings:
+  1. The W4A8-twin "realistic acceptance" idea FAILS on random
+     weights at vocab 32k: near-flat logits mean the 4-bit weight
+     perturbation flips essentially every argmax (a = 0.000) — the
+     round-1 flat-logit lesson again.  Real acceptance needs trained
+     weights, which is what the harness leg provides.
+  2. Even at a=1.0 spec is 0.36x plain ON THIS HOST: the axon remote
+     platform syncs ~once per while_loop iteration (~26 macro-steps
+     x ~2.5 ms = the whole gap; the round-3 note, now quantified
+     end-to-end).  On a local TPU that term is absent and the device
+     economics govern.
+  3. Device economics at the TRAINED acceptance: the full-geometry
+     harness twin measures a=0.843 with an f=0.13 draft
+     (examples/accuracy_lm.py --spec: target ppl 3.113, draft 3.844),
+     and the cost model anchored to the measured extend ratio (1.87x)
+     gives (1 + 4*0.843) / (5*0.13 + 1.87) = 1.45x.  Spec pays on
+     hardware where while_loop iterations don't cost a host RTT;
+     here the engine's multi-chunk syncing is the better lever.
 """
 import sys
 import time
