@@ -48,7 +48,7 @@ from ..ops import functional as F
 from ..tensor import Tensor
 
 __all__ = ["TextDecoder", "torch_text_decoder", "nucleus_code_floor",
-           "nucleus_float_cutoff"]
+           "nucleus_float_cutoff", "topk_code_floor"]
 
 
 def nucleus_code_floor(codes, s_over_t, p, keep=None):
@@ -93,6 +93,31 @@ def nucleus_code_floor(codes, s_over_t, p, keep=None):
     w = hist * jnp.exp((v[None, :] - 255.0) * s_over_t[:, None])
     revcum = jnp.cumsum(w[:, ::-1], -1)[:, ::-1]   # [B,256]: sum_{u>=v}
     ok = revcum >= p[:, None] * revcum[:, :1]
+    return jnp.max(jnp.where(ok, jnp.arange(256), 0), -1).astype(jnp.uint8)
+
+
+def topk_code_floor(codes, k):
+    """Smallest u8 logit code inside the top-k set, per row — the
+    DYNAMIC form of top_k: ``codes`` [B, V] u8, ``k`` [B] int32 ->
+    u8 [B]; keep tokens with ``code >= floor``.
+
+    On the 8-bit grid the k-th largest VALUE is a code class, so the
+    static path's threshold (``lax.top_k(codes, k)[0][:, -1]``) equals
+    the largest code v whose suffix COUNT reaches k — computable from
+    the same 256-bin histogram as :func:`nucleus_code_floor` with a
+    count reverse-cumsum instead of a mass one.  Exactly the static
+    semantics (ties at the k-th value keep the whole class), but ``k``
+    is a TRACED per-row vector: the serving engine serves per-request
+    top_k inside ONE compiled chunk program, which a static
+    ``lax.top_k`` cannot (its k is a trace constant).
+
+    Edge cases: k >= V keeps everything (no suffix reaches k -> floor
+    0); k <= 0 is the caller's "off" gate (the floor degenerates to
+    255 — gate before use)."""
+    hist = jax.vmap(
+        lambda c: jnp.zeros(256, jnp.float32).at[c].add(1.0))(codes)
+    revcum = jnp.cumsum(hist[:, ::-1], -1)[:, ::-1]   # [B,256] counts >= v
+    ok = revcum >= k[:, None].astype(jnp.float32)
     return jnp.max(jnp.where(ok, jnp.arange(256), 0), -1).astype(jnp.uint8)
 
 

