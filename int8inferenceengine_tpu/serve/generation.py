@@ -116,9 +116,15 @@ are UNCHANGED — the host sees global arrays.  Design choices:
   itself bit-identical to unsharded generate()
   (tests/test_engine_sharded.py: gpt + llama(GQA) at (4,2)/(2,2),
   sampled + top-p, chunked prefill, MQA fallback).
-* **Scope.**  weight_only + mesh and prefix registration on a sharded
-  engine raise with actionable messages (float head-split cache specs
-  and the 1-slot scratch cache don't slot-shard).
+* **Prefix caching composes** (round 5, second pass): registration
+  runs the scratch extends data-REPLICATED (the 1-row scratch cache
+  channel-shards over the model axis only; every data group computes
+  the identical rows — deterministic, so the replication invariant
+  holds), and seeding writes the replicated rows into the owning
+  group's slot block with the same slice→mask→write-back pattern as
+  chunked prefill.
+* **Scope.**  weight_only + mesh raises with an actionable message
+  (float head-split cache specs are a different sharding story).
 
 **Ring-cache serving** (round 5 — VERDICT #4): a ``ring_cache=True``
 model's windowed layers allocate roundup32(2W) slot-cache rows instead
@@ -402,13 +408,6 @@ class GenerationEngine:
             raise ValueError(
                 "prefix caching rides the chunked-prefill program; "
                 "construct GenerationEngine(..., prefill_chunk=P)")
-        if self._mesh is not None:
-            raise NotImplementedError(
-                "prefix caching on a sharded engine is unsupported: "
-                "registration computes into a 1-slot scratch cache, "
-                "which cannot split over the data axis — register on "
-                "an unsharded engine, or submit full prompts (chunked "
-                "prefill itself IS sharded-serving capable)")
         tokens = np.asarray(tokens, np.int32).reshape(-1)
         t0 = len(tokens)
         m = self.model
@@ -426,7 +425,8 @@ class GenerationEngine:
             dt = jnp.uint8
         caches = {i: (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
                   for i in range(1, m.depth + 1)}
-        fn = self._extend_fn()
+        fn = (self._prefix_extend_fn() if self._mesh is not None
+              else self._extend_fn())
         starts = list(range(0, t0, P))
         if starts[-1] + P > m.max_len:
             starts[-1] = m.max_len - P     # same slide-back as admit
@@ -861,6 +861,49 @@ class GenerationEngine:
             self._extend_jit = fn
         return fn
 
+    def _prefix_extend_fn(self):
+        """Sharded prefix registration's scratch extend: the 1-row
+        scratch cache cannot split over the data axis, so it stays
+        data-REPLICATED (channel-sharded over the model axis when the
+        cache is) and every data-shard group computes the identical
+        extend — deterministic, so the replication invariant holds
+        without any ownership masking."""
+        fn = getattr(self, "_prefix_extend_jit", None)
+        if fn is None:
+            m = self.model
+
+            def run(params, caches, slot, chunk, base):
+                m._bind(params)
+                try:
+                    sub = {
+                        i: (lax.dynamic_slice_in_dim(k, slot, 1, 0),
+                            lax.dynamic_slice_in_dim(v, slot, 1, 0))
+                        for i, (k, v) in caches.items()}
+                    codes, sub = m._extend_step(
+                        sub, jnp.full((1,), base, jnp.int32),
+                        chunk[None])
+                    out = {
+                        i: (lax.dynamic_update_slice_in_dim(
+                                caches[i][0], sub[i][0], slot, 0),
+                            lax.dynamic_update_slice_in_dim(
+                                caches[i][1], sub[i][1], slot, 0))
+                        for i in caches}
+                    return out, codes[0]
+                finally:
+                    m._bind(None)
+
+            from jax.sharding import PartitionSpec as P
+            cs = P(None, None,
+                   self._pa.model_axis if self._kv_sharded else None)
+            cache_specs = {i: (cs, cs)
+                           for i in range(1, m.depth + 1)}
+            run = self._shard_wrap(
+                run, (self._tp_specs, cache_specs, P(), P(), P()),
+                (cache_specs, P()))
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._prefix_extend_jit = fn
+        return fn
+
     def _seed_fn(self, base: int):
         """Jitted whole-cache prefix seeding: write all layers' prefix
         rows into one slot in a single donated device program.  One
@@ -869,25 +912,54 @@ class GenerationEngine:
         fn = self._seed_fns.get(base)
         if fn is None:
             wo = self.model.config.weight_only
+            sharded = self._mesh is not None
+            if sharded:
+                pa, ls = self._pa, self.slots // self._pa.data_size
 
             def run(caches, rows, slot):
+                if sharded:
+                    # rows are data-replicated; only the slot's owning
+                    # group writes (slice -> mask -> write-back, the
+                    # chunked-prefill pattern)
+                    d0 = lax.axis_index(pa.data_axis) * ls
+                    owned = (slot >= d0) & (slot < d0 + ls)
+                    li = jnp.clip(slot - d0, 0, ls - 1)
+                else:
+                    owned, li = True, slot
                 out = {}
                 for i, (k, v) in caches.items():
                     pk, pv = rows[i]
                     if wo:      # head-split float [slots, Hkv, T, D]
-                        out[i] = (
-                            lax.dynamic_update_slice(
-                                k, pk[None], (slot, 0, 0, 0)),
-                            lax.dynamic_update_slice(
-                                v, pv[None], (slot, 0, 0, 0)))
+                        sk = lax.dynamic_slice_in_dim(k, li, 1, 0)
+                        sv = lax.dynamic_slice_in_dim(v, li, 1, 0)
+                        nk = lax.dynamic_update_slice(
+                            sk, pk[None], (0, 0, 0, 0))
+                        nv = lax.dynamic_update_slice(
+                            sv, pv[None], (0, 0, 0, 0))
                     else:       # T-major flat u8 [slots, T, C]
-                        out[i] = (
-                            lax.dynamic_update_slice(
-                                k, pk[None], (slot, 0, 0)),
-                            lax.dynamic_update_slice(
-                                v, pv[None], (slot, 0, 0)))
+                        sk = lax.dynamic_slice_in_dim(k, li, 1, 0)
+                        sv = lax.dynamic_slice_in_dim(v, li, 1, 0)
+                        nk = lax.dynamic_update_slice(sk, pk[None],
+                                                      (0, 0, 0))
+                        nv = lax.dynamic_update_slice(sv, pv[None],
+                                                      (0, 0, 0))
+                    if sharded:
+                        nk = jnp.where(owned, nk, sk)
+                        nv = jnp.where(owned, nv, sv)
+                    out[i] = (
+                        lax.dynamic_update_slice_in_dim(k, nk, li, 0),
+                        lax.dynamic_update_slice_in_dim(v, nv, li, 0))
                 return out
 
+            if sharded:
+                from jax.sharding import PartitionSpec as P
+                cache_specs, _, _ = self._specs()
+                rs = P(None, self._pa.model_axis if self._kv_sharded
+                       else None)
+                row_specs = {i: (rs, rs)
+                             for i in range(1, self.model.depth + 1)}
+                run = self._shard_wrap(
+                    run, (cache_specs, row_specs, P()), cache_specs)
             fn = jax.jit(run, donate_argnums=(0,))
             if len(self._seed_fns) >= self._SEED_FN_CAP:
                 # FIFO-evict: one compile per distinct prefix LENGTH, so

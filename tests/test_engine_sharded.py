@@ -185,8 +185,8 @@ def test_engine_sharded_guards():
         GenerationEngine(dec, slots=6)
     eng = GenerationEngine(dec, slots=4, prefill_chunk=8)
     try:
-        with pytest.raises(NotImplementedError):   # prefix scratch cache
-            eng.register_prefix([1, 2, 3])
+        pid = eng.register_prefix([1, 2, 3])   # composes as of round 5
+        assert pid >= 1
     finally:
         eng.shutdown()
 

@@ -204,3 +204,31 @@ def test_seed_fn_cache_capped():
         assert len(eng._seed_fns) <= 3
     finally:
         eng.shutdown()
+
+
+def test_prefix_cache_sharded_engine():
+    """Prefix caching on a SHARDED engine (round 5, second pass):
+    registration runs the scratch extends data-replicated (channel
+    shard over the model axis only), seeding writes into the owning
+    group's slot block — prefixed tokens bit-identical to cold and to
+    sharded generate()."""
+    import jax
+    from int8inferenceengine_tpu.parallel import make_mesh
+    dec = _decoder()
+    rng = np.random.default_rng(7)
+    prefix = rng.integers(0, 97, (21,)).astype(np.int32)
+    dec.shard(make_mesh((2, 2), devices=jax.devices()[:4]))
+    eng = GenerationEngine(dec, slots=4, chunk_steps=4, prefill_chunk=8)
+    try:
+        pid = eng.register_prefix(prefix)
+        for n_suf in (1, 5):
+            suf = rng.integers(0, 97, (n_suf,)).astype(np.int32)
+            full = np.concatenate([prefix, suf])
+            a = eng.submit(full, 8, prefix_id=pid).result()
+            b = eng.submit(full, 8).result()
+            g = dec.generate(np.tile(full[None], (2, 1)), 8)[0]
+            assert (a == b).all() and (a == g).all()
+        assert eng.stats.prefix_hits == 2
+        eng.unregister_prefix(pid)
+    finally:
+        eng.shutdown()

@@ -265,3 +265,25 @@ def test_bad_request_fails_future_not_engine():
         assert out.shape == (4, 10)
     finally:
         engine.shutdown()
+
+
+def test_inference_engine_serves_sharded_model():
+    """The CNN engine composes with shard() for free: coalesced tiles
+    are powers of two (divisible by the data axis), and model(tensor)
+    dispatches the shard_map forward — outputs must be bit-identical
+    to the unsharded forward (round-5 companion to the sharded
+    GenerationEngine)."""
+    import jax
+    from int8inferenceengine_tpu.parallel import make_mesh
+    from __graft_entry__ import _calibrated as _cal
+    m = _cal(models.build("lenet"), models.LeNet.INPUT_SHAPE)
+    x = np.random.default_rng(0).uniform(
+        -1, 1, (20, 1, 28, 28)).astype(np.float32)
+    want = np.asarray(m(q.tensor(x)).data)
+    m.shard(make_mesh((4, 2), devices=jax.devices()[:8]))
+    eng = InferenceEngine(m, max_batch=32)
+    try:
+        got = eng.submit(x).result()
+    finally:
+        eng.shutdown()
+    assert np.array_equal(got, want)
