@@ -147,13 +147,23 @@ class TextDecoder(Module):
 
     def __init__(self, vocab_size: int = 1000, max_len: int = 64,
                  dim: int = 128, depth: int = 2, heads: int = 2,
-                 mlp_ratio: int = 4,
+                 mlp_ratio: int = 4, mlp_hidden: int | None = None,
+                 act: str = "gelu",
                  config: QuantConfig = DEFAULT_CONFIG):
+        """``act`` selects the MLP activation ('gelu' default; 'relu'
+        is the OPT family) and ``mlp_hidden`` overrides ``mlp_ratio``
+        when a checkpoint's ffn width is not a clean multiple (the
+        layer attribute stays ``gelu{i}`` for machinery compatibility
+        regardless of the chosen fn)."""
         super().__init__(config)
         if dim % heads:
             raise ValueError(f"dim {dim} not divisible by heads {heads}")
         self.vocab_size, self.max_len = vocab_size, max_len
         self.dim, self.depth, self.heads = dim, depth, heads
+        mlp_hidden = (mlp_ratio * dim if mlp_hidden is None
+                      else int(mlp_hidden))
+        self.mlp_hidden = mlp_hidden
+        self.act = str(act)
         # kv_heads / head_dim generalize the cache geometry (GQA models
         # — models/llama.py — store kv-compact caches); here MHA
         self.kv_heads = heads
@@ -174,10 +184,10 @@ class TextDecoder(Module):
             setattr(self, f"proj{i}", Linear(dim, dim, config=config))
             setattr(self, f"add1_{i}", QuantAdd(config=config))
             setattr(self, f"ln2_{i}", QuantLayerNorm(dim, config=config))
-            setattr(self, f"fc1_{i}", Linear(dim, mlp_ratio * dim,
+            setattr(self, f"fc1_{i}", Linear(dim, mlp_hidden,
                                              config=config))
-            setattr(self, f"gelu{i}", QuantAct("gelu", config=config))
-            setattr(self, f"fc2_{i}", Linear(mlp_ratio * dim, dim,
+            setattr(self, f"gelu{i}", QuantAct(act, config=config))
+            setattr(self, f"fc2_{i}", Linear(mlp_hidden, dim,
                                              config=config))
             setattr(self, f"add2_{i}", QuantAdd(config=config))
         self.ln_f = QuantLayerNorm(dim, config=config)
@@ -1035,8 +1045,10 @@ class TextDecoder(Module):
 
 def torch_text_decoder(vocab_size: int = 1000, max_len: int = 64,
                        dim: int = 128, depth: int = 2, heads: int = 2,
-                       mlp_ratio: int = 4, seed: int = 42):
-    """Matching torch oracle (same attribute names -> state_dict loads)."""
+                       mlp_ratio: int = 4, seed: int = 42,
+                       act: str = "gelu"):
+    """Matching torch oracle (same attribute names -> state_dict loads).
+    ``act='relu'`` is the OPT-family MLP."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as tF
@@ -1083,7 +1095,8 @@ def torch_text_decoder(vocab_size: int = 1000, max_len: int = 64,
                 x = x + getattr(self, f"proj{i}")(o)
                 h = getattr(self, f"ln2_{i}")(x)
                 h = getattr(self, f"fc2_{i}")(
-                    tF.gelu(getattr(self, f"fc1_{i}")(h)))
+                    (tF.relu if act == "relu" else tF.gelu)(
+                        getattr(self, f"fc1_{i}")(h)))
                 x = x + h
             return self.head(self.ln_f(x))
 

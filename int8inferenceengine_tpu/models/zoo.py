@@ -265,6 +265,14 @@ def _neox_tiny(**kw):
     return NeoXDecoder(**kw)
 
 
+def _opt_tiny(**kw):
+    # OPT = the gpt block with learned positions, pre-LN, and a ReLU
+    # MLP; HF naming (model.decoder.*, position offset 2) in utils/hf
+    from .text_decoder import TextDecoder
+    kw.setdefault("act", "relu")
+    return TextDecoder(**kw)
+
+
 def _mistral_tiny(**kw):
     # mistral = llama topology + sliding-window attention (the window
     # and GQA geometry come from the HF config; utils/hf.from_hf_config
@@ -327,6 +335,7 @@ MODEL_SPECS = {
     "gemma_tiny": _gemma_tiny,
     "neox_tiny": _neox_tiny,
     "mistral_tiny": _mistral_tiny,
+    "opt_tiny": _opt_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -513,6 +522,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "neox_tiny":
         from .neox import torch_neox
         return torch_neox(seed=seed)
+
+    elif name == "opt_tiny":
+        from .text_decoder import torch_text_decoder
+        return torch_text_decoder(seed=seed, act="relu")
 
     elif name == "mistral_tiny":
         from .llama import torch_llama

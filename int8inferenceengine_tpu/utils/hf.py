@@ -55,6 +55,7 @@ def _split3(v, axis):
 _LLAMA_PAT = re.compile(r"^(?:model\.)?layers\.(\d+)\.")
 _GPT2_PAT = re.compile(r"^(?:transformer\.)?h\.(\d+)\.")
 _NEOX_PAT = re.compile(r"^(?:gpt_neox\.)?layers\.(\d+)\.")
+_OPT_PAT = re.compile(r"^(?:model\.)?decoder\.layers\.(\d+)\.")
 
 # per-block llama key tails -> framework layer names (1-indexed fmt)
 _LLAMA_BLOCK = {
@@ -165,6 +166,40 @@ def _split_qkv_interleaved(v, n_heads: int, axis: int):
     return parts
 
 
+# OPT per-block tails (facebook/opt-*): plain pre-LN MHA + ReLU MLP;
+# self_attn_layer_norm is the PRE-attention norm, the block-level
+# final_layer_norm the pre-MLP one
+_OPT_BLOCK = {
+    "self_attn_layer_norm.weight": "ln1_{i}.weight",
+    "self_attn_layer_norm.bias": "ln1_{i}.bias",
+    "self_attn.q_proj.weight": "wq{i}.weight",
+    "self_attn.q_proj.bias": "wq{i}.bias",
+    "self_attn.k_proj.weight": "wk{i}.weight",
+    "self_attn.k_proj.bias": "wk{i}.bias",
+    "self_attn.v_proj.weight": "wv{i}.weight",
+    "self_attn.v_proj.bias": "wv{i}.bias",
+    "self_attn.out_proj.weight": "proj{i}.weight",
+    "self_attn.out_proj.bias": "proj{i}.bias",
+    "final_layer_norm.weight": "ln2_{i}.weight",
+    "final_layer_norm.bias": "ln2_{i}.bias",
+    "fc1.weight": "fc1_{i}.weight",
+    "fc1.bias": "fc1_{i}.bias",
+    "fc2.weight": "fc2_{i}.weight",
+    "fc2.bias": "fc2_{i}.bias",
+}
+_OPT_TOP = {
+    "model.decoder.embed_tokens.weight": "embed.weight",
+    "decoder.embed_tokens.weight": "embed.weight",
+    "model.decoder.final_layer_norm.weight": "ln_f.weight",
+    "model.decoder.final_layer_norm.bias": "ln_f.bias",
+    "decoder.final_layer_norm.weight": "ln_f.weight",
+    "decoder.final_layer_norm.bias": "ln_f.bias",
+    "lm_head.weight": "head.weight",
+}
+_OPT_POS = ("model.decoder.embed_positions.weight",
+            "decoder.embed_positions.weight")
+
+
 _GPT2_TOP = {
     "wte.weight": "embed.weight",
     "transformer.wte.weight": "embed.weight",
@@ -186,6 +221,10 @@ def detect(keys) -> str | None:
     keys = list(keys)
     if any("pre_feedforward_layernorm" in k for k in keys):
         return "gemma"
+    if any(_OPT_PAT.match(k) for k in keys) \
+            or any(k in _OPT_TOP or k in _OPT_POS for k in keys
+                   if "decoder." in k):
+        return "opt"
     if any(_NEOX_PAT.match(k) and ".attention." in k for k in keys) \
             or any(k in _NEOX_TOP for k in keys):
         return "neox"
@@ -211,7 +250,28 @@ def from_hf(state_dict: dict, arch: str | None = None,
                          "load it directly")
     out = {}
     for key, v in state_dict.items():
-        if arch == "neox":
+        if arch == "opt":
+            if key in _OPT_POS:
+                # OPT's learned positions are OFFSET BY 2 (rows 0/1 are
+                # pad artifacts of the original fairseq impl): slice
+                # them off so row p is position p
+                import numpy as np
+                arr = (v.detach().cpu().numpy()
+                       if hasattr(v, "detach") else np.asarray(v))
+                out["pe.weight"] = arr[2:]
+                continue
+            if key in _OPT_TOP:
+                out[_OPT_TOP[key]] = v
+                continue
+            m = _OPT_PAT.match(key)
+            if m:
+                i = int(m.group(1)) + 1
+                tail = key[m.end():]
+                if tail in _OPT_BLOCK:
+                    out[_OPT_BLOCK[tail].format(i=i)] = v
+                    continue
+            raise KeyError(f"unrecognized HF opt key: {key}")
+        elif arch == "neox":
             if key in _NEOX_TOP:
                 out[_NEOX_TOP[key]] = v
                 continue
@@ -354,6 +414,26 @@ def from_hf_config(cfg: dict):
                 sw = None
             kw["sliding_window"] = sw
         return LlamaDecoder, kw
+    if mt == "opt":
+        if cfg.get("word_embed_proj_dim",
+                   cfg.get("hidden_size")) != cfg.get("hidden_size"):
+            raise ValueError(
+                "OPT checkpoints with word_embed_proj_dim != "
+                "hidden_size (the 350m in/out projections) are "
+                "unsupported")
+        if not cfg.get("do_layer_norm_before", True):
+            raise ValueError(
+                "post-LN OPT variants (do_layer_norm_before=False) "
+                "are unsupported; this family builds the pre-LN block")
+        kw = pick({"vocab_size": "vocab_size",
+                   "max_position_embeddings": "max_len",
+                   "hidden_size": "dim",
+                   "num_hidden_layers": "depth",
+                   "num_attention_heads": "heads",
+                   "ffn_dim": "mlp_hidden",
+                   "activation_function": "act"})
+        kw.setdefault("act", "relu")
+        return TextDecoder, kw
     if mt == "gpt2":
         return TextDecoder, pick({"vocab_size": "vocab_size",
                                   "n_positions": "max_len",
@@ -387,7 +467,7 @@ def from_hf_config(cfg: dict):
                                        "final_softcap",
                                    "rms_norm_eps": "eps"})
     raise ValueError(f"unsupported HF model_type: {mt!r} (supported: "
-                     "llama, mistral, qwen2, gpt2, gpt_neox, gemma2)")
+                     "llama, mistral, qwen2, gpt2, gpt_neox, gemma2, opt)")
 
 
 def build_from_hf(cfg: dict, state_dict: dict | None = None,
