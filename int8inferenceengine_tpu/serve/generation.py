@@ -182,12 +182,14 @@ class GenerationStats:
 
 class _GenRequest:
     __slots__ = ("prompt", "max_new", "future", "tokens", "t_submit",
-                 "temperature", "seed", "top_p", "top_k", "prefix_id")
+                 "temperature", "seed", "top_p", "top_k", "prefix_id",
+                 "eos_id", "stream_q")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
                  temperature: float = 0.0, seed: int = 0,
                  top_p: float = 1.0, top_k: int = 0,
-                 prefix_id: int | None = None):
+                 prefix_id: int | None = None,
+                 eos_id: int | None = None):
         self.prompt = prompt
         self.max_new = max_new
         self.temperature = float(temperature)
@@ -195,6 +197,8 @@ class _GenRequest:
         self.top_p = float(top_p)
         self.top_k = int(top_k)            # 0 = off
         self.prefix_id = prefix_id
+        self.eos_id = eos_id               # None = engine default
+        self.stream_q = None               # set by submit_stream
         self.future: Future = Future()
         self.tokens: list[int] = []
         self.t_submit = time.perf_counter()
@@ -352,6 +356,8 @@ class GenerationEngine:
             self._temp = _zs((slots,), jnp.float32)
             self._topp = _zs((slots,), jnp.float32, one=True)
             self._topk = _zs((slots,), jnp.int32)
+            self._eos = jax.device_put(
+                jnp.full((slots,), -1, jnp.int32), slot_sh)
             self._keys = _zs((slots, 2), jnp.uint32)
         else:
             self._caches = {
@@ -363,6 +369,7 @@ class GenerationEngine:
             self._temp = jnp.zeros((slots,), jnp.float32)   # 0 = greedy
             self._topp = jnp.ones((slots,), jnp.float32)    # 1 = no nucleus
             self._topk = jnp.zeros((slots,), jnp.int32)     # 0 = no top-k
+            self._eos = jnp.full((slots,), -1, jnp.int32)   # -1 = none
             self._keys = jnp.zeros((slots, 2), jnp.uint32)  # per-slot PRNG
         self._active = [None] * slots      # slot -> _GenRequest | None
         self.stats = GenerationStats()
@@ -462,10 +469,11 @@ class GenerationEngine:
                 raise ValueError(f"unknown prefix_id {prefix_id}")
             del self._prefixes[prefix_id]
 
-    def submit(self, prompt, max_new_tokens: int,
-               temperature: float = 0.0, seed: int = 0,
-               top_p: float = 1.0, top_k: int | None = None,
-               prefix_id: int | None = None) -> Future:
+    def _build_request(self, prompt, max_new_tokens: int,
+                       temperature: float = 0.0, seed: int = 0,
+                       top_p: float = 1.0, top_k: int | None = None,
+                       prefix_id: int | None = None,
+                       eos_id: int | None = None) -> _GenRequest:
         if not self._running:
             raise RuntimeError("engine is shut down")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
@@ -493,11 +501,43 @@ class GenerationEngine:
             raise ValueError(
                 f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
                 f"max_len {self.model.max_len}")
-        req = _GenRequest(prompt, max_new_tokens, temperature, seed,
-                          top_p, 0 if top_k is None else int(top_k),
-                          prefix_id)
+        return _GenRequest(
+            prompt, max_new_tokens, temperature, seed,
+            top_p, 0 if top_k is None else int(top_k), prefix_id,
+            self.eos_id if eos_id is None else int(eos_id))
+
+    def submit(self, prompt, max_new_tokens: int, **kw) -> Future:
+        """Queue a request; the Future resolves to the generated ids.
+
+        Per-request knobs (each rides the ONE compiled chunk program as
+        a traced per-slot value): ``temperature``/``seed`` sampling,
+        ``top_p`` nucleus, ``top_k`` (dynamic count threshold),
+        ``eos_id`` stop token (overrides the engine default; the
+        device-side early stop gates on a per-slot vector), and
+        ``prefix_id`` (registered shared-prefix KV reuse)."""
+        req = self._build_request(prompt, max_new_tokens, **kw)
         self._queue.put(req)
         return req.future
+
+    def submit_stream(self, prompt, max_new_tokens: int, **kw):
+        """Like :meth:`submit`, but returns an ITERATOR that yields
+        each generated token id as the engine produces it (granularity:
+        one decode chunk — tokens arrive in bursts of up to
+        ``chunk_steps``).  The iterator raises at the point of failure
+        if the request errors, and ends after the last token."""
+        req = self._build_request(prompt, max_new_tokens, **kw)
+        req.stream_q = queue.Queue()
+        self._queue.put(req)
+
+        def _iter():
+            while True:
+                t = req.stream_q.get()
+                if t is None:
+                    break
+                yield t
+            req.future.result()      # surface failures / cancellation
+
+        return _iter()
 
     def generate(self, prompt, max_new_tokens: int) -> np.ndarray:
         return self.submit(prompt, max_new_tokens).result()
@@ -676,7 +716,7 @@ class GenerationEngine:
             m, steps = self.model, self.chunk_steps
 
             def run(params, caches, pos, tok, active, temps, keys,
-                    topps, topks):
+                    topps, topks, eosv):
                 m._bind(params)
                 try:
                     def body(carry, _):
@@ -690,8 +730,8 @@ class GenerationEngine:
                         else:
                             nxt = jnp.argmax(codes, -1).astype(jnp.int32)
                         nxt = jnp.where(act, nxt, tok)
-                        if self.eos_id is not None:
-                            act = act & (nxt != self.eos_id)
+                        # per-slot stop tokens: -1 never matches
+                        act = act & (nxt != eosv)
                         pos = jnp.where(act, pos + 1, pos)
                         return (caches, pos, nxt, act), nxt
 
@@ -707,7 +747,7 @@ class GenerationEngine:
                 run = self._shard_wrap(
                     run,
                     (self._tp_specs, cache_specs, ps, ps, ps, ps, ps,
-                     ps, ps),
+                     ps, ps, ps),
                     (cache_specs, ps, ps, ps, ps))
             fn = jax.jit(run, donate_argnums=(1, 2, 3))
             self._chunk_fns[(sampled, use_topp, use_topk)] = fn
@@ -740,7 +780,7 @@ class GenerationEngine:
                 slots = slots // pa.data_size
 
             def run(params, caches, pos, tok, active, remaining,
-                    temps, keys, topps, topks):
+                    temps, keys, topps, topks, eosv):
                 m._bind(params)
                 try:
                     def step(carry, _):
@@ -756,8 +796,7 @@ class GenerationEngine:
                         nxt = jnp.where(act, nxt, tok)
                         rem = jnp.where(act, rem - 1, rem)
                         act = act & (rem > 0)
-                        if self.eos_id is not None:
-                            act = act & (nxt != self.eos_id)
+                        act = act & (nxt != eosv)      # -1 never fires
                         pos = jnp.where(act, pos + 1, pos)
                         return (caches, pos, nxt, act, rem), nxt
 
@@ -796,7 +835,7 @@ class GenerationEngine:
                 run = self._shard_wrap(
                     run,
                     (self._tp_specs, cache_specs, ps, ps, ps, ps, ps,
-                     ps, ps, ps),
+                     ps, ps, ps, ps),
                     (cache_specs, ps, ps, ps, ps, ps, rp, rp))
             fn = jax.jit(run, donate_argnums=(1, 2, 3))
             self._multi_fns[(sampled, use_topp, use_topk)] = fn
@@ -1029,10 +1068,14 @@ class GenerationEngine:
                  if req.top_k > 0 else None))[0])
         else:
             tok0 = int(jnp.argmax(row))
+        # eos applies to greedy AND sampled requests
+        self._eos = self._eos.at[slot].set(jnp.int32(
+            -1 if req.eos_id is None else req.eos_id))
         self.stats.prefills += 1
         self._tok = self._tok.at[slot].set(tok0)
         self._pos = self._pos.at[slot].set(t0)
         req.tokens.append(tok0)
+        self._stream_push(req, tok0)
         if self._done(req, tok0):
             self._finish(slot)
 
@@ -1087,6 +1130,9 @@ class GenerationEngine:
         self._temp = self._temp.at[slots_j].set(jnp.asarray(temps))
         self._topp = self._topp.at[slots_j].set(jnp.asarray(topps))
         self._topk = self._topk.at[slots_j].set(jnp.asarray(topks))
+        self._eos = self._eos.at[slots_j].set(jnp.asarray(
+            [-1 if req.eos_id is None else req.eos_id
+             for _, req in part], np.int32))
         self._keys = self._keys.at[slots_j].set(jnp.asarray(keys))
         use_topp = bool((topps < 1.0).any())
         use_topk = bool((topks > 0).any())
@@ -1102,12 +1148,23 @@ class GenerationEngine:
         for j, (slot, req) in enumerate(part):
             tok0 = int(toks[j])
             req.tokens.append(tok0)
+            self._stream_push(req, tok0)
             if self._done(req, tok0):
                 self._finish(slot)
 
+    @staticmethod
+    def _stream_push(req: _GenRequest, tok: int) -> None:
+        if req.stream_q is not None and len(req.tokens) <= req.max_new:
+            req.stream_q.put(tok)
+
+    @staticmethod
+    def _stream_close(req: _GenRequest) -> None:
+        if req.stream_q is not None:
+            req.stream_q.put(None)
+
     def _done(self, req: _GenRequest, tok: int) -> bool:
         return (len(req.tokens) >= req.max_new
-                or (self.eos_id is not None and tok == self.eos_id))
+                or (req.eos_id is not None and tok == req.eos_id))
 
     def _finish(self, slot: int) -> None:
         req = self._active[slot]
@@ -1118,6 +1175,8 @@ class GenerationEngine:
             self._topp = self._topp.at[slot].set(1.0)
         if req.top_k > 0:
             self._topk = self._topk.at[slot].set(0)
+        if req.eos_id is not None:
+            self._eos = self._eos.at[slot].set(-1)
         self.stats.requests += 1
         self.stats.tokens += min(len(req.tokens), req.max_new)
         if len(self.stats.latencies_s) < 10_000:
@@ -1125,6 +1184,7 @@ class GenerationEngine:
                 time.perf_counter() - req.t_submit)
         req.future.set_result(np.asarray(req.tokens[:req.max_new],
                                          np.int32))
+        self._stream_close(req)
 
     def _loop(self) -> None:
         try:
@@ -1133,6 +1193,8 @@ class GenerationEngine:
             for s, req in enumerate(self._active):
                 if req is not None and not req.future.done():
                     req.future.set_exception(e)
+                if req is not None:
+                    self._stream_close(req)
                 self._active[s] = None
             while True:
                 try:
@@ -1141,6 +1203,7 @@ class GenerationEngine:
                     break
                 if req is not None and not req.future.done():
                     req.future.set_exception(e)
+                    self._stream_close(req)
             raise
 
     def _loop_inner(self) -> None:
@@ -1158,6 +1221,7 @@ class GenerationEngine:
                     req.future.set_exception(
                         RuntimeError("engine shut down before this "
                                      "request was scheduled"))
+                    self._stream_close(req)
 
     def _drain_loop(self) -> None:
         # overlap=True: ``pending`` holds the dispatched-but-unfetched
@@ -1218,7 +1282,7 @@ class GenerationEngine:
                             self._params, self._caches, self._pos,
                             self._tok, active, jnp.asarray(rem),
                             self._temp, self._keys, self._topp,
-                            self._topk)
+                            self._topk, self._eos)
                     self.stats.chunks += int(nchunks)
                     # on-device per-chunk live-slot counts: slots drain
                     # mid-program, so n_act * nchunks would overstate
@@ -1232,7 +1296,7 @@ class GenerationEngine:
                         self._chunk(sampled, use_topp, use_topk)(
                             self._params, self._caches, self._pos,
                             self._tok, active, self._temp, self._keys,
-                            self._topp, self._topk)
+                            self._topp, self._topk, self._eos)
                     if self.overlap:
                         pending, fetch = (toks, snapshot), pending
                     else:
@@ -1250,6 +1314,7 @@ class GenerationEngine:
                     continue
                 for t in toks[s]:
                     req.tokens.append(int(t))
+                    self._stream_push(req, int(t))
                     if self._done(req, int(t)):
                         self._finish(s)
                         break

@@ -4,6 +4,7 @@ prefill is exact under the causal mask, and dead cache rows contribute
 exactly zero."""
 
 import numpy as np
+import pytest
 
 import int8inferenceengine_tpu as q
 from int8inferenceengine_tpu import models
@@ -301,3 +302,81 @@ def test_engine_chunked_prefill_near_max_len():
         np.testing.assert_array_equal(got, want)
     finally:
         eng.shutdown()
+
+
+def test_per_request_eos_and_override():
+    """Round 5: eos_id per REQUEST (a traced per-slot vector gates the
+    device-side early stop — different stop tokens in one compiled
+    program), overriding the engine default.  Uses a sampled request so
+    tokens are varied enough to pick a mid-sequence stop."""
+    dec = _model()
+    rng = np.random.default_rng(31)
+    VOCAB = dec.vocab_size
+    p = rng.integers(0, VOCAB, (5,)).astype(np.int32)
+    eng = GenerationEngine(dec, slots=2, chunk_steps=4)
+    try:
+        ref = eng.submit(p, 12, temperature=1.0, seed=3).result()
+        # find a token that appears mid-sequence and not earlier
+        stop_at = next(j for j in range(2, 10)
+                       if int(ref[j]) not in ref[:j].tolist())
+        e = int(ref[stop_at])
+        out = eng.submit(p, 12, temperature=1.0, seed=3,
+                         eos_id=e).result()
+        assert out.shape == (stop_at + 1,)
+        assert (out == ref[:stop_at + 1]).all()
+        # a concurrent request with a DIFFERENT eos and one with none
+        f1 = eng.submit(p, 12, temperature=1.0, seed=3, eos_id=e)
+        f2 = eng.submit(p, 12, temperature=1.0, seed=3)
+        a, b = f1.result(), f2.result()
+        assert a.shape == (stop_at + 1,) and b.shape == (12,)
+        assert (b == ref).all()
+    finally:
+        eng.shutdown()
+    # engine-level default + per-request override
+    eng2 = GenerationEngine(dec, slots=2, chunk_steps=4, eos_id=e)
+    try:
+        c = eng2.submit(p, 12, temperature=1.0, seed=3).result()
+        assert c.shape == (stop_at + 1,)
+        d = eng2.submit(p, 12, temperature=1.0, seed=3,
+                        eos_id=VOCAB + 5).result()   # never fires
+        assert d.shape == (12,) and (d == ref).all()
+    finally:
+        eng2.shutdown()
+
+
+def test_submit_stream_yields_all_tokens_in_order():
+    dec = _model()
+    rng = np.random.default_rng(32)
+    VOCAB = dec.vocab_size
+    p = rng.integers(0, VOCAB, (6,)).astype(np.int32)
+    eng = GenerationEngine(dec, slots=2, chunk_steps=4, sync_chunks=2)
+    try:
+        ref = dec.generate(p[None], 13)[0]
+        got = []
+        for t in eng.submit_stream(p, 13):
+            got.append(t)
+        assert len(got) == 13
+        assert (np.asarray(got) == ref).all()
+        # streaming + eos: ends exactly at the stop token
+        sref = eng.submit(p, 13, temperature=1.0, seed=8).result()
+        stop_at = next(j for j in range(2, 10)
+                       if int(sref[j]) not in sref[:j].tolist())
+        got2 = list(eng.submit_stream(p, 13, temperature=1.0, seed=8,
+                                      eos_id=int(sref[stop_at])))
+        assert len(got2) == stop_at + 1
+        assert (np.asarray(got2) == sref[:stop_at + 1]).all()
+        # a streaming and a future request interleave fine
+        it = eng.submit_stream(p, 9)
+        fut = eng.submit(p, 9)
+        s_toks = list(it)
+        assert (np.asarray(s_toks) == fut.result()).all()
+    finally:
+        eng.shutdown()
+
+
+def test_submit_stream_surfaces_shutdown():
+    dec = _model()
+    eng = GenerationEngine(dec, slots=2, chunk_steps=4)
+    eng.shutdown()
+    with pytest.raises(RuntimeError):
+        eng.submit_stream([1, 2, 3], 4)
