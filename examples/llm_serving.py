@@ -113,8 +113,38 @@ def main():
         ok = all(np.array_equal(outs[i], m.generate(
             prompt[i:i + 1], 8)[0]) for i in range(4))
         print(f"engine (sync_chunks=4) == standalone generate: {ok}")
+        # round 5: per-request sampling filters (dynamic code-threshold
+        # top_k AND top_p in one compiled program), per-request eos,
+        # and streaming token output
+        streamed = list(eng.submit_stream(
+            prompt[0], 8, temperature=0.9, seed=7, top_k=20, top_p=0.9))
+        again = eng.submit(prompt[0], 8, temperature=0.9, seed=7,
+                           top_k=20, top_p=0.9).result(timeout=600)
+        print(f"streamed sampled tokens (top_k=20, top_p=0.9) == "
+              f"resubmission: {np.array_equal(streamed, again)}")
     finally:
         eng.shutdown()
+
+    # --- round 5: the engine drives a shard()ed decoder -----------------
+    import jax as _jax
+    if len(_jax.devices()) >= 4:
+        from int8inferenceengine_tpu.parallel.mesh import make_mesh
+        m_tp = models.build("llama_tiny", config=cfg)
+        m_tp.load(tw.state_dict())
+        m_tp.prepare()
+        m_tp(q.tensor(cal))
+        m_tp.convert()
+        want_tp = m_tp.generate(prompt[:1], 8)[0]
+        m_tp.shard(make_mesh((2, 2), devices=_jax.devices()[:4]))
+        eng_tp = GenerationEngine(m_tp, slots=2, chunk_steps=8)
+        try:
+            got_tp = eng_tp.submit(prompt[0], 8).result(timeout=600)
+        finally:
+            eng_tp.shutdown()
+        print(f"SHARDED engine (TP (2,2) mesh, head-sharded u8 cache) "
+              f"== generate: {np.array_equal(got_tp, want_tp)}")
+    else:
+        print("(fewer than 4 devices: skipping the sharded-engine leg)")
 
     # --- W4A8: 4-bit weights on the static u8 activation path -----------
     w4 = models.build("llama_tiny",
