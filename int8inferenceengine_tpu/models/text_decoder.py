@@ -48,10 +48,19 @@ from ..ops import functional as F
 from ..tensor import Tensor
 
 __all__ = ["TextDecoder", "torch_text_decoder", "nucleus_code_floor",
-           "nucleus_float_cutoff", "topk_code_floor"]
+           "nucleus_float_cutoff", "topk_code_floor", "code_histogram"]
 
 
-def nucleus_code_floor(codes, s_over_t, p, keep=None):
+def code_histogram(codes):
+    """Per-row 256-bin count histogram of u8 codes [B, V] -> f32
+    [B, 256] (exact for V < 2^24).  The one O(B*V) scatter both code
+    floors share — compute it once when top_k AND top_p are active
+    (round-5 review finding: the combined filter paid it twice)."""
+    return jax.vmap(
+        lambda c: jnp.zeros(256, jnp.float32).at[c].add(1.0))(codes)
+
+
+def nucleus_code_floor(codes, s_over_t, p, keep=None, hist=None):
     """Smallest u8 logit code inside the nucleus (top-p) set, per row.
 
     ``codes`` [B, V] u8 logit codes, ``s_over_t`` [B] = head scale /
@@ -85,10 +94,14 @@ def nucleus_code_floor(codes, s_over_t, p, keep=None):
     ``exp`` to exactly 0 mass and are excluded even at p = 1.0 — their
     true probability is < 1e-38, unreachable by f32 categorical anyway.
     """
-    wts = (jnp.ones(codes.shape, jnp.float32) if keep is None
-           else keep.astype(jnp.float32))
-    hist = jax.vmap(
-        lambda c, w: jnp.zeros(256, jnp.float32).at[c].add(w))(codes, wts)
+    if hist is None:
+        if keep is None:
+            hist = code_histogram(codes)
+        else:
+            hist = jax.vmap(
+                lambda c, w: jnp.zeros(256, jnp.float32).at[c].add(w))(
+                    codes, keep.astype(jnp.float32))
+    # else: the caller passes a (possibly class-masked) count histogram
     v = jnp.arange(256, dtype=jnp.float32)
     w = hist * jnp.exp((v[None, :] - 255.0) * s_over_t[:, None])
     revcum = jnp.cumsum(w[:, ::-1], -1)[:, ::-1]   # [B,256]: sum_{u>=v}
@@ -96,7 +109,7 @@ def nucleus_code_floor(codes, s_over_t, p, keep=None):
     return jnp.max(jnp.where(ok, jnp.arange(256), 0), -1).astype(jnp.uint8)
 
 
-def topk_code_floor(codes, k):
+def topk_code_floor(codes, k, hist=None):
     """Smallest u8 logit code inside the top-k set, per row — the
     DYNAMIC form of top_k: ``codes`` [B, V] u8, ``k`` [B] int32 ->
     u8 [B]; keep tokens with ``code >= floor``.
@@ -114,8 +127,8 @@ def topk_code_floor(codes, k):
     Edge cases: k >= V keeps everything (no suffix reaches k -> floor
     0); k <= 0 is the caller's "off" gate (the floor degenerates to
     255 — gate before use)."""
-    hist = jax.vmap(
-        lambda c: jnp.zeros(256, jnp.float32).at[c].add(1.0))(codes)
+    if hist is None:
+        hist = code_histogram(codes)
     revcum = jnp.cumsum(hist[:, ::-1], -1)[:, ::-1]   # [B,256] counts >= v
     ok = revcum >= k[:, None].astype(jnp.float32)
     return jnp.max(jnp.where(ok, jnp.arange(256), 0), -1).astype(jnp.uint8)
@@ -701,6 +714,7 @@ class TextDecoder(Module):
         else:                                  # weight_only: float logits
             logits = codes.astype(jnp.float32)
         topk_keep = None
+        kth = None
         if top_k is not None:
             kth = lax.top_k(codes, top_k)[0][:, -1:]
             topk_keep = codes >= kth
@@ -710,9 +724,15 @@ class TextDecoder(Module):
             if codes.dtype == jnp.uint8:
                 # nucleus mass over the top_k-filtered codes (sequential
                 # HF semantics) — identical composition to the float
-                # branch, which cuts on the already-masked logits
+                # branch, which cuts on the already-masked logits.  The
+                # top_k mask is a CODE threshold, so it applies to the
+                # count histogram at class level — one scatter total
                 sot = jnp.full((b,), scale / temperature, jnp.float32)
-                floor = nucleus_code_floor(codes, sot, p, keep=topk_keep)
+                hist = code_histogram(codes)
+                if kth is not None:
+                    v = jnp.arange(256, dtype=codes.dtype)
+                    hist = hist * (v[None, :] >= kth)
+                floor = nucleus_code_floor(codes, sot, p, hist=hist)
                 logits = jnp.where(codes >= floor[:, None], logits,
                                    -jnp.inf)
             else:

@@ -300,7 +300,14 @@ class GenerationEngine:
         # layer per step).  Bucketed prefill slices each prompt's ring
         # tail PER ROW (models/text_decoder.py _prefill).  Chunked
         # prefill requires full-length caches — mutually exclusive.
-        self._ring_serving = bool(getattr(model, "ring_cache", False))
+        # weight_only + ring: the float serving-prefill path has no
+        # per-row ring-tail implementation (text_decoder._prefill is
+        # u8-only there), so weight_only engines keep FULL-length
+        # caches — the ring flag only changes generate()'s allocation
+        # (round-5 review finding: ring-sized float caches crashed the
+        # loop on the first long prompt)
+        self._ring_serving = (bool(getattr(model, "ring_cache", False))
+                              and not model.config.weight_only)
         if self._ring_serving and self.prefill_chunk is not None:
             raise ValueError(
                 "prefill_chunk needs full-length slot caches; a "
@@ -599,15 +606,18 @@ class GenerationEngine:
         else:                               # weight_only: float logits
             logits = codes.astype(jnp.float32)
         keepk = None
+        hist = fl = None
         if topks is not None:
             # per-slot DYNAMIC top_k (round 5): on the u8 grid the
             # k-th-largest threshold is a histogram COUNT cumsum
             # (topk_code_floor) — identical semantics to the static
             # lax.top_k threshold (ties kept), but k is traced, so it
             # rides the one compiled chunk program like top_p does
-            from ..models.text_decoder import topk_code_floor
+            from ..models.text_decoder import (code_histogram,
+                                               topk_code_floor)
             if is_u8:
-                fl = topk_code_floor(codes, topks)
+                hist = code_histogram(codes)   # shared with the nucleus
+                fl = topk_code_floor(codes, topks, hist=hist)
                 keepk = codes >= fl[:, None]
             else:
                 srt = -jnp.sort(-logits, -1)
@@ -622,9 +632,18 @@ class GenerationEngine:
             t_safe = jnp.maximum(temps, 1e-6)
             if is_u8:
                 # sequential HF semantics when composed with top_k:
-                # the nucleus mass is measured over the kept codes
+                # the nucleus mass is measured over the kept codes.
+                # The top_k mask is a CODE threshold, so it applies to
+                # the shared count histogram at class level — ONE
+                # O(B*V) scatter serves both filters (round-5 review)
+                hm = None
+                if hist is not None:
+                    vcls = jnp.arange(256, dtype=jnp.uint8)
+                    hm = jnp.where(
+                        (topks > 0)[:, None],
+                        hist * (vcls[None, :] >= fl[:, None]), hist)
                 floor = nucleus_code_floor(codes, scale / t_safe, topps,
-                                           keep=keepk)
+                                           hist=hm)
                 keep = codes >= floor[:, None]
                 if keepk is not None:
                     keep = keep & keepk
@@ -850,13 +869,14 @@ class GenerationEngine:
         if fn is None:
             m = self.model
             sharded = self._mesh is not None
-            if sharded:
+            if not sharded:
+                run = self._plain_extend_run()
+            else:
                 pa, ls = self._pa, self.slots // self._pa.data_size
 
-            def run(params, caches, slot, chunk, base):
-                m._bind(params)
-                try:
-                    if sharded:
+                def run(params, caches, slot, chunk, base):
+                    m._bind(params)
+                    try:
                         # every data-shard group runs the extend on its
                         # clipped local row (static shapes; non-owners
                         # compute on a garbage row), but only the OWNER
@@ -864,34 +884,32 @@ class GenerationEngine:
                         d0 = lax.axis_index(pa.data_axis) * ls
                         owned = (slot >= d0) & (slot < d0 + ls)
                         li = jnp.clip(slot - d0, 0, ls - 1)
-                    else:
-                        owned, li = True, slot
-                    sub0 = {
-                        i: (lax.dynamic_slice_in_dim(k, li, 1, 0),
-                            lax.dynamic_slice_in_dim(v, li, 1, 0))
-                        for i, (k, v) in caches.items()}
-                    codes, sub = m._extend_step(
-                        sub0, jnp.full((1,), base, jnp.int32),
-                        chunk[None])
-                    if sharded:
-                        sub = {i: (jnp.where(owned, sub[i][0], sub0[i][0]),
-                                   jnp.where(owned, sub[i][1], sub0[i][1]))
+                        sub0 = {
+                            i: (lax.dynamic_slice_in_dim(k, li, 1, 0),
+                                lax.dynamic_slice_in_dim(v, li, 1, 0))
+                            for i, (k, v) in caches.items()}
+                        codes, sub = m._extend_step(
+                            sub0, jnp.full((1,), base, jnp.int32),
+                            chunk[None])
+                        sub = {i: (jnp.where(owned, sub[i][0],
+                                             sub0[i][0]),
+                                   jnp.where(owned, sub[i][1],
+                                             sub0[i][1]))
                                for i in sub}
                         # owner's logit codes, replicated to every shard
                         codes = lax.psum(
                             jnp.where(owned, codes.astype(jnp.int32), 0),
                             pa.data_axis).astype(codes.dtype)
-                    out = {
-                        i: (lax.dynamic_update_slice_in_dim(
-                                caches[i][0], sub[i][0], li, 0),
-                            lax.dynamic_update_slice_in_dim(
-                                caches[i][1], sub[i][1], li, 0))
-                        for i in caches}
-                    return out, codes[0]
-                finally:
-                    m._bind(None)
+                        out = {
+                            i: (lax.dynamic_update_slice_in_dim(
+                                    caches[i][0], sub[i][0], li, 0),
+                                lax.dynamic_update_slice_in_dim(
+                                    caches[i][1], sub[i][1], li, 0))
+                            for i in caches}
+                        return out, codes[0]
+                    finally:
+                        m._bind(None)
 
-            if sharded:
                 cache_specs, _, rp = self._specs()
                 run = self._shard_wrap(
                     run, (self._tp_specs, cache_specs, rp, rp, rp),
@@ -899,6 +917,35 @@ class GenerationEngine:
             fn = jax.jit(run, donate_argnums=(1,))
             self._extend_jit = fn
         return fn
+
+    def _plain_extend_run(self):
+        """The unmasked single-slot extend body (slice -> _extend_step
+        -> write-back), shared by the unsharded _extend_fn and the
+        data-replicated _prefix_extend_fn so the slide-back/clamp
+        semantics live in ONE place (round-5 review finding)."""
+        m = self.model
+
+        def run(params, caches, slot, chunk, base):
+            m._bind(params)
+            try:
+                sub = {
+                    i: (lax.dynamic_slice_in_dim(k, slot, 1, 0),
+                        lax.dynamic_slice_in_dim(v, slot, 1, 0))
+                    for i, (k, v) in caches.items()}
+                codes, sub = m._extend_step(
+                    sub, jnp.full((1,), base, jnp.int32),
+                    chunk[None])
+                out = {
+                    i: (lax.dynamic_update_slice_in_dim(
+                            caches[i][0], sub[i][0], slot, 0),
+                        lax.dynamic_update_slice_in_dim(
+                            caches[i][1], sub[i][1], slot, 0))
+                    for i in caches}
+                return out, codes[0]
+            finally:
+                m._bind(None)
+
+        return run
 
     def _prefix_extend_fn(self):
         """Sharded prefix registration's scratch extend: the 1-row
@@ -910,27 +957,7 @@ class GenerationEngine:
         fn = getattr(self, "_prefix_extend_jit", None)
         if fn is None:
             m = self.model
-
-            def run(params, caches, slot, chunk, base):
-                m._bind(params)
-                try:
-                    sub = {
-                        i: (lax.dynamic_slice_in_dim(k, slot, 1, 0),
-                            lax.dynamic_slice_in_dim(v, slot, 1, 0))
-                        for i, (k, v) in caches.items()}
-                    codes, sub = m._extend_step(
-                        sub, jnp.full((1,), base, jnp.int32),
-                        chunk[None])
-                    out = {
-                        i: (lax.dynamic_update_slice_in_dim(
-                                caches[i][0], sub[i][0], slot, 0),
-                            lax.dynamic_update_slice_in_dim(
-                                caches[i][1], sub[i][1], slot, 0))
-                        for i in caches}
-                    return out, codes[0]
-                finally:
-                    m._bind(None)
-
+            run = self._plain_extend_run()
             from jax.sharding import PartitionSpec as P
             cs = P(None, None,
                    self._pa.model_axis if self._kv_sharded else None)
@@ -1015,13 +1042,24 @@ class GenerationEngine:
         P = self.prefill_chunk
         t0 = len(req.prompt)
         max_len = self.model.max_len
+        # register FIRST: any failure below (stale prefix, device error
+        # in the seed program) must fail THIS request's future via the
+        # crash handler rather than orphan it (round-5 review finding:
+        # the stale-prefix raise used to fire before registration, so
+        # the caller hung forever AND the raise killed the loop)
+        self._active[slot] = req
         base = 0
         if req.prefix_id is not None:
             entry = self._prefixes.get(req.prefix_id)
             if entry is None:
-                raise ValueError(
-                    f"prefix {req.prefix_id} was unregistered while the "
-                    "request was queued")
+                # fail just this request — a stale prefix_id is a
+                # caller mistake, not an engine-fatal condition
+                self._active[slot] = None
+                req.future.set_exception(ValueError(
+                    f"prefix {req.prefix_id} was unregistered while "
+                    "the request was queued"))
+                self._stream_close(req)
+                return
             pre_tokens, rows = entry
             base = len(pre_tokens)
             # ONE jitted, cache-donating program writes every layer's
@@ -1042,7 +1080,6 @@ class GenerationEngine:
             starts[-1] = max_len - P
         pad = np.zeros((max_len,), np.int32)
         pad[:t0] = req.prompt
-        self._active[slot] = req           # register before device work
         fn = self._extend_fn()
         slot_j = jnp.int32(slot)
         codes = None
@@ -1190,6 +1227,9 @@ class GenerationEngine:
         try:
             self._loop_inner()
         except BaseException as e:          # fail pending futures, loudly
+            # the engine is dead: later submit()s must raise instead of
+            # enqueueing futures nothing will ever resolve
+            self._running = False
             for s, req in enumerate(self._active):
                 if req is not None and not req.future.done():
                     req.future.set_exception(e)

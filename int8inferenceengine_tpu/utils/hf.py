@@ -381,7 +381,7 @@ def from_hf_config(cfg: dict):
     >>> model.load(read_state_dict("model.safetensors"))
 
     Supported ``model_type``: llama, mistral, qwen2 (llama-arch +
-    sliding_window for mistral), gpt2, gpt_neox, gemma2.  Unknown
+    sliding_window for mistral), gpt2, gpt_neox, gemma2, opt.  Unknown
     types raise.  Keys absent from the config keep the family
     defaults."""
     from ..models.gemma import GemmaDecoder

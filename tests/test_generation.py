@@ -380,3 +380,28 @@ def test_submit_stream_surfaces_shutdown():
     eng.shutdown()
     with pytest.raises(RuntimeError):
         eng.submit_stream([1, 2, 3], 4)
+
+
+def test_dead_engine_refuses_new_submissions():
+    """Round-5 review finding: after a loop-fatal error the engine used
+    to keep accepting submissions whose futures never resolved.  Now
+    the crash handler flips _running off: in-flight futures fail
+    loudly, later submits raise immediately."""
+    dec = _model()
+    eng = GenerationEngine(dec, slots=2, chunk_steps=4)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    eng._chunk = boom
+    eng._multichunk = boom
+    try:
+        fut = eng.submit([3, 5, 7], 8)
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=60)
+        with pytest.raises(RuntimeError):
+            eng.submit([3, 5, 7], 8)
+        with pytest.raises(RuntimeError):
+            eng.submit_stream([3, 5, 7], 8)
+    finally:
+        eng.shutdown(wait=False)

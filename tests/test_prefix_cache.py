@@ -232,3 +232,33 @@ def test_prefix_cache_sharded_engine():
         eng.unregister_prefix(pid)
     finally:
         eng.shutdown()
+
+
+def test_stale_prefix_fails_only_that_request():
+    """Round-5 review finding: a prefix unregistered while a request
+    referencing it was queued used to raise BEFORE registration — the
+    future hung forever and the raise killed the whole engine loop.
+    Now only that request fails; the engine keeps serving."""
+    dec = _decoder()
+    eng = GenerationEngine(dec, slots=1, chunk_steps=4, prefill_chunk=8)
+    try:
+        rng = np.random.default_rng(11)
+        pre = rng.integers(0, 97, (9,)).astype(np.int32)
+        pid = eng.register_prefix(pre)
+        full = np.concatenate([pre, rng.integers(0, 97, (3,))
+                               .astype(np.int32)])
+        # occupy the single slot so the prefixed request queues, then
+        # unregister before it is admitted
+        blocker = eng.submit(rng.integers(0, 97, (4,)).astype(np.int32),
+                             24)
+        victim = eng.submit(full, 6, prefix_id=pid)
+        eng.unregister_prefix(pid)
+        blocker.result()
+        with pytest.raises(ValueError):
+            victim.result(timeout=60)
+        # the engine survived: a fresh request still serves correctly
+        nxt = eng.submit(full, 6).result(timeout=60)
+        g = dec.generate(full[None], 6)[0]
+        assert (nxt == g).all()
+    finally:
+        eng.shutdown()

@@ -159,3 +159,27 @@ def test_ring_guards():
     ids = rng.integers(0, 97, (2, 6)).astype(np.int32)
     with pytest.raises(NotImplementedError):   # extends need full caches
         b.generate_speculative(a, ids, 10)
+
+
+def test_ring_engine_weight_only_full_caches():
+    """Round-5 review finding: weight_only + ring_cache used to
+    allocate ring-sized float caches whose long-prompt prefill then
+    crashed the loop.  The engine now keeps FULL-length caches for
+    weight_only ring models, and long prompts serve fine."""
+    rng = np.random.default_rng(12)
+    d = models.build("llama_tiny", vocab_size=97, max_len=96, dim=64,
+                     depth=2, heads=4, sliding_window=8, ring_cache=True,
+                     config=QuantConfig(rounding="nearest",
+                                        weight_only=True))
+    _load_random_weights(d)
+    d.convert()
+    eng = GenerationEngine(d, slots=2, chunk_steps=4)
+    try:
+        assert not eng._ring_serving
+        assert eng._caches[1][0].shape[2] == 96    # full length
+        p = rng.integers(0, 97, (40,)).astype(np.int32)   # > ring rows
+        out = eng.submit(p, 8).result(timeout=120)
+        g = d.generate(p[None], 8)[0]
+        assert (out == g).all()
+    finally:
+        eng.shutdown()
