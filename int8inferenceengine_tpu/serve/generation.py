@@ -183,7 +183,7 @@ class GenerationStats:
 class _GenRequest:
     __slots__ = ("prompt", "max_new", "future", "tokens", "t_submit",
                  "temperature", "seed", "top_p", "top_k", "prefix_id",
-                 "eos_id", "stream_q")
+                 "eos_id", "stream_q", "stop")
 
     def __init__(self, prompt: np.ndarray, max_new: int,
                  temperature: float = 0.0, seed: int = 0,
@@ -199,6 +199,7 @@ class _GenRequest:
         self.prefix_id = prefix_id
         self.eos_id = eos_id               # None = engine default
         self.stream_q = None               # set by submit_stream
+        self.stop = ()                     # multi-token stop sequences
         self.future: Future = Future()
         self.tokens: list[int] = []
         self.t_submit = time.perf_counter()
@@ -480,7 +481,8 @@ class GenerationEngine:
                        temperature: float = 0.0, seed: int = 0,
                        top_p: float = 1.0, top_k: int | None = None,
                        prefix_id: int | None = None,
-                       eos_id: int | None = None) -> _GenRequest:
+                       eos_id: int | None = None,
+                       stop=None) -> _GenRequest:
         if not self._running:
             raise RuntimeError("engine is shut down")
         prompt = np.asarray(prompt, np.int32).reshape(-1)
@@ -508,10 +510,25 @@ class GenerationEngine:
             raise ValueError(
                 f"prompt {len(prompt)} + max_new {max_new_tokens} exceeds "
                 f"max_len {self.model.max_len}")
-        return _GenRequest(
+        req = _GenRequest(
             prompt, max_new_tokens, temperature, seed,
             top_p, 0 if top_k is None else int(top_k), prefix_id,
             self.eos_id if eos_id is None else int(eos_id))
+        if stop:
+            # multi-token stop SEQUENCES (host-side: the device can
+            # only gate on single tokens — per-slot eos — so sequence
+            # matches are detected at chunk-fetch time like max_new;
+            # the slot overshoots within its chunk, extra tokens drop).
+            # A match truncates the output AFTER the stop sequence
+            # (the stop tokens are included, like eos_id's token).
+            seqs = []
+            for sq in stop:
+                sq = [int(t) for t in np.asarray(sq).reshape(-1)]
+                if not sq:
+                    raise ValueError("empty stop sequence")
+                seqs.append(tuple(sq))
+            req.stop = tuple(seqs)
+        return req
 
     def submit(self, prompt, max_new_tokens: int, **kw) -> Future:
         """Queue a request; the Future resolves to the generated ids.
@@ -520,8 +537,11 @@ class GenerationEngine:
         a traced per-slot value): ``temperature``/``seed`` sampling,
         ``top_p`` nucleus, ``top_k`` (dynamic count threshold),
         ``eos_id`` stop token (overrides the engine default; the
-        device-side early stop gates on a per-slot vector), and
-        ``prefix_id`` (registered shared-prefix KV reuse)."""
+        device-side early stop gates on a per-slot vector),
+        ``stop=[[...], ...]`` multi-token stop sequences (host-side
+        suffix match at chunk granularity; the matched sequence is
+        included in the output), and ``prefix_id`` (registered
+        shared-prefix KV reuse)."""
         req = self._build_request(prompt, max_new_tokens, **kw)
         self._queue.put(req)
         return req.future
@@ -1200,8 +1220,16 @@ class GenerationEngine:
             req.stream_q.put(None)
 
     def _done(self, req: _GenRequest, tok: int) -> bool:
-        return (len(req.tokens) >= req.max_new
-                or (req.eos_id is not None and tok == req.eos_id))
+        if (len(req.tokens) >= req.max_new
+                or (req.eos_id is not None and tok == req.eos_id)):
+            return True
+        if req.stop:
+            t = req.tokens
+            for sq in req.stop:
+                n = len(sq)
+                if len(t) >= n and tuple(t[-n:]) == sq:
+                    return True
+        return False
 
     def _finish(self, slot: int) -> None:
         req = self._active[slot]

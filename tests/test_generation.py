@@ -405,3 +405,45 @@ def test_dead_engine_refuses_new_submissions():
             eng.submit_stream([3, 5, 7], 8)
     finally:
         eng.shutdown(wait=False)
+
+
+def test_per_request_stop_sequences():
+    """Round 5: multi-token stop sequences (host-side suffix match; the
+    matched sequence is included, like eos).  Per-request: concurrent
+    requests carry different stop lists."""
+    dec = _model()
+    rng = np.random.default_rng(33)
+    p = rng.integers(0, dec.vocab_size, (5,)).astype(np.int32)
+    eng = GenerationEngine(dec, slots=2, chunk_steps=4)
+    try:
+        ref = eng.submit(p, 14, temperature=1.0, seed=4).result()
+        # pick a 2-token subsequence ending mid-stream whose FIRST
+        # occurrence is at that position
+        for j in range(1, 11):
+            sq = (int(ref[j]), int(ref[j + 1]))
+            hits = [i for i in range(1, 13)
+                    if (int(ref[i]), int(ref[i + 1])) == sq]
+            if hits and hits[0] == j:
+                break
+        out = eng.submit(p, 14, temperature=1.0, seed=4,
+                         stop=[list(sq)]).result()
+        assert out.shape == (j + 2,)
+        assert tuple(out[-2:]) == sq
+        assert (out == ref[:j + 2]).all()
+        # several stop sequences: the earliest match wins
+        out2 = eng.submit(p, 14, temperature=1.0, seed=4,
+                          stop=[[dec.vocab_size - 1] * 3,
+                                list(sq)]).result()
+        assert (out2 == out).all()
+        # non-matching stop: full length
+        out3 = eng.submit(p, 14, temperature=1.0, seed=4,
+                          stop=[[dec.vocab_size - 1] * 2]).result()
+        assert out3.shape == (14,) and (out3 == ref).all()
+        # streaming ends at the stop match
+        got = list(eng.submit_stream(p, 14, temperature=1.0, seed=4,
+                                     stop=[list(sq)]))
+        assert (np.asarray(got) == out).all()
+        with pytest.raises(ValueError):
+            eng.submit(p, 4, stop=[[]])
+    finally:
+        eng.shutdown()
