@@ -31,7 +31,7 @@ from __future__ import annotations
 import re
 
 __all__ = ["detect", "from_hf", "maybe_from_hf", "from_hf_config",
-           "build_from_hf"]
+           "build_from_hf", "load_pretrained"]
 
 
 def _t(v):
@@ -485,6 +485,63 @@ def build_from_hf(cfg: dict, state_dict: dict | None = None,
     if state_dict is not None:
         model.load(state_dict)
     return model
+
+
+def load_pretrained(path, config=None, **overrides):
+    """Load a DOWNLOADED HF checkpoint directory end to end: reads
+    ``config.json``, resolves the weight file(s) — a single
+    ``model.safetensors`` / ``pytorch_model.bin``, or a sharded set via
+    ``model.safetensors.index.json`` — builds the right model family
+    via :func:`from_hf_config` (window/softcap/rotary knobs included),
+    and loads through the name adapter:
+
+    >>> m = load_pretrained("path/to/mistral-7b",
+    ...                     config=QuantConfig(rounding="nearest"))
+
+    This is the one-call form of the reference's ingest-somebody-
+    else's-checkpoint workflow for real HF exports.  ``overrides`` win
+    over config.json values (e.g. ``max_len=2048`` to serve a shorter
+    context than the checkpoint's maximum)."""
+    import json
+    import os
+
+    from .checkpoint import read_state_dict
+
+    d = str(path)
+    cfg_path = os.path.join(d, "config.json")
+    if not os.path.isfile(cfg_path):
+        raise FileNotFoundError(f"no config.json under {d!r}")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+
+    idx = os.path.join(d, "model.safetensors.index.json")
+    state: dict = {}
+    if os.path.isfile(idx):
+        with open(idx) as f:
+            shard_of = json.load(f)["weight_map"]
+        for shard in sorted(set(shard_of.values())):
+            state.update(read_state_dict(os.path.join(d, shard)))
+    else:
+        for name in ("model.safetensors", "pytorch_model.bin",
+                     "pytorch_model.pt"):
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                if name.endswith(".bin"):
+                    import torch
+                    sd = torch.load(p, map_location="cpu",
+                                    weights_only=True)
+                    import numpy as np
+                    state = {k: (v.numpy() if hasattr(v, "numpy")
+                                 else np.asarray(v))
+                             for k, v in sd.items()}
+                else:
+                    state = read_state_dict(p)
+                break
+        else:
+            raise FileNotFoundError(
+                f"no model.safetensors / pytorch_model.bin / "
+                f"model.safetensors.index.json under {d!r}")
+    return build_from_hf(cfg, state, config=config, **overrides)
 
 
 def maybe_from_hf(state_dict: dict, model=None) -> dict:

@@ -431,3 +431,58 @@ def test_opt_tiny_registry_and_decode():
         nxt = codes[:, -1].argmax(-1).astype(np.int32)
         seq = np.concatenate([seq, nxt[:, None]], 1)
     assert (gen == seq[:, 5:]).all()
+
+
+def test_load_pretrained_directory_single_and_sharded(tmp_path):
+    """load_pretrained: config.json + weights from a directory, both
+    single-file safetensors and a sharded index — the one-call form of
+    the reference's ingest-someone-else's-checkpoint workflow."""
+    import json
+    from safetensors.numpy import save_file
+    from int8inferenceengine_tpu.config import QuantConfig
+    tw = torch_llama(vocab_size=211, max_len=32, dim=64, depth=2,
+                     heads=4, kv_heads=2, mlp_hidden=128,
+                     sliding_window=8)
+    d = _to_hf_llama(tw.state_dict())
+    d = {k: (v.detach().numpy() if hasattr(v, "detach")
+             else np.asarray(v)) for k, v in d.items()}
+    cfg = {"model_type": "mistral", "vocab_size": 211,
+           "max_position_embeddings": 32, "hidden_size": 64,
+           "num_hidden_layers": 2, "num_attention_heads": 4,
+           "num_key_value_heads": 2, "intermediate_size": 128,
+           "sliding_window": 8}
+    # single file
+    p1 = tmp_path / "single"
+    p1.mkdir()
+    (p1 / "config.json").write_text(json.dumps(cfg))
+    save_file(d, str(p1 / "model.safetensors"))
+    m1 = hf.load_pretrained(p1, config=QuantConfig(rounding="nearest"))
+    assert m1.sliding_window == 8
+    # sharded index: split keys across two shards
+    p2 = tmp_path / "sharded"
+    p2.mkdir()
+    (p2 / "config.json").write_text(json.dumps(cfg))
+    keys = sorted(d)
+    shard_a = {k: d[k] for k in keys[::2]}
+    shard_b = {k: d[k] for k in keys[1::2]}
+    save_file(shard_a, str(p2 / "model-00001-of-00002.safetensors"))
+    save_file(shard_b, str(p2 / "model-00002-of-00002.safetensors"))
+    wm = {k: "model-00001-of-00002.safetensors" for k in shard_a}
+    wm.update({k: "model-00002-of-00002.safetensors" for k in shard_b})
+    (p2 / "model.safetensors.index.json").write_text(
+        json.dumps({"weight_map": wm}))
+    m2 = hf.load_pretrained(p2, config=QuantConfig(rounding="nearest"))
+    x = np.random.default_rng(12).integers(0, 211, (2, 16)).astype(
+        np.int32)
+    a = np.asarray(m1(tensor(x)).data)
+    b = np.asarray(m2(tensor(x)).data)
+    assert (a == b).all()
+    import torch
+    with torch.no_grad():
+        ref = tw(torch.tensor(x.astype(np.int64))).numpy()
+    assert abs(a.reshape(2, 16, -1) - ref).max() < 5e-5
+    # overrides win over config.json
+    m3 = hf.load_pretrained(p1, config=QuantConfig(), max_len=16)
+    assert m3.max_len == 16
+    with pytest.raises(FileNotFoundError):
+        hf.load_pretrained(tmp_path / "nope")
