@@ -1071,6 +1071,24 @@ class QuantMatmul(Layer):
                       _tp_sharded=a._tp_sharded)
 
 
+def alibi_slopes(n_heads: int):
+    """The ALiBi slope ladder (Press et al., ICLR'22): for H a power of
+    two, ``m_h = 2^(-8(h+1)/H)``; otherwise the standard interpolation
+    (closest power of two, then odd steps of the doubled ladder)."""
+    import math
+
+    def pow2_ladder(n):
+        start = 2.0 ** (-8.0 / n)
+        return [start ** (i + 1) for i in range(n)]
+
+    if n_heads & (n_heads - 1) == 0:
+        return tuple(pow2_ladder(n_heads))
+    closest = 2 ** int(math.floor(math.log2(n_heads)))
+    base = pow2_ladder(closest)
+    extra = pow2_ladder(2 * closest)[0::2][: n_heads - closest]
+    return tuple(base + extra)
+
+
 class QuantSoftmax(Layer):
     """Calibrated softmax over the last axis (attention probabilities).
 
@@ -1101,15 +1119,29 @@ class QuantSoftmax(Layer):
     distribution (sampling) is what changes.  Applied on the
     dequantized f32 scores in both the composed path and the decode
     kernel's tail (ops/attention.py).
+
+    ``alibi_heads`` (BLOOM/MPT family): Attention-with-Linear-Biases —
+    scores gain a per-head bias ``m_h * (col - row_position)`` (zero at
+    the diagonal, increasingly negative into the past) INSTEAD of any
+    positional embedding; ``m_h`` is the standard geometric ladder
+    ``2^(-8h/H)``.  The bias is a static function of ABSOLUTE
+    positions, so the u8-KV-cache invariant (cached decode ==
+    full-forward recompute) holds unchanged; the decode fast path
+    routes through the XLA lowering (the Pallas kernel has no per-head
+    bias tail — ops/attention.py forces backend='xla' when alibi is
+    set).  Scores must carry the head axis at dim -3 ([B, H, tq, tk]).
     """
 
     def __init__(self, config: QuantConfig = DEFAULT_CONFIG,
                  causal: bool = False, window: int | None = None,
-                 softcap: float | None = None):
+                 softcap: float | None = None,
+                 alibi_heads: int | None = None):
         super().__init__(config)
         self.causal = causal
         self.window = None if window is None else int(window)
         self.softcap = None if softcap is None else float(softcap)
+        self.alibi_slopes = (None if alibi_heads is None
+                             else alibi_slopes(int(alibi_heads)))
 
     def _quantize_weights(self):  # no weights to quantize
         pass
@@ -1119,6 +1151,22 @@ class QuantSoftmax(Layer):
             c = jnp.float32(self.softcap)
             f = c * jnp.tanh(f / c)
         tq, tk = f.shape[-2], f.shape[-1]
+        if self.alibi_slopes is not None:
+            m = jnp.asarray(self.alibi_slopes,
+                            jnp.float32).reshape(-1, 1, 1)
+            col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            if self.causal and tq > 1 and tq == tk:
+                # square prefill: row position == row index
+                rowp = lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            elif valid_len is not None:
+                # decode / cached extend: the query's absolute
+                # position is valid_len - 1 (per row on the extend)
+                rowp = valid_len - 1
+            else:
+                rowp = jnp.int32(tk - 1)
+            # negative into the past, 0 at the diagonal; future columns
+            # get positive garbage that the causal mask -infs anyway
+            f = f + m * (col - rowp).astype(jnp.float32)
         window_done = False
         if self.causal and tq > 1 and tq == tk:
             # square scores: triangular causal mask; a valid_len on top
@@ -1403,7 +1451,8 @@ def fused_decode_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
         scale_c=av.scale, zp_c=av.zero_point,
         alpha=attn.alpha, rounding=attn.config.rounding,
         window=getattr(smax, "window", None),
-        softcap=getattr(smax, "softcap", None))
+        softcap=getattr(smax, "softcap", None),
+        alibi=getattr(smax, "alibi_slopes", None))
     t = kc.data.shape[-2]
     _record_cost(attn, 2 * q2.data.size * t,
                  q2.data.size + kc.data.size)
@@ -1456,7 +1505,8 @@ def fused_extend_attention(attn: "QuantMatmul", smax: "QuantSoftmax",
         scale_c=av.scale, zp_c=av.zero_point,
         alpha=attn.alpha, rounding=attn.config.rounding,
         window=getattr(smax, "window", None),
-        softcap=getattr(smax, "softcap", None))
+        softcap=getattr(smax, "softcap", None),
+        alibi=getattr(smax, "alibi_slopes", None))
     t = kc.data.shape[-2]
     _record_cost(attn, 2 * q3.data.size * t, q3.data.size + kc.data.size)
     _record_cost(av, 2 * out.size * t, vc.data.size + out.size)

@@ -265,6 +265,11 @@ def _neox_tiny(**kw):
     return NeoXDecoder(**kw)
 
 
+def _bloom_tiny(**kw):
+    from .bloom import BloomDecoder
+    return BloomDecoder(**kw)
+
+
 def _opt_tiny(**kw):
     # OPT = the gpt block with learned positions, pre-LN, and a ReLU
     # MLP; HF naming (model.decoder.*, position offset 2) in utils/hf
@@ -336,6 +341,7 @@ MODEL_SPECS = {
     "neox_tiny": _neox_tiny,
     "mistral_tiny": _mistral_tiny,
     "opt_tiny": _opt_tiny,
+    "bloom_tiny": _bloom_tiny,
     "squeezenet": _squeezenet,
     "googlenet": _googlenet,
     "densenet121": _densenet121,
@@ -522,6 +528,10 @@ def torch_twin(name: str, seed: int = 42):
     elif name == "neox_tiny":
         from .neox import torch_neox
         return torch_neox(seed=seed)
+
+    elif name == "bloom_tiny":
+        from .bloom import torch_bloom
+        return torch_bloom(seed=seed)
 
     elif name == "opt_tiny":
         from .text_decoder import torch_text_decoder

@@ -759,6 +759,7 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
                           backend: str = "auto", merged: bool | None = None,
                           window: int | None = None,
                           softcap: float | None = None,
+                          alibi=None,
                           interpret: bool = False, **kw):
     """Cached-decode attention on the T-major FLAT cache layout.
 
@@ -783,6 +784,21 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
     max_len).  Exact for any T (see the kernel comment).
     """
     bsz, t, c = k3_u8.shape
+    if alibi is not None:
+        # ALiBi (BLOOM/MPT): a per-head linear score bias — only the
+        # composed XLA lowering carries it (the Pallas kernel has no
+        # per-head bias tail); exactness is untouched since the bias is
+        # a static function of absolute positions
+        if backend == "pallas":
+            raise ValueError(
+                "decode_attention_flat: alibi has no Pallas lowering; "
+                "use backend='auto'/'xla'")
+        backend = "xla"
+        if len(alibi) != n_heads:
+            raise ValueError(
+                f"alibi slopes ({len(alibi)}) != query heads "
+                f"{n_heads} — under head-local TP pass the LOCAL "
+                "shard's slopes (alibi models disable head-local TP)")
     if merged is None:
         merged = _MERGED_DEFAULT
     if window is not None and not merged:
@@ -844,8 +860,16 @@ def decode_attention_flat(q2_u8, k3_u8, v3_u8, valid, *, n_heads: int,
             rowj = (jnp.arange(mq * grp, dtype=jnp.int32)
                     // grp).reshape(1, 1, mq * grp, 1)
             vmask = vmask + rowj
+        al4 = None
+        if alibi is not None:
+            # q4 rows are (kv, g) [or (kv, j, g) on extends] with query
+            # head h = kv*grp + g: arrange the slope ladder to match
+            sl = jnp.asarray(alibi, jnp.float32).reshape(n_kv, grp)
+            al4 = (jnp.tile(sl[:, None, :], (1, mq, 1))
+                   .reshape(n_kv, mq * grp) if multi else sl)
         out4 = decode_attention_xla(q4, to4(k3_u8), to4(v3_u8), vmask,
-                                    window=window, softcap=softcap, **kw)
+                                    window=window, softcap=softcap,
+                                    alibi=al4, **kw)
         if multi:
             # [B, Hkv, m*grp, D] rows (kv, j, g) -> [B, m, H*D]
             return jnp.transpose(
@@ -908,7 +932,8 @@ def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,
                          scale_p, zp_p, scale_c, zp_c, alpha: float,
                          rounding: str = "trunc",
                          window: int | None = None,
-                         softcap: float | None = None):
+                         softcap: float | None = None,
+                         alibi=None):
     """Composed decode attention (the oracle): literally QuantMatmul ->
     QuantSoftmax(valid_len) -> QuantMatmul on [B, H, 1, T] scores.
 
@@ -928,6 +953,14 @@ def decode_attention_xla(q_u8, k_u8, v_u8, valid, *, scale_q, zp_q,
         f = cc * jnp.tanh(f / cc)
     tq, tk = f.shape[-2], f.shape[-1]
     col = lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    if alibi is not None:
+        # ``alibi`` [n_kv, rows]: slope of each score row's query head;
+        # the query's absolute position is valid - 1, so the bias is
+        # slope * (col - (valid-1)) — 0 at self, negative into the
+        # past; future columns are masked to -inf below anyway
+        a = jnp.asarray(alibi, jnp.float32)
+        a = a.reshape(1, a.shape[0], a.shape[1], 1)
+        f = f + a * (col - (valid - 1)).astype(jnp.float32)
     keep = col < valid
     if window is not None:
         keep = keep & (col >= valid - int(window))

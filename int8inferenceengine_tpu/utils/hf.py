@@ -56,6 +56,8 @@ _LLAMA_PAT = re.compile(r"^(?:model\.)?layers\.(\d+)\.")
 _GPT2_PAT = re.compile(r"^(?:transformer\.)?h\.(\d+)\.")
 _NEOX_PAT = re.compile(r"^(?:gpt_neox\.)?layers\.(\d+)\.")
 _OPT_PAT = re.compile(r"^(?:model\.)?decoder\.layers\.(\d+)\.")
+_BLOOM_PAT = re.compile(r"^(?:transformer\.)?h\.(\d+)\.(?=self_attention|"
+                        r"input_layernorm|post_attention_layernorm|mlp)")
 
 # per-block llama key tails -> framework layer names (1-indexed fmt)
 _LLAMA_BLOCK = {
@@ -199,6 +201,32 @@ _OPT_TOP = {
 _OPT_POS = ("model.decoder.embed_positions.weight",
             "decoder.embed_positions.weight")
 
+# BLOOM per-block tails: the gpt block with NO positions (ALiBi) and a
+# NeoX-style per-head-interleaved fused query_key_value
+_BLOOM_BLOCK = {
+    "input_layernorm.weight": "ln1_{i}.weight",
+    "input_layernorm.bias": "ln1_{i}.bias",
+    "post_attention_layernorm.weight": "ln2_{i}.weight",
+    "post_attention_layernorm.bias": "ln2_{i}.bias",
+    "self_attention.dense.weight": "proj{i}.weight",
+    "self_attention.dense.bias": "proj{i}.bias",
+    "mlp.dense_h_to_4h.weight": "fc1_{i}.weight",
+    "mlp.dense_h_to_4h.bias": "fc1_{i}.bias",
+    "mlp.dense_4h_to_h.weight": "fc2_{i}.weight",
+    "mlp.dense_4h_to_h.bias": "fc2_{i}.bias",
+}
+_BLOOM_TOP = {
+    "transformer.word_embeddings.weight": "embed.weight",
+    "word_embeddings.weight": "embed.weight",
+    "transformer.word_embeddings_layernorm.weight": "embed_ln.weight",
+    "transformer.word_embeddings_layernorm.bias": "embed_ln.bias",
+    "word_embeddings_layernorm.weight": "embed_ln.weight",
+    "word_embeddings_layernorm.bias": "embed_ln.bias",
+    "transformer.ln_f.weight": "ln_f.weight",
+    "transformer.ln_f.bias": "ln_f.bias",
+    "lm_head.weight": "head.weight",
+}
+
 
 _GPT2_TOP = {
     "wte.weight": "embed.weight",
@@ -221,6 +249,8 @@ def detect(keys) -> str | None:
     keys = list(keys)
     if any("pre_feedforward_layernorm" in k for k in keys):
         return "gemma"
+    if any("word_embeddings_layernorm" in k for k in keys):
+        return "bloom"
     if any(_OPT_PAT.match(k) for k in keys) \
             or any(k in _OPT_TOP or k in _OPT_POS for k in keys
                    if "decoder." in k):
@@ -250,7 +280,32 @@ def from_hf(state_dict: dict, arch: str | None = None,
                          "load it directly")
     out = {}
     for key, v in state_dict.items():
-        if arch == "opt":
+        if arch == "bloom":
+            if key in _BLOOM_TOP:
+                out[_BLOOM_TOP[key]] = v
+                continue
+            m = _BLOOM_PAT.match(key)
+            if m:
+                i = int(m.group(1)) + 1
+                tail = key[m.end():]
+                if tail in _BLOOM_BLOCK:
+                    out[_BLOOM_BLOCK[tail].format(i=i)] = v
+                    continue
+                if tail in ("self_attention.query_key_value.weight",
+                            "self_attention.query_key_value.bias"):
+                    # per-head-interleaved [H, 3, D] fused qkv — the
+                    # NeoX layout; Module.load supplies n_heads
+                    if n_heads is None:
+                        raise ValueError(
+                            "BLOOM fused query_key_value needs n_heads "
+                            "(Module.load passes it automatically)")
+                    for name, part in zip(
+                            ("wq", "wk", "wv"),
+                            _split_qkv_interleaved(v, n_heads, 0)):
+                        out[f"{name}{i}." + tail.rsplit(".", 1)[1]] =                             part
+                    continue
+            raise KeyError(f"unrecognized HF bloom key: {key}")
+        elif arch == "opt":
             if key in _OPT_POS:
                 # OPT's learned positions are OFFSET BY 2 (rows 0/1 are
                 # pad artifacts of the original fairseq impl): slice
@@ -381,9 +436,11 @@ def from_hf_config(cfg: dict):
     >>> model.load(read_state_dict("model.safetensors"))
 
     Supported ``model_type``: llama, mistral, qwen2 (llama-arch +
-    sliding_window for mistral), gpt2, gpt_neox, gemma2, opt.  Unknown
+    sliding_window for mistral), gpt2, gpt_neox, gemma2, opt, bloom.
+    Unknown
     types raise.  Keys absent from the config keep the family
     defaults."""
+    from ..models.bloom import BloomDecoder
     from ..models.gemma import GemmaDecoder
     from ..models.llama import LlamaDecoder
     from ..models.neox import NeoXDecoder
@@ -414,6 +471,18 @@ def from_hf_config(cfg: dict):
                 sw = None
             kw["sliding_window"] = sw
         return LlamaDecoder, kw
+    if mt == "bloom":
+        kw = pick({"vocab_size": "vocab_size",
+                   "hidden_size": "dim",
+                   "n_layer": "depth",
+                   "num_hidden_layers": "depth",
+                   "n_head": "heads",
+                   "num_attention_heads": "heads",
+                   "layer_norm_epsilon": "eps"})
+        # ALiBi has no positional table, so BLOOM configs carry no max
+        # length — the serving context comes from the caller
+        # (build_from_hf(..., max_len=N)); the class default otherwise
+        return BloomDecoder, kw
     if mt == "opt":
         if cfg.get("word_embed_proj_dim",
                    cfg.get("hidden_size")) != cfg.get("hidden_size"):
@@ -467,7 +536,7 @@ def from_hf_config(cfg: dict):
                                        "final_softcap",
                                    "rms_norm_eps": "eps"})
     raise ValueError(f"unsupported HF model_type: {mt!r} (supported: "
-                     "llama, mistral, qwen2, gpt2, gpt_neox, gemma2, opt)")
+                     "llama, mistral, qwen2, gpt2, gpt_neox, gemma2, opt, bloom)")
 
 
 def build_from_hf(cfg: dict, state_dict: dict | None = None,
