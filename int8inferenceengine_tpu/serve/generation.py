@@ -51,6 +51,17 @@ best-of-3, 2026-08-20):
 Default 4: helps both loads and bounds admission latency to one
 multi-chunk dispatch; raise to 8+ for saturated long-generation
 serving (the 2.5k-tok/s engine target falls at 256-token requests).
+Re-measured at round-5 HEAD (chunk 32, 16 x 24-token requests, all the
+per-slot eos/topk/topp/stop program args in place —
+tools/genengine_load_r5.py, 2026-08-21):
+
+    sync_chunks        1      4      8     (tok/s)
+    64 new tok/req     1549   1499   1497
+    256 new tok/req    3255   3330   3669
+
+— the chunk-32 + round-5 ladder sits ~15% above the round-4 chunk-16
+table at every point; the driver bench leg (engine_tokens_per_s)
+reproduced 3,508-3,666 the same chip-day.
 Request outputs are bit-identical to sync_chunks=1 and to standalone
 generate() (the device-side gate only stops slots whose tokens the
 host would have dropped; pinned in tests/test_generation.py).

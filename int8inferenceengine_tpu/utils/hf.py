@@ -168,6 +168,39 @@ def _split_qkv_interleaved(v, n_heads: int, axis: int):
     return parts
 
 
+# phi (microsoft/phi-1/1.5/2) per-block tails: the NeoX topology
+# (parallel residual, partial rotary, biased LayerNorm MHA + gelu MLP)
+# with llama-style separated q/k/v names and ONE LayerNorm per block —
+# the same input_layernorm feeds BOTH branches, so its weights load
+# into ln1_{i} AND ln2_{i} (mathematically identical on NeoXDecoder's
+# two-norm block)
+_PHI_BLOCK = {
+    "self_attn.q_proj.weight": ("wq{i}.weight",),
+    "self_attn.q_proj.bias": ("wq{i}.bias",),
+    "self_attn.k_proj.weight": ("wk{i}.weight",),
+    "self_attn.k_proj.bias": ("wk{i}.bias",),
+    "self_attn.v_proj.weight": ("wv{i}.weight",),
+    "self_attn.v_proj.bias": ("wv{i}.bias",),
+    "self_attn.dense.weight": ("proj{i}.weight",),
+    "self_attn.dense.bias": ("proj{i}.bias",),
+    "input_layernorm.weight": ("ln1_{i}.weight", "ln2_{i}.weight"),
+    "input_layernorm.bias": ("ln1_{i}.bias", "ln2_{i}.bias"),
+    "mlp.fc1.weight": ("fc1_{i}.weight",),
+    "mlp.fc1.bias": ("fc1_{i}.bias",),
+    "mlp.fc2.weight": ("fc2_{i}.weight",),
+    "mlp.fc2.bias": ("fc2_{i}.bias",),
+}
+_PHI_TOP = {
+    "model.embed_tokens.weight": "embed.weight",
+    "model.final_layernorm.weight": "ln_f.weight",
+    "model.final_layernorm.bias": "ln_f.bias",
+    "final_layernorm.weight": "ln_f.weight",
+    "final_layernorm.bias": "ln_f.bias",
+    "lm_head.weight": "head.weight",
+    "lm_head.bias": "head.bias",
+}
+
+
 # OPT per-block tails (facebook/opt-*): plain pre-LN MHA + ReLU MLP;
 # self_attn_layer_norm is the PRE-attention norm, the block-level
 # final_layer_norm the pre-MLP one
@@ -251,6 +284,9 @@ def detect(keys) -> str | None:
         return "gemma"
     if any("word_embeddings_layernorm" in k for k in keys):
         return "bloom"
+    if any(".self_attn.dense." in k or "final_layernorm" in k
+           for k in keys):
+        return "phi"         # llama-like names, but dense/one-LN block
     if any(_OPT_PAT.match(k) for k in keys) \
             or any(k in _OPT_TOP or k in _OPT_POS for k in keys
                    if "decoder." in k):
@@ -305,6 +341,21 @@ def from_hf(state_dict: dict, arch: str | None = None,
                         out[f"{name}{i}." + tail.rsplit(".", 1)[1]] =                             part
                     continue
             raise KeyError(f"unrecognized HF bloom key: {key}")
+        elif arch == "phi":
+            if key in _PHI_TOP:
+                out[_PHI_TOP[key]] = v
+                continue
+            m = _LLAMA_PAT.match(key)       # model.layers.N. prefix
+            if m:
+                i = int(m.group(1)) + 1
+                tail = key[m.end():]
+                if tail.startswith("self_attn.rotary_emb."):
+                    continue                 # derived buffer
+                if tail in _PHI_BLOCK:
+                    for dst in _PHI_BLOCK[tail]:
+                        out[dst.format(i=i)] = v
+                    continue
+            raise KeyError(f"unrecognized HF phi key: {key}")
         elif arch == "opt":
             if key in _OPT_POS:
                 # OPT's learned positions are OFFSET BY 2 (rows 0/1 are
@@ -436,7 +487,8 @@ def from_hf_config(cfg: dict):
     >>> model.load(read_state_dict("model.safetensors"))
 
     Supported ``model_type``: llama, mistral, qwen2 (llama-arch +
-    sliding_window for mistral), gpt2, gpt_neox, gemma2, opt, bloom.
+    sliding_window for mistral), gpt2, gpt_neox, gemma2, opt, bloom,
+    phi (-> NeoXDecoder: the parallel-residual one-LN block).
     Unknown
     types raise.  Keys absent from the config keep the family
     defaults."""
@@ -471,6 +523,17 @@ def from_hf_config(cfg: dict):
                 sw = None
             kw["sliding_window"] = sw
         return LlamaDecoder, kw
+    if mt == "phi":
+        kw = pick({"vocab_size": "vocab_size",
+                   "max_position_embeddings": "max_len",
+                   "hidden_size": "dim",
+                   "num_hidden_layers": "depth",
+                   "num_attention_heads": "heads",
+                   "partial_rotary_factor": "rotary_pct",
+                   "rope_theta": "rope_base",
+                   "layer_norm_eps": "eps"})
+        kw["use_parallel_residual"] = True   # phi is always parallel
+        return NeoXDecoder, kw
     if mt == "bloom":
         kw = pick({"vocab_size": "vocab_size",
                    "hidden_size": "dim",
@@ -536,7 +599,7 @@ def from_hf_config(cfg: dict):
                                        "final_softcap",
                                    "rms_norm_eps": "eps"})
     raise ValueError(f"unsupported HF model_type: {mt!r} (supported: "
-                     "llama, mistral, qwen2, gpt2, gpt_neox, gemma2, opt, bloom)")
+                     "llama, mistral, qwen2, gpt2, gpt_neox, gemma2, opt, bloom, phi)")
 
 
 def build_from_hf(cfg: dict, state_dict: dict | None = None,

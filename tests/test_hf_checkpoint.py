@@ -486,3 +486,58 @@ def test_load_pretrained_directory_single_and_sharded(tmp_path):
     assert m3.max_len == 16
     with pytest.raises(FileNotFoundError):
         hf.load_pretrained(tmp_path / "nope")
+
+
+def test_phi_hf_load_and_config():
+    """phi-1/1.5/2 (round 5): the NeoX topology with llama-style
+    separated q/k/v names and ONE LayerNorm per block — the shared
+    input_layernorm loads into BOTH ln1 and ln2 of NeoXDecoder's
+    two-norm block (mathematically identical).  Config maps
+    partial_rotary_factor and forces parallel residual."""
+    import torch
+    from int8inferenceengine_tpu.config import QuantConfig
+    from int8inferenceengine_tpu.models.neox import (NeoXDecoder,
+                                                     torch_neox)
+    tw = torch_neox(rotary_pct=0.5)
+    sd = {k: v.clone() for k, v in tw.state_dict().items()}
+    # make it a TRUE phi: one LN per block (ln2 := ln1)
+    for i in (1, 2):
+        sd[f"ln2_{i}.weight"] = sd[f"ln1_{i}.weight"].clone()
+        sd[f"ln2_{i}.bias"] = sd[f"ln1_{i}.bias"].clone()
+    m_direct = NeoXDecoder(rotary_pct=0.5,
+                           config=QuantConfig(rounding="nearest"))
+    m_direct.load(sd)
+    d = {"model.embed_tokens.weight": sd["embed.weight"],
+         "model.final_layernorm.weight": sd["ln_f.weight"],
+         "model.final_layernorm.bias": sd["ln_f.bias"],
+         "lm_head.weight": sd["head.weight"],
+         "lm_head.bias": sd["head.bias"]}
+    for n in range(2):
+        i = n + 1
+        p = f"model.layers.{n}."
+        d[p + "input_layernorm.weight"] = sd[f"ln1_{i}.weight"]
+        d[p + "input_layernorm.bias"] = sd[f"ln1_{i}.bias"]
+        for src, dst in (("wq", "self_attn.q_proj"),
+                         ("wk", "self_attn.k_proj"),
+                         ("wv", "self_attn.v_proj"),
+                         ("proj", "self_attn.dense"),
+                         ("fc1_", "mlp.fc1"), ("fc2_", "mlp.fc2")):
+            d[p + dst + ".weight"] = sd[f"{src}{i}.weight"]
+            d[p + dst + ".bias"] = sd[f"{src}{i}.bias"]
+        d[p + "self_attn.rotary_emb.inv_freq"] = np.zeros(8)
+    assert hf.detect(d.keys()) == "phi"
+    m_hf = NeoXDecoder(rotary_pct=0.5,
+                       config=QuantConfig(rounding="nearest"))
+    m_hf.load(d)
+    x = np.random.default_rng(13).integers(0, 1000, (2, 10)).astype(
+        np.int32)
+    a = np.asarray(m_direct(tensor(x)).data)
+    b = np.asarray(m_hf(tensor(x)).data)
+    assert (a == b).all()
+    cls, kw = hf.from_hf_config(
+        {"model_type": "phi", "vocab_size": 51200, "hidden_size": 2048,
+         "num_hidden_layers": 24, "num_attention_heads": 32,
+         "partial_rotary_factor": 0.5, "rope_theta": 10000.0,
+         "max_position_embeddings": 2048, "layer_norm_eps": 1e-5})
+    assert cls is NeoXDecoder
+    assert kw["rotary_pct"] == 0.5 and kw["use_parallel_residual"]
